@@ -1,0 +1,99 @@
+"""Central query registry — the single source of truth for the driver
+contract (__spark_entry__.py): every operator ships as a named query with a
+(spark, sf_dir) -> DataFrame callable and, where SQL-expressible, an
+equivalent DuckDB oracle SQL string.
+
+Column-name discipline: the driver's compare sorts columns by name before
+hashing values, so every computed column is aliased identically in the Spark
+plan and the oracle SQL. Float discipline: cross-engine aggregation order
+differs, so float aggregates are either made exact (fixed-point integer
+sums) or rounded on both sides (see SURVEY.md §7 risks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => driver records rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import ocs_duckdb_runner_spark.operators.core  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.grouping  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.joins  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.setops  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.windows  # noqa: F401
+    import ocs_duckdb_runner_spark.functions.scalar  # noqa: F401
+    import ocs_duckdb_runner_spark.llm.dedup  # noqa: F401
+    import ocs_duckdb_runner_spark.llm.similarity  # noqa: F401
+    import ocs_duckdb_runner_spark.llm.text  # noqa: F401
+    import ocs_duckdb_runner_spark.llm.multimodal  # noqa: F401
+    import ocs_duckdb_runner_spark.llm.udfs  # noqa: F401
+    import ocs_duckdb_runner_spark.events.windows  # noqa: F401
+    import ocs_duckdb_runner_spark.streaming.stream_queries  # noqa: F401
+    import ocs_duckdb_runner_spark.runner  # noqa: F401
+
+
+def specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> QuerySpec:
+    return specs()[name]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in specs().items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {n: s.oracle for n, s in specs().items() if s.oracle is not None}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Path-based parquet scan — the reference's data model is one
+    self-describing parquet object per table, no catalog
+    (/root/reference/runner.cc:176-180, schema from the parquet footer)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

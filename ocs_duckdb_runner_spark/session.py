@@ -1,0 +1,96 @@
+"""SparkSession construction + object-store configuration.
+
+Maps the reference's per-connection S3 session setup
+(/root/reference/runner.cc:205-217: ``SET s3_endpoint / s3_region /
+s3_url_style / s3_use_ssl / s3_access_key_id / s3_secret_access_key``) onto
+the s3a Hadoop connector, applied once at session build. Fixtures are local
+parquet, so pointing at an object store is a config change, not a code
+change.
+
+Local-mode defaults are tuned for correctness-at-small-scale and the same
+knobs that matter at 100 TB: AQE on (runtime partition coalescing, skew-join
+splitting, broadcast demotion), shuffle partitions sized to cores instead of
+the 200 default, UTC session timezone so timestamp semantics match the
+DuckDB oracle, and Arrow enabled for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class S3Config:
+    """The six knobs the reference sets per DuckDB connection
+    (/root/reference/runner.cc:205-217), plus their s3a equivalents."""
+
+    endpoint: str
+    access_key_id: str = ""
+    secret_access_key: str = ""
+    region: str = "us-east-1"
+    path_style: bool = True  # s3_url_style='path' (runner.cc:209)
+    use_ssl: bool = False  # s3_use_ssl=false — http assumed (README.md:98)
+
+    def hadoop_options(self) -> dict[str, str]:
+        return {
+            "fs.s3a.endpoint": self.endpoint,
+            "fs.s3a.endpoint.region": self.region,
+            "fs.s3a.path.style.access": str(self.path_style).lower(),
+            "fs.s3a.connection.ssl.enabled": str(self.use_ssl).lower(),
+            "fs.s3a.access.key": self.access_key_id,
+            "fs.s3a.secret.key": self.secret_access_key,
+        }
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def build_spark(
+    app_name: str = "ocs-duckdb-runner-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    s3: S3Config | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the SparkSession with scale-aware defaults.
+
+    Parallelism model: the reference runs one single-threaded DuckDB per
+    parquet object over a fixed pthread pool (runner.cc:200,264-270). Spark
+    inverts this — one task per file split — so the pool size maps to
+    executor threads (``local[N]`` here, executor cores on a cluster).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # AQE: runtime coalescing / skew-join splitting / join demotion —
+        # the knobs that keep shuffles sane when data is 1000x bigger.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Oracle parity: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every Python<->JVM batch exchange (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet scan: vectorized reader + pushdown are default-on; make the
+        # per-file task unit explicit (reference: one engine per file).
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if s3 is not None:
+        for k, v in s3.hadoop_options().items():
+            builder = builder.config(f"spark.hadoop.{k}", v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
