@@ -1,1 +1,233 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Scalar function surface (SURVEY.md §2c EXT): string, date/time, math,
+conditional, JSON, and array functions.
+
+All of these are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen, no Python in the row path. Oracle discipline: outputs
+are scalar-typed (no array-valued result columns), integer-widths matched
+with CASTs (DuckDB year()→BIGINT vs Spark →INT etc.), and libm-divergent
+functions (ln/exp/pow) rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_up,
+           lower(c_mktsegment) AS seg_lo,
+           substr(c_name, 1, 8) AS name_prefix,
+           trim(concat(c_name, ' ')) AS name_trim,
+           CAST(length(c_name) AS INT) AS name_len,
+           (c_name LIKE '%er#00000001%') AS has_pat,
+           regexp_replace(c_name, '[0-9]+', '#') AS name_nonum,
+           contains(c_name, '1') AS has_one,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+           split_part(c_name, '#', 1) AS name_head
+    FROM customer
+    """,
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: case, substr, trim, concat, length, LIKE, regexp
+    replace, contains, pad, split — all codegen'd JVM expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").like("%er#00000001%").alias("has_pat"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_nonum"),
+        F.contains(F.col("c_name"), F.lit("1")).alias("has_one"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', o_orderdate)
+                AS INT) AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface on o_orderdate: extraction, truncation, diff,
+    interval arithmetic, formatting. Width CASTs + the dow convention
+    (DuckDB dayofweek: 0=Sunday; Spark: 1=Sunday) are aligned in the
+    oracle, not patched in the engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_floor7,
+           sqrt(l_extendedprice) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(pow(l_quantity, 2), 6) AS qty_sq,
+           l_orderkey % 97 AS okey_mod,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface. sqrt is IEEE-correctly-rounded in both engines (exact
+    compare); ln/exp/pow go through differing libm implementations so both
+    sides round to 6 digits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_kceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_floor7"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+        (F.col("l_orderkey") % 97).alias("okey_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_case_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           greatest(o_totalprice, 100000.0) AS price_floor100k,
+           least(CAST(o_custkey AS BIGINT), o_orderkey) AS min_key,
+           (o_totalprice > 200000 AND o_orderpriority = '1-URGENT') AS hot
+    FROM orders
+    """,
+    tags=("function", "conditional"),
+)
+def fn_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional surface: CASE WHEN chains, coalesce, nullif,
+    greatest/least, boolean expressions as values."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 250000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor100k"),
+        F.least(F.col("o_custkey"), F.col("o_orderkey")).alias("min_key"),
+        ((F.col("o_totalprice") > 200000) & (F.col("o_orderpriority") == "1-URGENT"))
+        .alias("hot"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_high,
+           coalesce(json_extract_string(props, '$.missing'), '?') AS missing_or_q
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction from events.props — get_json_object
+    (JsonPath) with string/numeric casts and absent-key NULL semantics."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+        (k.cast("long") > 50).alias("k_high"),
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("?")).alias(
+            "missing_or_q"
+        ),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+             AS vec_sum,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS vec_max,
+           list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
+    FROM embeddings
+    """,
+    tags=("function", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over embeddings.embedding (array<float>, dim 64):
+    size, element access, higher-order aggregate (F.aggregate — the
+    JVM-side fold used again for cosine similarity), max, membership.
+    Scalar outputs only (array-valued result columns hash differently
+    across engines' pandas bridges)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )

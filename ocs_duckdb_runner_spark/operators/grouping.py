@@ -1,1 +1,206 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Extended aggregation surface: DISTINCT aggregates, HAVING,
+ROLLUP / CUBE / GROUPING SETS, pivot, and approximate sketches.
+
+All hierarchical-total operators are single declarative plans: Spark
+expands rollup/cube into an Expand node feeding ONE hash aggregate, so the
+fact table is scanned once regardless of how many grouping levels are
+requested — the property that matters at 100 TB (versus N scans + union).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY with two COUNT(DISTINCT)s — Spark plans this as
+    an Expand + two-phase aggregate (distinct keys partially deduped
+    map-side before the shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_fx_sum('o_totalprice')} AS sum_price_c
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 3 AND {sql_fx_sum('o_totalprice')} > 30000000
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — in DataFrame algebra just a
+    filter above the aggregate; Catalyst keeps it above the final agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fx_sum("o_totalprice").alias("sum_price_c"),
+        )
+        .filter((F.col("n_orders") >= 3) & (F.col("sum_price_c") > 30000000))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (flag×status, flag, grand total) in
+    one pass via the Expand operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping combinations in one Expand+aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (the DataFrame API exposes only
+    rollup/cube; arbitrary sets are SQL-level — same Expand plan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                  FILTER (WHERE l_linestatus = 'O') AS DOUBLE)
+             / count(l_discount) FILTER (WHERE l_linestatus = 'O')
+             / CAST(100 AS DOUBLE) AS disc_O,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                  FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+             / count(l_discount) FILTER (WHERE l_linestatus = 'F')
+             / CAST(100 AS DOUBLE) AS disc_F,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_O,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) — expressed as conditional aggregates so
+    the oracle (FILTER clauses) matches column-for-column; one pass, no
+    per-pivot-value scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    is_o = F.col("l_linestatus") == "O"
+    is_f = F.col("l_linestatus") == "F"
+
+    def fx_avg_where(cond, digits=2):
+        cents = F.when(cond, F.round(F.col("l_discount") * 10**digits).cast("long"))
+        return (
+            F.sum(cents).cast("double")
+            / F.count(F.when(cond, F.col("l_discount")))
+            / F.lit(float(10**digits))
+        )
+
+    return li.groupBy("l_returnflag").agg(
+        fx_avg_where(is_o).alias("disc_O"),
+        fx_avg_where(is_f).alias("disc_F"),
+        F.count(F.when(is_o, 1)).alias("n_O"),
+        F.count(F.when(is_f, 1)).alias("n_F"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation (rounded — the
+    one place cross-engine float order is absorbed by rounding, values are
+    O(10) so 4 digits is far above the ulp noise) and exact median
+    (l_quantity is integral so both engines interpolate identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.median("l_quantity").alias("med_qty"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct + approximate quantiles —
+    sketch values are engine-specific, so no oracle (driver rows-only
+    check); accuracy is asserted in unit tests instead. These sketches are
+    THE scale story for cardinality/quantile estimation: fixed-size state,
+    mergeable across partitions, no shuffle of raw values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95_price"),
+    )

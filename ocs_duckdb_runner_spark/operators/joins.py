@@ -1,1 +1,224 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Join surface (SURVEY.md §2c EXT): every join kind the engine supports.
+
+The reference never joins (its one query is single-table,
+/root/reference/runner.cc:174-182); this is the extended relational surface,
+expressed declaratively so Catalyst + AQE pick the physical strategy:
+broadcast-hash for dim tables (explicitly hinted where we know the side is
+small), sort-merge for fact⋈fact, and runtime skew-splitting via AQE. At
+100 TB the fact tables shuffle on the join key once; dimension joins never
+shuffle the fact side at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer. customer is orders/10 in size, so
+    AQE converts the shuffle join to broadcast-hash at runtime when the
+    built side fits; the segment filter is pushed below the join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an extra non-key condition in the ON clause —
+    the condition filters the right side pre-join, never drops left rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 150000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_acctbal
+    FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — nations with no customers survive with NULLs."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "right").select(
+        "n_nationkey", "n_name", "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000),
+         hi_ord AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                    FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey)
+    SELECT h.c_custkey, h.c_acctbal, o.o_custkey, o.n_orders
+    FROM hi_cust h FULL JOIN hi_ord o ON h.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered/aggregated sides — rows unique to
+    either side survive with NULLs on the other."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_custkey", "n_orders"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): emits each matching left row once — no
+    row multiplication, and only the left side's columns survive."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side dimension joins: region (5 rows) and nation (25 rows) are
+    explicitly broadcast, so the customer fact table is joined without any
+    shuffle — the pattern that matters most at 100 TB (a shuffle of the
+    fact table for a 25-row dim would dominate the whole query)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal > s.s_acctbal - 50 AND c.c_acctbal < s.s_acctbal + 50
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join — no hashable key, so Spark uses
+    BroadcastNestedLoopJoin with the small supplier side broadcast; the
+    band predicate is evaluated in codegen. At scale the general fix is
+    banding: join on a coarse bucket key, then filter — see
+    sim_ann_lsh for the banded pattern."""
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    c = load_table(spark, sf_dir, "customer")
+    cond = (c.c_acctbal > s.s_acctbal - 50) & (c.c_acctbal < s.s_acctbal + 50)
+    return s.join(c, cond).select("s_suppkey", "s_name", "c_custkey")
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "star"),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table star join region→nation→customer→orders. Dim sides are
+    broadcast (explicit for region/nation, AQE-chosen for customer), so the
+    orders fact flows through the whole join tree with zero shuffles until
+    the final aggregation."""
+    from ocs_duckdb_runner_spark.exactness import fx_sum
+
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fx_sum("o_totalprice").alias("sum_price_c"),
+        )
+    )

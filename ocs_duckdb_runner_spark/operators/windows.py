@@ -1,1 +1,148 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Window functions (SURVEY.md §2c EXT): ranking, analytic (lag/lead/
+first/last), and framed running aggregates.
+
+All windows here order by a UNIQUE key within each partition, so ranks,
+offsets, and frames are tie-free and deterministic across engines (the
+SURVEY §7 ties risk). Physically each distinct (partitionBy) spec costs one
+hash exchange + per-partition sort; the three specs below share partition
+keys where possible so AQE can reuse the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per nation, ordered by
+    balance with the unique custkey as tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           last_value(o_totalprice) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value/last_value per customer over order-key time;
+    explicit ROWS frames so both engines agree on the last_value frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("running_last"),
+    )
+
+
+@query(
+    "window_frame_agg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_price_c,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+             (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS price_3row_c,
+           CAST(count(*) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and sliding framed aggregates (ROWS BETWEEN): cumulative
+    spend, 3-row moving sum, running count per customer over order-key
+    time — in exact fixed-point so the running sums are order-stable
+    bit-for-bit. Ordering key o_orderkey is unique → frames are
+    deterministic (lineitem's (orderkey, linenumber) is NOT unique in the
+    fixtures, which makes running sums engine-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_c).over(run).alias("running_price_c"),
+        F.sum(price_c).over(last3).alias("price_3row_c"),
+        F.count(F.lit(1)).over(run).alias("n_so_far"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the canonical window+filter pattern (top-3
+    customers by balance per nation). Spark pushes the rn<=3 limit into
+    the window sort (WindowGroupLimit) so each partition keeps only k rows
+    before the full window evaluates — the at-scale-safe idiom."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )

@@ -95,5 +95,17 @@ def all_oracles() -> dict[str, str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Path-based parquet scan — the reference's data model is one
     self-describing parquet object per table, no catalog
-    (/root/reference/runner.cc:176-180, schema from the parquet footer)."""
+    (/root/reference/runner.cc:176-180, schema from the parquet footer).
+
+    ``events.ts`` is parquet timestamp[ns], which Spark's reader rejects by
+    default; we read it as a long (nanosAsLong) and truncate to the session
+    µs TimestampType so every downstream query sees a native timestamp —
+    the same truncation the oracle applies with CAST(ts AS TIMESTAMP).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
