@@ -1,1 +1,299 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2c):
+exact, MinHash+LSH banding, SimHash, and n-gram Jaccard near-dup detection.
+
+Scale design (the whole point of these operators): never compare all-pairs.
+- exact / fingerprint dedup: one hash-aggregate shuffle on the text hash.
+- MinHash-LSH: per-doc signatures are map-side (higher-order functions over
+  the shingle array, no explode for the signature); candidate generation is
+  an equi-join on (band, band_hash) buckets — O(collisions), not O(n²).
+- SimHash: 64-bit fingerprint via bit-vote aggregation; near-dup = equal
+  16-bit sub-band + popcount(xor) ≤ k, again an equi-join on sub-bands.
+- n-gram Jaccard: inverted-index join on shared shingles (pairs that share
+  nothing are never materialized), then exact set arithmetic.
+
+MinHash/SimHash signatures are engine-specific (they depend on the hash
+function), so those queries declare no oracle — their semantics are locked
+by unit tests with planted near-duplicates (tests/test_dedup.py); Jaccard
+and exact dedup are DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+# MinHash parameters: 16 hashes = 4 bands × 4 rows → catches Jaccard ≳ 0.7
+# candidates with high probability while keeping bucket-join fan-out tiny.
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+
+
+def shingles(tokens: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles via sequence+transform — map-side only.
+    Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short docs get
+    their whole text as the single shingle."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= k, make).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select("doc_id", shingles(toks).alias("sh"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic keeper (lowest doc_id per text) —
+    the window formulation of dropDuplicates. At scale, group on
+    md5(text) instead of the full text so the shuffle carries 16-byte
+    keys, not documents (see dedup_fingerprint)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-group dedup — the 100 TB formulation: shuffle 16-byte md5
+    keys + doc ids only; the keeper per content hash is min(doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> Column:
+    """n_hashes MinHash values per doc, computed map-side: for seed s,
+    min over shingles of xxhash64(seed, shingle). array_min over a
+    transform — no explode, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x, s=s: F.xxhash64(F.lit(s), x)))
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig: Column, n_bands: int = N_BANDS) -> Column:
+    """LSH banding: hash each run of ROWS_PER_BAND signature values into a
+    bucket id; docs agreeing on ANY band become candidates."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(sig, b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """doc_id+shingle-array DataFrame → candidate near-dup pairs via LSH
+    band bucket self-join. The join key (band index, band hash) is an
+    equi-key: Catalyst plans a shuffle hash join on the buckets, so cost
+    scales with bucket collisions (≈ true near-dups), never n²."""
+    sigs = docs.select("doc_id", minhash_bands(minhash_signature(F.col("sh"))).alias("bands"))
+    banded = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query("dedup_minhash", oracle=None, tags=("llm", "dedup", "minhash"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs over documents (signature →
+    bands → bucket join). Hash values are engine-specific → rows-only
+    check here; recall/precision semantics are locked by
+    tests/test_dedup.py on planted near-duplicates."""
+    return minhash_candidates(_doc_shingles(spark, sf_dir))
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash: per token xxhash64, each bit votes ±1, fingerprint
+    bit b = sign of the vote sum. One aggregate fold over a 64-slot vote
+    array — map-side, no explode. Bit positions are unrolled in Python
+    (shift amounts must be literals in Spark's shift expressions)."""
+    votes = F.aggregate(
+        tokens,
+        F.array(*[F.lit(0)] * 64).cast("array<int>"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)).cast("int")
+                    * 2
+                    - 1
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit
+        fp = fp.bitwiseXOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return fp
+
+
+@query("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint per doc, candidates via equal
+    16-bit sub-band (pigeonhole: hamming ≤ 3 ⟹ one of four 16-bit quarters
+    equal), verified with popcount(xor) ≤ 3. Engine-specific hashes →
+    rows-only; semantics unit-tested on planted near-dups."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", simhash64(F.split(F.col("text"), " ")).alias("fp")
+    )
+    quarters = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("fp", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("sub"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.q", "band.sub")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = """
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.shared,
+           CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join: explode
+    distinct shingles, self-join on shingle (only docs sharing ≥1 shingle
+    ever meet), count the intersection, derive the union from per-doc
+    shingle counts. Integer set arithmetic → the jaccard double is
+    bit-identical to the oracle. The ≥0.2 threshold bounds the output;
+    the shared-shingle join bounds the work."""
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("shared").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared")
+    )
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )

@@ -1,1 +1,242 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Similarity search over embeddings (SURVEY.md §2c: brute-force cosine
+top-k baseline + LSH-bucketed ANN scale path + embedding near-dup pairs).
+
+Exactness design: cosine similarity is made BIT-IDENTICAL across engines by
+fixed-point arithmetic — each vector element is scaled to integer micro-units
+(round(x·1e6) as BIGINT; 64 products of ±100-scale values stay far below 2^63) map-side, dot products and squared norms are then
+order-independent integer sums, and the final cosine is the same sequence of
+double divisions/sqrts on identical integers in both engines. That removes
+the usual float-summation-order drift entirely, so even top-k boundaries
+match the oracle exactly.
+
+Scale design: the brute-force path is one broadcast (the query vector) + a
+map-side fold per row — embarrassingly parallel, no shuffle; it is the
+correct plan for one query over N vectors at any scale. The ANN path buckets
+vectors by signed-random-projection LSH (deterministic ±1 hyperplanes baked
+into BOTH the Spark plan and the oracle SQL from one Python constant), so a
+query probes one bucket (~N/2^planes vectors) instead of all N.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+DIM = 64
+N_PLANES = 8  # 256 buckets
+_rng = random.Random(7)
+# Rademacher (±1) hyperplanes: integer literals parse identically in Spark
+# SQL and DuckDB SQL, so one constant drives both engines.
+PLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+QUERY_VEC_ID = 0  # deterministic query point: the embedding of vec_id 0
+
+
+def fp_vec(col: Column) -> Column:
+    """array<float> → array<long> in nano-units; map-side, exact."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
+
+
+def fp_dot(a: Column, b: Column) -> Column:
+    """Order-independent integer dot product of two fp vectors, descaled to
+    original units (one identical double division per engine)."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x).cast(
+            "double"
+        )
+        / F.lit(1e12)
+    )
+
+
+def cosine(a_fp: Column, b_fp: Column) -> Column:
+    return fp_dot(a_fp, b_fp) / F.sqrt(fp_dot(a_fp, a_fp)) / F.sqrt(fp_dot(b_fp, b_fp))
+
+
+# ---- oracle SQL fragments (DuckDB dialect) mirroring the fp helpers ----
+
+_SQL_FP = (
+    "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(CAST(list_sum(list_transform(generate_series(1, {DIM}),"
+        f" i -> ({a})[i] * ({b})[i])) AS BIGINT) AS DOUBLE) / 1e12"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / sqrt({_sql_dot(a, a)}) / sqrt({_sql_dot(b, b)})"
+
+
+def _sql_plane_dot(vec_fp: str, plane: list[int]) -> str:
+    lits = ", ".join(str(s) for s in plane)
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}),"
+        f" i -> ({vec_fp})[i] * ([{lits}])[i])) AS BIGINT)"
+    )
+
+
+def _sql_bucket(vec_fp: str) -> str:
+    bits = [
+        f"(CASE WHEN {_sql_plane_dot(vec_fp, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_bucket(vec_fp: Column) -> Column:
+    """Signed-random-projection bucket id (0..2^N_PLANES-1): bit i = sign of
+    the (exact integer) projection onto plane i."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(PLANES):
+        signs = F.array(*[F.lit(s) for s in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_fp, signs, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT {_SQL_FP.format(v='embedding')} AS qv
+               FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    fp AS (SELECT vec_id, label, {_SQL_FP.format(v='embedding')} AS ev
+           FROM embeddings)
+    SELECT vec_id, label, {_sql_cosine('ev', 'qv')} AS cos_sim
+    FROM fp, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector (vec_id 0) — the
+    exact baseline: broadcast the query, fold map-side, TakeOrderedAndProject
+    for the global top-k (per-partition heaps, no sort shuffle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(fp_vec(F.col("embedding")).alias("qv"))
+    )
+    fp = e.select("vec_id", "label", fp_vec(F.col("embedding")).alias("ev"))
+    return (
+        fp.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine(F.col("ev"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "sim_lsh_buckets",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings)
+    SELECT {_sql_bucket('ev')} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM fp
+    GROUP BY 1
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index itself: SRP-LSH bucket histogram. Bucket assignment is
+    deterministic (±1 planes, integer projections), so this IS
+    oracle-checked — both engines must place every vector in the same
+    bucket. At 100 TB this materialization (vec_id → bucket), written
+    partitioned by bucket, is the index you probe instead of scanning N."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
+    return (
+        fp.select("vec_id", lsh_bucket(F.col("ev")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@query(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, label, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    b AS (SELECT vec_id, label, ev, {_sql_bucket('ev')} AS bucket FROM fp),
+    q AS (SELECT ev AS qv, bucket AS qbucket FROM b
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label, {_sql_cosine('ev', 'qv')} AS cos_sim
+    FROM b, q
+    WHERE b.bucket = q.qbucket
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: probe only the query's LSH bucket, exact cosine
+    re-rank inside it — the scale path (2^planes-fold candidate reduction).
+    Deterministic planes + fixed-point math ⟹ even this approximate
+    operator is oracle-checked exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", "label", fp_vec(F.col("embedding")).alias("ev"))
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev")))
+    q = (
+        b.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("ev").alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    return (
+        b.join(F.broadcast(q), b.bucket == q.qbucket)
+        .select("vec_id", "label", cosine(F.col("ev"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp)
+    SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+           {_sql_cosine('a.ev', 'x.ev')} AS cos_sim
+    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    WHERE {_sql_cosine('a.ev', 'x.ev')} >= 0.8
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: LSH-bucket self-join (never
+    all-pairs) + exact fixed-point cosine ≥ 0.8. The random fixture
+    embeddings produce few/no pairs; planted-duplicate semantics are
+    unit-tested (tests/test_similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev")))
+    a, x = b.alias("a"), b.alias("x")
+    cos = cosine(F.col("a.ev"), F.col("x.ev"))
+    return (
+        a.join(x, (F.col("a.bucket") == F.col("x.bucket"))
+               & (F.col("a.vec_id") < F.col("x.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("x.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )

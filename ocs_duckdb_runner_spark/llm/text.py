@@ -1,1 +1,273 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2c
+EXT: explode/tokenize, corpus stats, language-ID, quality scoring, token
+counting, document fingerprinting).
+
+Everything here is built-in JVM expressions — split/explode for the lateral
+shape, higher-order array functions (filter/transform/aggregate) for
+per-document token math with NO shuffle and NO Python, md5 for
+fingerprints. At 100 TB these are embarrassingly parallel map-side
+operators; only the corpus-level aggregations (vocab, per-lang stats)
+shuffle, and those shuffle already-reduced partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+# Deterministic keyword sets for the n-gram/stopword language-ID heuristic.
+# The fixture vocabulary is an engine-word soup; these play the role of the
+# per-language frequency tables a real lang-ID model ships with.
+_PROFILES = {
+    "relational": ("join", "hash", "scan", "filter", "merge", "table"),
+    "columnar": ("column", "vector", "batch", "row", "value"),
+    "streaming": ("stream", "window", "watermark", "state", "event"),
+    "sparkish": ("spark", "shuffle", "partition", "executor", "stage"),
+}
+_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "on")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def _n_matches(tokens, words: tuple[str, ...]):
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+    tags=("llm", "text", "udtf"),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped lateral: tokenize → explode → corpus token frequencies
+    and document frequencies (the DF half of TF-IDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           (SELECT CAST(count(DISTINCT t.token) AS BIGINT)
+            FROM tok t WHERE t.lang = d.lang) AS vocab
+    FROM documents d
+    GROUP BY d.lang
+    """,
+    tags=("llm", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, char volume, exact mean doc
+    length, vocabulary size (distinct tokens via explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+    vocab = (
+        d.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("vocab"))
+    )
+    return base.join(vocab, "lang")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_sql_list(_PROFILES['relational'])}))) AS s_relational,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_sql_list(_PROFILES['columnar'])}))) AS s_columnar,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_sql_list(_PROFILES['streaming'])}))) AS s_streaming,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_sql_list(_PROFILES['sparkish'])}))) AS s_sparkish
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(s_relational AS INT) AS s_relational,
+           CAST(s_columnar AS INT) AS s_columnar,
+           CAST(s_streaming AS INT) AS s_streaming,
+           CAST(s_sparkish AS INT) AS s_sparkish,
+           CASE
+             WHEN s_relational >= s_columnar AND s_relational >= s_streaming
+                  AND s_relational >= s_sparkish THEN 'relational'
+             WHEN s_columnar >= s_streaming AND s_columnar >= s_sparkish
+                  THEN 'columnar'
+             WHEN s_streaming >= s_sparkish THEN 'streaming'
+             ELSE 'sparkish'
+           END AS pred
+    FROM scored
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-profile language identification: score each document
+    against per-class keyword tables (the unigram analog of an n-gram
+    lang-ID model) and take a deterministic argmax. Pure map-side
+    higher-order functions — no explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *(
+            _n_matches(toks, words).alias(f"s_{name}")
+            for name, words in _PROFILES.items()
+        ),
+    )
+    s = {n: F.col(f"s_{n}") for n in _PROFILES}
+    pred = (
+        F.when(
+            (s["relational"] >= s["columnar"])
+            & (s["relational"] >= s["streaming"])
+            & (s["relational"] >= s["sparkish"]),
+            "relational",
+        )
+        .when(
+            (s["columnar"] >= s["streaming"]) & (s["columnar"] >= s["sparkish"]),
+            "columnar",
+        )
+        .when(s["streaming"] >= s["sparkish"], "streaming")
+        .otherwise("sparkish")
+    )
+    return scored.withColumn("pred", pred)
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens,
+                      CAST(length(text) AS BIGINT) AS len_chars
+               FROM documents)
+    SELECT doc_id, len_chars,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS ttr,
+           CAST(len(list_filter(tokens, t -> t IN ({_sql_list(_STOPWORDS)})))
+                AS DOUBLE) / len(tokens) AS stop_ratio,
+           CAST(len_chars - len(tokens) + 1 AS DOUBLE) / len(tokens)
+             AS avg_token_len,
+           (len(tokens) >= 20 AND len(tokens) <= 1000
+            AND CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) > 0.2)
+             AS keep
+    FROM t
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (the Gopher/C4-style filter features):
+    length, token count, type-token ratio, stopword ratio, mean token
+    length, and a boolean keep-decision. All ratios are exact-integer
+    divisions → bit-stable across engines and cluster sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    out = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        _n_matches(toks, _STOPWORDS).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return out.select(
+        "doc_id",
+        "len_chars",
+        "n_tokens",
+        "n_distinct",
+        ttr.alias("ttr"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+        (
+            (F.col("len_chars") - F.col("n_tokens") + 1).cast("double")
+            / F.col("n_tokens")
+        ).alias("avg_token_len"),
+        (
+            (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000) & (ttr > 0.2)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INT) AS word_tokens,
+           CAST(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]*[aeiou]+'))
+                AS INT) AS bpe_ish_tokens,
+           CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS byte_est_tokens
+    FROM documents
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting four ways: whitespace split, word-regex, a BPE-ish
+    consonant+vowel-cluster regex (subword proxy), and the chars/4
+    heuristic. regexp_count is codegen'd — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z0-9]+")).alias("word_tokens"),
+        F.regexp_count("text", F.lit("[bcdfghjklmnpqrstvwxyz]*[aeiou]+")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text").cast("double") / 4).alias("byte_est_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+               ' ')) AS fp_bag,
+           CAST(length(text) AS BIGINT) AS len_chars
+    FROM documents
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash plus an order-insensitive
+    bag-of-words hash (sorted distinct tokens) — the cheap first pass of a
+    dedup pipeline: group by fingerprint instead of comparing texts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_exact"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
+        ).alias("fp_bag"),
+        F.length("text").cast("long").alias("len_chars"),
+    )

@@ -1,1 +1,78 @@
-"""(placeholder — filled in as coverage widens)"""
+"""UDF surface (SURVEY.md §2c `udf_surface`): one row-at-a-time Python UDF,
+one Arrow-vectorized pandas UDF, and one applyInPandas grouped-map — the
+three Python extension points, each deliberately replicating a
+SQL-expressible function so the DuckDB oracle can check them.
+
+These exist to prove the slow path works, not to use it: everything in this
+file could (and in the other modules, does) run as built-in JVM expressions.
+The pandas variants move data via Arrow batches (columnar, zero-copy-ish);
+the row UDF is the documented worst case.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@F.udf(T.StringType())
+def _band_py(n_chars: int) -> str:
+    """Row-at-a-time Python UDF (pickled per row — the slow path)."""
+    if n_chars is None:
+        return None
+    if n_chars > 400:
+        return "long"
+    if n_chars > 150:
+        return "mid"
+    return "short"
+
+
+@F.pandas_udf(T.LongType())
+def _tok_est_pd(n_chars: pd.Series) -> pd.Series:
+    """Vectorized pandas UDF: whole Arrow batches, ~10-100× the row UDF."""
+    return (n_chars * 2 + 7) % 97
+
+
+def _delta_per_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map (applyInPandas): per-language char-count delta vs the
+    group minimum — integer math, exact."""
+    pdf = pdf.copy()
+    pdf["delta_chars"] = pdf["n_chars"] - pdf["n_chars"].min()
+    return pdf
+
+
+@query(
+    "udf_surface",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN n_chars > 400 THEN 'long'
+                WHEN n_chars > 150 THEN 'mid'
+                ELSE 'short' END AS band,
+           CAST((n_chars * 2 + 7) % 97 AS BIGINT) AS tok_est,
+           CAST(n_chars - min(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+             AS delta_chars
+    FROM documents
+    """,
+    tags=("llm", "udf"),
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three Python extension points in one plan, each checked against
+    its pure-SQL twin: Python UDF (CASE bands), pandas UDF (modular
+    arithmetic), applyInPandas (per-group min delta)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    with_delta = d.groupBy("lang").applyInPandas(
+        _delta_per_lang,
+        schema="doc_id long, lang string, n_chars long, delta_chars long",
+    )
+    return with_delta.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _band_py(F.col("n_chars")).alias("band"),
+        _tok_est_pd(F.col("n_chars")).alias("tok_est"),
+        "delta_chars",
+    )

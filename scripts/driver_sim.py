@@ -90,7 +90,12 @@ def main() -> int:
             print(f"ROWS  {name}: {len(got)} rows ({dt:.1f}s) [no oracle]")
             n_pass += 1
             continue
-        want = duck.execute(oracles[name]).fetchdf()
+        try:
+            want = duck.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {ex}")
+            n_fail += 1
+            continue
         if sorted(got.columns) != sorted(want.columns):
             print(f"FAIL  {name}: columns spark={sorted(got.columns)}"
                   f" oracle={sorted(want.columns)}")

@@ -1,0 +1,62 @@
+"""Semantic tests for the oracle-exempt dedup operators: planted
+near-duplicates must be found, unrelated documents must not pair up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.llm.dedup import (
+    minhash_candidates,
+    shingles,
+    simhash64,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm window sill and the birds sing in the garden trees"
+    )
+    near = base.replace("warm", "cold")  # one-token edit → high jaccard
+    other = (
+        "completely different content about spark shuffle partitions and "
+        "broadcast hash joins running on large distributed clusters today"
+    )
+    rows = [(1, base), (2, near), (3, other), (4, base)]  # 4 = exact dup of 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(planted):
+    docs = planted.select(
+        "doc_id", shingles(F.split(F.col("text"), " ")).alias("sh")
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in minhash_candidates(docs).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught by LSH
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_hamming_close_for_near_dups(planted):
+    fps = {
+        r.doc_id: r.fp
+        for r in planted.select(
+            "doc_id", simhash64(F.split(F.col("text"), " ")).alias("fp")
+        ).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert fps[1] == fps[4]  # identical text → identical fingerprint
+    assert ham(fps[1], fps[2]) <= 6  # one-token edit → few bits flip
+    assert ham(fps[1], fps[3]) > 10  # unrelated text → far fingerprint
+
+
+def test_minhash_deterministic_across_runs(planted):
+    docs = planted.select(
+        "doc_id", shingles(F.split(F.col("text"), " ")).alias("sh")
+    )
+    a = sorted(map(tuple, minhash_candidates(docs).collect()))
+    b = sorted(map(tuple, minhash_candidates(docs).collect()))
+    assert a == b
