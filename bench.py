@@ -1,0 +1,101 @@
+"""Headline benchmark — the driver runs this per-round and records the JSON
+line against BASELINE.md.
+
+Reported metric: wall-clock of the reference-equivalent fan-out run (the
+fixed per-object query over lineitem split into objects — the same
+workload shape the reference timed, /root/reference/runner.cc:334-359) at
+$SPARK_GRAFT_SF_DIR (default sf0.1), plus per-query times for the headline
+operator set (each executed fully via the noop sink so nothing is skipped
+by count-only optimization).
+
+Usage: python bench.py            → one JSON line on stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from ocs_duckdb_runner_spark.registry import all_queries  # noqa: E402
+from ocs_duckdb_runner_spark.runner import FanoutRunner, split_objects  # noqa: E402
+from ocs_duckdb_runner_spark.session import build_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship",
+    "agg_basic",
+    "agg_distinct",
+    "agg_rollup",
+    "join_inner",
+    "join_multiway",
+    "window_rank",
+    "window_topk_per_group",
+    "sort_multi",
+    "topk_limit",
+    "fn_math",
+    "explode_tokens",
+    "text_quality",
+    "dedup_fingerprint",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+    "event_tumbling",
+    "event_sessionize",
+    "mm_frame_sample",
+]
+
+
+def main() -> int:
+    spark = build_spark(
+        app_name="ocs-duckdb-runner-spark-bench",
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            "spark.ui.enabled": "true",
+        },
+    )
+    qs = all_queries()
+    # JVM + reader warm-up so per-query numbers measure the queries
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    # the reference-equivalent fan-out run (its headline metric)
+    objdir = split_objects(spark, SF_DIR, 8)
+    files = sorted(
+        f"{objdir}/{f}" for f in os.listdir(objdir) if f.endswith(".parquet")
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    rep = FanoutRunner(spark, threads=min(cpus, 8)).run(files)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "fanout_wall_sec",
+        "value": rep["total_query_time_sec"],
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "fanout": {
+            "sources": rep["sources"],
+            "threads": rep["threads"],
+            "hits": rep["hits"],
+            "read_bytes": rep["read_bytes"],
+        },
+        "suite_total_sec": round(sum(times.values()), 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

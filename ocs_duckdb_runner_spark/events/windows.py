@@ -1,1 +1,160 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Event-time windowing over the events table (SURVEY.md §2c): tumbling,
+sliding, and gap-based session windows — batch semantics, each the exact
+twin of the Structured Streaming variant in streaming/stream_queries.py.
+
+Timestamp discipline: events.ts is parquet timestamp[ns]; the loader
+truncates to µs (registry.load_table) and every oracle applies the same
+CAST(ts AS TIMESTAMP) truncation, so both engines bucket identical µs
+values. Value sums use fixed-point cents (exactness.py) so window
+aggregates are order-independent.
+
+Scale notes: tumbling/sliding windows are plain hash aggregations on
+(window, key) — one shuffle, partial map-side combine; session windows
+shuffle once on user_id then merge gaps within each partition. None of
+these materialize per-event state on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@query(
+    "event_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + exact value sum.
+    window('1 hour').start ≡ date_trunc('hour') — asserted by the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+@query(
+    "event_sliding",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+               FROM events),
+    w AS (SELECT make_timestamp((us // 1800000000) * 1800000000) AS window_start,
+                 event_type, value FROM e
+          UNION ALL
+          SELECT make_timestamp((us // 1800000000) * 1800000000
+                                - 1800000000) AS window_start,
+                 event_type, value FROM e)
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM w
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour every 30 minutes): each event lands in
+    exactly two windows. The oracle reconstructs Spark's epoch-aligned
+    window starts with explicit µs bucket arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+@query(
+    "event_sessionize",
+    oracle="""
+    WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM x),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("events", "session"),
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute inactivity) per user via Spark's
+    native session_window aggregation; the oracle derives identical
+    sessions from first principles (lag + gap-flag cumsum), cross-checking
+    the operator's semantics, not just its arithmetic. session_window.end
+    = last event + gap, matching the oracle's max(ts) + interval."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "event_rate_per_user",
+    oracle="""
+    WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+    FROM x
+    GROUP BY user_id
+    """,
+    tags=("events",),
+)
+def event_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity span: timestamp min/max plus exact µs span —
+    the time-series profiling primitive (and a ns→µs truncation probe)."""
+    e = load_table(spark, sf_dir, "events")
+    span = (
+        F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    ).alias("span_us")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        span,
+    )

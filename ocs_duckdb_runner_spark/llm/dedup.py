@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import load_table, query, spread
 
 # MinHash parameters: 16 hashes = 4 bands × 4 rows → catches Jaccard ≳ 0.7
 # candidates with high probability while keeping bucket-join fan-out tiny.
@@ -46,7 +46,9 @@ def shingles(tokens: Column, k: int = SHINGLE_K) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): the documents table is a single small parquet split, but
+    # shingling+hashing is compute-bound -> widen to all cores first
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     return d.select("doc_id", shingles(toks).alias("sh"))
 
@@ -131,9 +133,12 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     equi-key: Catalyst plans a shuffle hash join on the buckets, so cost
     scales with bucket collisions (≈ true near-dups), never n²."""
     sigs = docs.select("doc_id", minhash_bands(minhash_signature(F.col("sh"))).alias("bands"))
+    # persist the banded signatures: 4 rows × 3 longs per doc (tiny at any
+    # scale) — without it BOTH self-join branches recompute the whole
+    # shingle+signature pipeline, which dominates the query
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band", "band_hash")
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -158,35 +163,35 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_doc_shingles(spark, sf_dir))
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash: per token xxhash64, each bit votes ±1, fingerprint
-    bit b = sign of the vote sum. One aggregate fold over a 64-slot vote
-    array — map-side, no explode. Bit positions are unrolled in Python
-    (shift amounts must be literals in Spark's shift expressions)."""
-    votes = F.aggregate(
-        tokens,
-        F.array(*[F.lit(0)] * 64).cast("array<int>"),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)).cast("int")
-                    * 2
-                    - 1
-                    for b in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+def simhash_fingerprints(docs: DataFrame, tokens: Column) -> DataFrame:
+    """(doc_id, tokens) → (doc_id, fp): 64-bit SimHash — each token's
+    xxhash64 votes ±1 per bit position, fingerprint bit b = sign of vote b.
+
+    Shaped for scale: explode tokens, then 64 integer SUM aggregates over
+    (doc_id) — partial aggregation collapses each doc's votes map-side, so
+    the single shuffle carries one 64-int row per doc, and everything stays
+    in whole-stage codegen (an earlier per-token array-fold formulation was
+    ~6× slower from per-token array allocation)."""
+    tok = docs.select("doc_id", F.explode(tokens).alias("t")).withColumn(
+        "h", F.xxhash64("t")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
     )
     fp = F.lit(0).cast("long")
     for b in range(64):
         bit_val = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit
         fp = fp.bitwiseXOR(
-            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return fp
+    return votes.select("doc_id", fp.alias("fp"))
 
 
 @query("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
@@ -195,10 +200,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit sub-band (pigeonhole: hamming ≤ 3 ⟹ one of four 16-bit quarters
     equal), verified with popcount(xor) ≤ 3. Engine-specific hashes →
     rows-only; semantics unit-tested on planted near-dups."""
-    d = load_table(spark, sf_dir, "documents")
-    fps = d.select(
-        "doc_id", simhash64(F.split(F.col("text"), " ")).alias("fp")
-    )
+    d = spread(load_table(spark, sf_dir, "documents"))
+    fps = simhash_fingerprints(d, F.split(F.col("text"), " "))
     quarters = fps.select(
         "doc_id",
         "fp",
@@ -215,7 +218,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "fp", "band.q", "band.sub")
+    ).select("doc_id", "fp", "band.q", "band.sub").persist()
+    # persisted for the same reason as the minhash bands: the 64-slot
+    # vote-fold fingerprint is expensive; compute it once, not per branch
     a, b = quarters.alias("a"), quarters.alias("b")
     return (
         a.join(
@@ -272,7 +277,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared-shingle join bounds the work."""
     sh = _doc_shingles(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
-    )
+    ).persist()  # read 3x: both inverted-index join branches + the counts
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -92,6 +92,21 @@ def all_oracles() -> dict[str, str]:
     return {n: s.oracle for n, s in specs().items() if s.oracle is not None}
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to the session's parallelism.
+
+    Small parquet objects arrive as ONE input split, which serializes any
+    compute-heavy per-row operator (hashing, shingling, fingerprints) on a
+    single core no matter how many the cluster has. For such operators the
+    one extra round-robin shuffle of the (small) input is repaid many times
+    over. No-op when the scan is already wide — so at 100 TB, where the
+    input has thousands of splits, this adds nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Path-based parquet scan — the reference's data model is one
     self-describing parquet object per table, no catalog

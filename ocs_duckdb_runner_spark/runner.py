@@ -1,1 +1,235 @@
-"""(placeholder — filled in as coverage widens)"""
+"""The fan-out query runner — the reference harness itself, Spark-first.
+
+Reference behavior being reproduced (/root/reference/runner.cc):
+- R9  per-file fan-out: `QueryRunner::AddTask` → fixed pthread pool
+      (runner.cc:236-317, pthread-helper.h:112-227). Here: a
+      ThreadPoolExecutor submitting one Spark job per file under the FAIR
+      scheduler — Spark's task scheduler replaces the hand-built pool, and
+      each file's query is an independent job exactly like each file's
+      DuckDB instance was independent.
+- R10 deterministic seed-1 shuffle of the source list (runner.cc:392).
+- R11/R12 I/O accounting: MonitoredFileSystem counted read_ops/read_bytes
+      per S3 handle (runner.cc:56-172) and merged per-task stats under a
+      mutex (runner.cc:288-307). Here: Spark task inputMetrics aggregated
+      by the engine, harvested per-stage from the monitoring REST API
+      (read-op counts have no exact Spark analog — reported as the task
+      count alongside bytes, as documented in SURVEY.md §2a R11).
+- R13 wall-clock + report to stderr (runner.cc:334-359, time.h:40-46).
+- R14 per-task error isolation: failed file logged, run continues
+      (runner.cc:293-297).
+- R15 CLI + stdin protocol: sources one per line (runner.cc:361-395).
+
+The per-object query is the reference's fixed template (runner.cc:174-182):
+box filter → GROUP BY → min×4/avg → ORDER BY, parameterized only by the
+source path — exactly `ToSql(source)`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.exactness import fx_avg
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
+    """The fixed per-object query template (runner.cc:174-182 ToSql) over
+    one lineitem-schema parquet object."""
+    df = spark.read.parquet(path)
+    return (
+        df.filter(
+            (F.col("l_quantity") > 10)
+            & (F.col("l_quantity") < 20)
+            & (F.col("l_extendedprice") > 20000)
+            & (F.col("l_extendedprice") < 60000)
+            & (F.col("l_discount") > 0.02)
+            & (F.col("l_discount") < 0.08)
+        )
+        .groupBy(F.col("l_orderkey").alias("VID"))
+        .agg(
+            F.min("l_quantity").alias("X"),
+            F.min("l_extendedprice").alias("Y"),
+            F.min("l_discount").alias("Z"),
+            fx_avg("l_tax", 4).alias("E"),
+        )
+        .orderBy("E", "VID")
+    )
+
+
+def _rest_input_metrics(spark: SparkSession) -> tuple[int, int]:
+    """(bytesRead, recordsRead) across all completed stages, from the
+    monitoring REST API — Spark's equivalent of the reference's
+    MonitoredFileSystem totals (runner.cc:147-161). Returns (0, 0) when
+    the UI is disabled."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5) as r:
+            stages = json.load(r)
+        return (
+            sum(s.get("inputBytes", 0) for s in stages),
+            sum(s.get("inputRecords", 0) for s in stages),
+        )
+    except Exception:  # noqa: BLE001  (UI off / endpoint unavailable)
+        return (0, 0)
+
+
+class FanoutRunner:
+    """Run the per-object query over N parquet objects with j-way
+    concurrency, collecting hits + I/O stats and printing the reference's
+    report (runner.cc:343-358)."""
+
+    def __init__(self, spark: SparkSession, threads: int = 4, print_rows: bool = False):
+        self.spark = spark
+        self.threads = threads
+        self.print_rows = print_rows
+
+    def _run_one(self, idx_path: tuple[int, str]) -> tuple[str, int, float]:
+        idx, path = idx_path
+        # distinct FAIR pool per slot → jobs schedule round-robin like the
+        # reference's pool threads, not FIFO behind each other
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"fanout-{idx % self.threads}"
+        )
+        t0 = time.monotonic()
+        rows = flagship_on_file(self.spark, path).collect()
+        if self.print_rows:
+            for r in rows:
+                print(tuple(r), file=sys.stdout)
+        return path, len(rows), time.monotonic() - t0
+
+    def run(self, sources: list[str]) -> dict:
+        # deterministic load-balancing shuffle, seed 1 (runner.cc:392)
+        sources = list(sources)
+        random.Random(1).shuffle(sources)
+        b0, r0 = _rest_input_metrics(self.spark)
+        t0 = time.monotonic()
+        total_hits = 0
+        failures: list[str] = []
+        per_file: dict[str, int] = {}
+        with ThreadPoolExecutor(max_workers=self.threads) as pool:
+            for fut in [
+                pool.submit(self._run_one, (i, p)) for i, p in enumerate(sources)
+            ]:
+                try:
+                    path, hits, _dt = fut.result()
+                    per_file[path] = hits
+                    total_hits += hits
+                except Exception as ex:  # noqa: BLE001  per-task isolation (R14)
+                    failures.append(str(ex))
+                    print(f"error: {ex}", file=sys.stderr)
+        wall = time.monotonic() - t0
+        b1, r1 = _rest_input_metrics(self.spark)
+        report = {
+            "sources": len(sources),
+            "threads": self.threads,
+            "total_query_time_sec": round(wall, 3),
+            "hits": total_hits,
+            "read_bytes": b1 - b0,
+            "read_records": r1 - r0,
+            "failures": len(failures),
+            "per_file_hits": per_file,
+        }
+        self._print_report(report)
+        return report
+
+    @staticmethod
+    def _print_report(rep: dict) -> None:
+        # same fields the reference prints to stderr (runner.cc:343-358)
+        e = sys.stderr
+        print(f"== total sources: {rep['sources']}", file=e)
+        print(f"== total threads: {rep['threads']}", file=e)
+        print(f"== total query time: {rep['total_query_time_sec']} s", file=e)
+        print(f"== total hits: {rep['hits']}", file=e)
+        print(f"== spark read records: {rep['read_records']}", file=e)
+        b = rep["read_bytes"]
+        print(
+            f"== spark read bytes: {b} ({b / 1024:.1f} KB, {b / 1024 ** 2:.1f} MB)",
+            file=e,
+        )
+
+
+def split_objects(spark: SparkSession, sf_dir: str, n: int = 8) -> str:
+    """Materialize lineitem as n independent parquet objects (the
+    reference's many-objects-on-S3 layout, README.md:56) under /tmp,
+    keyed by sf_dir — created once, reused across runs."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/ocs_fanout_objects/{tag}_{n}"
+    marker = f"{out}/_SUCCESS"
+    if not os.path.exists(marker):
+        li = load_table(spark, sf_dir, "lineitem")
+        li.repartition(n, "l_orderkey").write.mode("overwrite").parquet(out)
+    return out
+
+
+@query("runner_fanout", oracle=None, tags=("runner", "reference"))
+def runner_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The harness as a declared query: lineitem split into 8 parquet
+    objects, the fixed per-object query fanned out over them, per-object
+    hit counts returned (hash-partitioned split → deterministic counts).
+    Rows-only driver check; the report shape itself is checked by
+    tests/test_runner.py."""
+    objdir = split_objects(spark, sf_dir, 8)
+    files = sorted(
+        f"{objdir}/{f}" for f in os.listdir(objdir) if f.endswith(".parquet")
+    )
+    runner = FanoutRunner(spark, threads=4)
+    rep = runner.run(files)
+    rows = [
+        (i, os.path.basename(p), rep["per_file_hits"].get(p, -1))
+        for i, p in enumerate(files)
+    ]
+    return spark.createDataFrame(rows, "part_idx int, object string, hits long")
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference (runner.cc:361-395): parquet object
+    paths on stdin, one per line; -j pool size; -p print result rows."""
+    ap = argparse.ArgumentParser(
+        description="fan one fixed analytical query out over parquet objects"
+    )
+    ap.add_argument("-j", type=int, default=4, help="pool threads (default 4)")
+    ap.add_argument("-p", action="store_true", help="print result rows")
+    ap.add_argument(
+        "--split-sf-dir",
+        help="instead of stdin: split this fixture dir's lineitem into "
+        "objects and fan out over them",
+    )
+    ap.add_argument("--split-n", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from ocs_duckdb_runner_spark.session import build_spark
+
+    spark = build_spark(
+        app_name="ocs-duckdb-runner-spark-fanout",
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            "spark.ui.enabled": "true",  # REST metrics source (R11)
+        },
+    )
+    if args.split_sf_dir:
+        objdir = split_objects(spark, args.split_sf_dir, args.split_n)
+        sources = sorted(
+            f"{objdir}/{f}" for f in os.listdir(objdir) if f.endswith(".parquet")
+        )
+    else:
+        sources = [line.strip() for line in sys.stdin if line.strip()]
+    if not sources:
+        print("no sources on stdin", file=sys.stderr)
+        return 2
+    rep = FanoutRunner(spark, threads=args.j, print_rows=args.p).run(sources)
+    return 0 if rep["failures"] == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,1 +1,96 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Structured Streaming twins of the batch event queries (SURVEY.md §2c
+`stream_tumbling_wm`): file source over the events parquet → event-time
+window aggregation with a watermark → memory sink.
+
+The batch twin (events/windows.py:event_tumbling) carries oracle-checked
+correctness; these queries prove the streaming capability — watermark
+declaration, event-time windows, stateful dedup — on the same data. In
+production the source line changes to kafka/kinesis and the sink to a
+Delta/parquet writer; the plan in between is identical (that is the point
+of Structured Streaming's unified batch/stream model).
+
+Late-data/watermark drop behavior can't be exercised with a single file
+micro-batch (the watermark only advances between batches), so it is locked
+by the multi-batch unit test in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocs_duckdb_runner_spark.exactness import fx_sum
+from ocs_duckdb_runner_spark.registry import query
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_COUNTER = {"n": 0}
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs normalization the
+    batch loader applies (registry.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> str:
+    """Drive a streaming aggregation to completion against the memory sink
+    (single micro-batch over the fixture file) and return the table name."""
+    _COUNTER["n"] += 1
+    name = f"stream_out_{_COUNTER['n']}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@query("stream_tumbling_wm", oracle=None, tags=("streaming",))
+def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation with a 10-minute watermark —
+    the streaming twin of event_tumbling (same windows, same exact
+    fixed-point sum). Complete mode so the single fixture micro-batch
+    emits every window; rows-only driver check."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_c"
+        )
+    )
+    return spark.table(_run_to_memory(agg, "complete"))
+
+
+@query("stream_dedup_wm", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark on event_id) — the streaming face of the
+    dedup family: state for an id is kept only one watermark interval, so
+    memory is bounded at any scale."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = events.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return spark.table(_run_to_memory(deduped, "append"))

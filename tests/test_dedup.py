@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from ocs_duckdb_runner_spark.llm.dedup import (
     minhash_candidates,
     shingles,
-    simhash64,
+    simhash_fingerprints,
 )
 
 
@@ -43,8 +43,8 @@ def test_minhash_finds_planted_near_dups(planted):
 def test_simhash_hamming_close_for_near_dups(planted):
     fps = {
         r.doc_id: r.fp
-        for r in planted.select(
-            "doc_id", simhash64(F.split(F.col("text"), " ")).alias("fp")
+        for r in simhash_fingerprints(
+            planted, F.split(F.col("text"), " ")
         ).collect()
     }
     ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731

@@ -1,0 +1,66 @@
+"""Watermark semantics test: drive a streaming tumbling-window aggregation
+through MULTIPLE micro-batches (maxFilesPerTrigger=1) and assert that
+late-beyond-watermark data is dropped and only watermark-finalized windows
+are emitted in append mode — the behavior the single-batch driver check
+cannot exercise."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows, mtime):
+    spark.createDataFrame(rows, "event_id long, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    # the file source processes files oldest-first by modification time;
+    # same-second writes tie-break on random part names, so pin mtimes
+    import os
+
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            full = os.path.join(path, f)
+            if os.path.getmtime(full) > mtime:
+                os.utime(full, (mtime, mtime))
+
+
+@pytest.mark.usefixtures("spark")
+def test_watermark_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "events_stream")
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: two rows in the 10:00 window, one at 12:59 to push the
+    # watermark to 12:49 (> 11:00) so the 10:00 window finalizes.
+    _write_batch(spark, src, [(1, t(10, 0), 1.0), (2, t(10, 30), 1.0), (3, t(12, 59), 1.0)], mtime=1_000_000)
+    # batch 2: spacer — a new watermark only takes effect one batch after
+    # it is computed (observed Spark behavior), so give 12:49 a full batch.
+    _write_batch(spark, src, [(9, t(13, 30), 1.0)], mtime=2_000_000)
+    # batch 3: a LATE row for the long-finalized 10:00 window (must be
+    # dropped) and a 15:00 row pushing the watermark past 13:00.
+    _write_batch(spark, src, [(4, t(10, 15), 1.0), (5, t(15, 0), 1.0)], mtime=3_000_000)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r.ws: r.n for r in spark.table("wm_test").collect()}
+
+    assert out.get(t(10, 0)) == 2  # late row 4 NOT counted
+    assert out.get(t(12, 0)) == 1  # finalized once the watermark passed
+    assert out.get(t(13, 0)) == 1
+    assert t(15, 0) not in out  # still open, never emitted
