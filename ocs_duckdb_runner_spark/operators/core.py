@@ -193,6 +193,53 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           {sql_fx_sum('l_extendedprice')} AS sum_base_price_c,
+           {sql_fx_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price_e4,
+           {sql_fx_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+             AS sum_charge_e6,
+           {sql_fx_avg('l_quantity', 0)} AS avg_qty,
+           {sql_fx_avg('l_extendedprice')} AS avg_price,
+           {sql_fx_avg('l_discount')} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q1 pricing-summary shape — the canonical OLAP scan+agg:
+    date filter, 8 aggregates incl. compound expressions
+    (price·(1−disc)·(1+tax)), two group keys, ordered output. All money
+    aggregates in exact fixed point (per-row IEEE products are identical
+    across engines; integer sums are order-free), so the result is
+    bit-stable at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            fx_sum("l_extendedprice").alias("sum_base_price_c"),
+            fx_sum(disc_price, 4).alias("sum_disc_price_e4"),
+            fx_sum(charge, 6).alias("sum_charge_e6"),
+            fx_avg("l_quantity", 0).alias("avg_qty"),
+            fx_avg("l_extendedprice").alias("avg_price"),
+            fx_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "sort_multi",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority

@@ -1,0 +1,112 @@
+"""Source/sink surface beyond parquet (SURVEY.md §2b scans/sources/sinks).
+
+The reference's only source is parquet-over-S3 (runner.cc:176-180) and its
+only sinks are stdout text + the stderr stats report (runner.cc:222-223,
+343-358); session.py carries the S3 config mapping. This module adds the
+format breadth a Spark engine is expected to have — CSV, JSON, ORC — as
+ROUND-TRIP queries: write the table out in the format, read it back with an
+explicit schema (never inferSchema in production paths), and let the DuckDB
+oracle compare the result against the original parquet — i.e. the check is
+"the format round-trip loses nothing".
+
+Sink files are materialized once per (format, sf) under /tmp and reused.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+_CACHE_ROOT = "/tmp/ocs_source_cache"
+
+_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+_ORDERS_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+"""
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"{_CACHE_ROOT}/{tag}/{fmt}"
+
+
+def _write_once(df: DataFrame, out: str, fmt: str, **options) -> None:
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        df.write.mode("overwrite").options(**options).format(fmt).save(out)
+
+
+def _orders_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(*_ORDERS_COLS)
+
+
+@query("src_csv_roundtrip", oracle=_ORDERS_ORACLE, tags=("source", "csv"))
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV sink → CSV source (explicit schema, header) — the
+    oracle compares against the original parquet, so a pass proves the
+    CSV writer/reader pair is lossless for these types."""
+    out = _roundtrip_dir(sf_dir, "csv")
+    _write_once(_orders_projection(spark, sf_dir), out, "csv", header="true")
+    return spark.read.schema(_ORDERS_SCHEMA).option("header", "true").csv(out)
+
+
+@query("src_json_roundtrip", oracle=_ORDERS_ORACLE, tags=("source", "json"))
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines sink → JSON source with explicit schema."""
+    out = _roundtrip_dir(sf_dir, "json")
+    _write_once(_orders_projection(spark, sf_dir), out, "json")
+    return spark.read.schema(_ORDERS_SCHEMA).json(out)
+
+
+@query("src_orc_roundtrip", oracle=_ORDERS_ORACLE, tags=("source", "orc"))
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC sink → ORC source (columnar alternative to parquet;
+    schema from the ORC footer, vectorized reader)."""
+    out = _roundtrip_dir(sf_dir, "orc")
+    _write_once(_orders_projection(spark, sf_dir), out, "orc")
+    return spark.read.orc(out)
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sink", "parquet"),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (partitionBy o_orderstatus) read
+    back with partition pruning available — the layout a 100 TB fact table
+    actually ships with; per-partition counts must survive the round trip."""
+    out = _roundtrip_dir(sf_dir, "parquet_part")
+    df = _orders_projection(spark, sf_dir)
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        df.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )

@@ -1,0 +1,76 @@
+"""Physical-plan regression tests — the scale contract, not just the
+answers: predicates must reach the parquet scan, column pruning must hold,
+small dims must broadcast, top-k must not globally sort, per-group top-k
+must push the group limit into the window sort. If a refactor silently
+degrades one of these, correctness tests stay green but the 100 TB plan is
+ruined — these tests pin the plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocs_duckdb_runner_spark.registry import get_query
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = get_query(name).fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_box_pushes_predicates_and_prunes_columns(spark):
+    plan = plan_of(spark, "filter_box")
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert "GreaterThan(l_quantity,10.0)" in plan
+    assert "LessThan(l_discount,0.08)" in plan
+    # 5 of 11 lineitem columns read
+    assert "l_tax" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_flagship_aggregate_is_partial_then_final(spark):
+    plan = plan_of(spark, "flagship")
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,10.0)" in plan
+
+
+def test_broadcast_join_for_dims(spark):
+    plan = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must never shuffle-sort
+
+
+def test_multiway_star_join_broadcasts(spark):
+    plan = plan_of(spark, "join_multiway")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "topk_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_pushes_window_group_limit(spark):
+    plan = plan_of(spark, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_scan_projection_prunes_readschema(spark):
+    plan = plan_of(spark, "scan_projection")
+    read_schema_line = plan.split("ReadSchema")[1].splitlines()[0]
+    for col in ("l_quantity", "l_discount", "l_shipdate", "l_tax"):
+        assert col not in read_schema_line
+
+
+@pytest.mark.parametrize("name", ["agg_basic", "agg_pricing_summary"])
+def test_aggregates_stay_in_wholestage_codegen(spark, name):
+    # simple mode marks whole-stage-codegen spans with '*(n)'; AQE only
+    # finalizes (and annotates) the plan after execution
+    df = get_query(name).fn(spark, SF_DIR)
+    df.collect()  # count() would plan a different query; collect runs THIS one
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "isFinalPlan=true" in plan, plan
+    assert "*(" in plan, plan
