@@ -45,12 +45,35 @@ def shingles(tokens: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def shingle_hashes(tokens: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles as 64-bit hashes — xxhash64 over the k
+    token columns directly, no string concatenation. This is the form the
+    MinHash path consumes; identity of the shingle string is irrelevant
+    there, only set membership, so hashing early saves the concat+distinct
+    over strings (~2× on the signature stage)."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: F.xxhash64(*[F.element_at(tokens, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= k, make).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", tokens)))
+        )
+    )
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): the documents table is a single small parquet split, but
     # shingling+hashing is compute-bound -> widen to all cores first
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     return d.select("doc_id", shingles(toks).alias("sh"))
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    return d.select("doc_id", shingle_hashes(toks).alias("sh"))
 
 
 @query(
@@ -160,7 +183,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands → bucket join). Hash values are engine-specific → rows-only
     check here; recall/precision semantics are locked by
     tests/test_dedup.py on planted near-duplicates."""
-    return minhash_candidates(_doc_shingles(spark, sf_dir))
+    return minhash_candidates(_doc_shingle_hashes(spark, sf_dir))
 
 
 def simhash_fingerprints(docs: DataFrame, tokens: Column) -> DataFrame:

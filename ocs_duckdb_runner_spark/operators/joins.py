@@ -11,7 +11,7 @@ shuffle the fact side at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.registry import load_table, query
@@ -186,6 +186,81 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     cond = (c.c_acctbal > s.s_acctbal - 50) & (c.c_acctbal < s.s_acctbal + 50)
     return s.join(c, cond).select("s_suppkey", "s_name", "c_custkey")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ord_d AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_orderkey,
+           o.o_totalprice AS asof_totalprice
+    FROM e ASOF LEFT JOIN ord_d o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for each event, the most recent order (same key,
+    o_orderdate ≤ ts). Spark has no native ASOF operator; the scalable
+    formulation is union + last(ignorenulls) over a time-ordered window:
+    one shuffle on the key, no range-join blowup, no per-group pandas.
+    The oracle is DuckDB's native ASOF JOIN — two entirely different
+    algorithms, same rows. Orders are first deduped to one per
+    (key, time) with a deterministic keeper (max orderkey), since the
+    as-of tie among equal timestamps is otherwise engine-defined."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("is_event"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).alias("is_event"),
+    )
+    # orders sort before events at equal t (is_event asc) so same-instant
+    # orders are visible to the event — matching ASOF's >= semantics
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", F.coalesce("o_orderkey", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionAll(od).select(
+        "k",
+        "t",
+        "event_id",
+        "is_event",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("asof_totalprice"),
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "asof_orderkey",
+        "asof_totalprice",
+    )
 
 
 @query(

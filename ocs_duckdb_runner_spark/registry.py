@@ -118,6 +118,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     µs TimestampType so every downstream query sees a native timestamp —
     the same truncation the oracle applies with CAST(ts AS TIMESTAMP).
     """
+    # oracle parity holds only under UTC timestamp semantics (DuckDB is
+    # UTC-naive); enforce it even when the caller's session was built
+    # elsewhere (e.g. the driver's own SparkSession)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

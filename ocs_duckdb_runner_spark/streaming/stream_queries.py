@@ -83,6 +83,58 @@ def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(agg, "complete"))
 
 
+def _user_totals_state(key, pdfs, state):
+    """Custom stateful operator body (applyInPandasWithState): per-user
+    running (event count, exact value-cents sum) carried in the state
+    store across micro-batches; emits one updated row per batch."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].fillna(0.0).mul(100).round()).sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "sum_value_c": [cents]}
+    )
+
+
+@query("stream_custom_state", oracle=None, tags=("streaming", "stateful"))
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via applyInPandasWithState — the
+    extension point for operators Structured Streaming doesn't ship
+    (custom sessionizers, CEP, online aggregates). State is per-key and
+    store-backed, so it scales with distinct users, not events. The
+    update-mode totals here are cross-checked against the batch aggregate
+    by tests/test_streaming.py."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value_c", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+    totals = events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_state,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return spark.table(_run_to_memory(totals, "update"))
+
+
 @query("stream_dedup_wm", oracle=None, tags=("streaming", "dedup"))
 def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with watermark-bounded state

@@ -1,4 +1,4 @@
-"""Watermark semantics test: drive a streaming tumbling-window aggregation
+"""Watermark + stateful-operator semantics tests: drive a streaming tumbling-window aggregation
 through MULTIPLE micro-batches (maxFilesPerTrigger=1) and assert that
 late-beyond-watermark data is dropped and only watermark-finalized windows
 are emitted in append mode — the behavior the single-batch driver check
@@ -10,6 +10,8 @@ from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
 
 
 def _write_batch(spark, path, rows, mtime):
@@ -64,3 +66,27 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert out.get(t(12, 0)) == 1  # finalized once the watermark passed
     assert out.get(t(13, 0)) == 1
     assert t(15, 0) not in out  # still open, never emitted
+
+
+def test_custom_state_totals_match_batch(spark):
+    """The stateful streaming totals must equal the plain batch aggregate
+    over the same fixture."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import load_table, specs
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value_c)
+        for r in specs()["stream_custom_state"].fn(spark, SF_DIR).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
