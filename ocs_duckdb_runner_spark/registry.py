@@ -63,6 +63,7 @@ def _load_all() -> None:
     import ocs_duckdb_runner_spark.operators.grouping  # noqa: F401
     import ocs_duckdb_runner_spark.operators.joins  # noqa: F401
     import ocs_duckdb_runner_spark.operators.setops  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.subqueries  # noqa: F401
     import ocs_duckdb_runner_spark.operators.windows  # noqa: F401
     import ocs_duckdb_runner_spark.functions.scalar  # noqa: F401
     import ocs_duckdb_runner_spark.llm.dedup  # noqa: F401
