@@ -189,6 +189,107 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_part_promo",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) FILTER (WHERE p.p_type LIKE 'PROMO%')
+                AS BIGINT) AS promo_revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "tpch"),
+)
+def join_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem⋈part with conditional (promo-type) revenue
+    per brand — fact⋈dim with the dim broadcast, conditional fixed-point
+    aggregate, zero fact-side shuffle before the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).alias("revenue_e4"),
+            F.sum(F.when(promo, rev)).alias("promo_revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH skewed AS (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey END AS hot_key,
+             l_extendedprice
+      FROM lineitem),
+    dim AS (SELECT DISTINCT
+              CASE WHEN o_orderkey % 10 < 9 THEN 0 ELSE o_orderkey END AS hot_key,
+              CASE WHEN o_orderkey % 10 < 9 THEN 'hot' ELSE 'cold' END AS bucket
+            FROM orders)
+    SELECT d.bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(s.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM skewed s JOIN dim d ON s.hot_key = d.hot_key
+    GROUP BY d.bucket
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join via explicit salting: ~90% of fact rows share
+    one hot key (constructed), which would pile a naive hash join onto a
+    single task. The fact side appends salt = pmod(hash(row), N); the dim
+    side explodes ×N over all salts; the join key becomes (key, salt), so
+    the hot key spreads over N tasks. Semantically identical to the plain
+    join the oracle runs — AQE's skew-join split is the automatic cousin,
+    this is the portable manual technique."""
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hot_key"),
+        "l_extendedprice",
+    )
+    fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"), F.lit(n_salt))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        o.select(
+            F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("o_orderkey"))
+            .alias("hot_key"),
+            F.when(F.col("o_orderkey") % 10 < 9, F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("bucket"),
+        )
+        .distinct()
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    return (
+        fact.join(dim, ["hot_key", "salt"])
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+        )
+    )
+
+
+@query(
     "join_asof",
     oracle="""
     WITH ord_d AS (

@@ -22,31 +22,39 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"sq_{t}")
 
 
+# fixed-point scalar mean: identical integer sum -> identical double in
+# both engines at ANY row count (a raw avg() drifts in the last ulps once
+# the table is big enough for partial-aggregation order to differ — seen
+# at 1.5M rows in the 10x scale probe)
+_EXACT_AVG = (
+    "(SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+    " / count(o_totalprice) / CAST(100 AS DOUBLE) FROM {tbl})"
+)
+
+
 @query(
     "subquery_scalar",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_totalprice,
-           o_totalprice - (SELECT avg(o_totalprice) FROM orders) AS dev_from_mean
+           o_totalprice - {_EXACT_AVG.format(tbl='orders')} AS dev_from_mean
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+    WHERE o_totalprice > {_EXACT_AVG.format(tbl='orders')} * CAST(1.5 AS DOUBLE)
     """,
     tags=("subquery",),
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery used both in projection and predicate — compiled to
     one aggregate job whose single row is broadcast into the scan filter.
-    avg is identical in both engines here because the deviation/threshold
-    comparisons tolerate no drift only at the exact boundary; rows near
-    the boundary are determined by the same double in both engines (the
-    avg is computed over the identical full column)."""
+    The mean is computed in exact fixed point so the boundary rows and
+    deviations are bit-identical to the oracle at any scale."""
     _views(spark, sf_dir, "orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice,
-               o_totalprice - (SELECT avg(o_totalprice) FROM sq_orders)
-                 AS dev_from_mean
+               o_totalprice - {_EXACT_AVG.format(tbl='sq_orders')} AS dev_from_mean
         FROM sq_orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM sq_orders) * 1.5
+        WHERE o_totalprice > {_EXACT_AVG.format(tbl='sq_orders')}
+              * CAST(1.5 AS DOUBLE)
         """
     )
 
@@ -76,22 +84,27 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_correlated",
     oracle="""
     SELECT c.c_custkey, c.c_acctbal FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-                         WHERE c2.c_nationkey = c.c_nationkey)
+    WHERE c.c_acctbal >
+          (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                  / count(c2.c_acctbal) / CAST(100 AS DOUBLE)
+           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
     """,
     tags=("subquery", "correlated"),
 )
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (above the per-nation average) —
     Catalyst decorrelates it into an aggregate-then-join on the
-    correlation key; no per-row execution. The per-group avg is the same
-    full-group double in both engines."""
+    correlation key; no per-row execution. The per-group mean is exact
+    fixed point so boundary rows never drift at scale."""
     _views(spark, sf_dir, "customer")
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_acctbal FROM sq_customer c
-        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM sq_customer c2
-                             WHERE c2.c_nationkey = c.c_nationkey)
+        WHERE c.c_acctbal >
+              (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                           AS DOUBLE)
+                      / count(c2.c_acctbal) / CAST(100 AS DOUBLE)
+               FROM sq_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
 

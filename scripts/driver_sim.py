@@ -69,8 +69,12 @@ def main() -> int:
 
     duck = duckdb.connect()
     for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        p = Path(f"{sf_dir}/{t}.parquet")
+        if p.is_dir():  # directory-parquet (e.g. scale-probe output)
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif p.exists():
             duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
