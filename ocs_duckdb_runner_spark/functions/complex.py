@@ -1,0 +1,161 @@
+"""Complex-type and advanced scalar function surface: struct/map
+construction + field access, exact percentiles, bitwise ops, regex
+extraction — rounding out SURVEY.md §2c's scalar-function rows beyond
+functions/scalar.py.
+
+Dialect notes baked into the oracles: DuckDB's ``^`` is exponentiation
+(XOR is ``xor()``), ``MAP{..}[key]`` yields a one-element LIST (hence
+``[1]``), and ``bit_count`` returns TINYINT (hence the CASTs). All of these
+are map-side scalar expressions — whole-stage-codegen'd, no shuffle beyond
+the declared aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@query(
+    "fn_map_struct",
+    oracle="""
+    WITH x AS (
+      SELECT event_id,
+             struct_pack(t := event_type, u := user_id) AS s,
+             MAP {'type': event_type,
+                  'uid': CAST(user_id AS VARCHAR)} AS m
+      FROM events
+    )
+    SELECT event_id,
+           s.t AS s_type,
+           CAST(s.u AS BIGINT) AS s_uid,
+           m['type'][1] AS m_type,
+           m['uid'][1] AS m_uid,
+           CAST(len(map_keys(m)) AS INTEGER) AS n_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_csv
+    FROM x
+    """,
+    tags=("function", "struct", "map"),
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct and map surface: build nested values map-side, then project
+    fields back out — the pattern for carrying typed metadata (multimodal
+    sidecars, feature bundles) through a pipeline without flattening. All
+    scalar expressions; Catalyst collapses build+access into direct column
+    references (no nested materialization in the plan)."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("t"), F.col("user_id").alias("u")
+        ).alias("s"),
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ).alias("m"),
+    )
+    return x.select(
+        "event_id",
+        F.col("s").getField("t").alias("s_type"),
+        F.col("s").getField("u").alias("s_uid"),
+        F.element_at(F.col("m"), "type").alias("m_type"),
+        F.element_at(F.col("m"), "uid").alias("m_uid"),
+        F.size(F.map_keys(F.col("m"))).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(F.col("m"))), ",").alias("keys_csv"),
+    )
+
+
+@query(
+    "fn_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+           round(median(l_extendedprice), 6) AS price_med,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("function", "agg", "percentile"),
+)
+def fn_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (quartiles + median) per group —
+    Spark's ``percentile`` against DuckDB's ``quantile_cont``; both use
+    the same (n-1)·p linear interpolation, so values agree to the rounded
+    digit. Exact percentile sorts per group; at 100 TB prefer
+    approx_percentile (t-digest, mergeable map-side) — covered rows-only
+    in agg_approx_distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_p75"),
+        F.round(F.median("l_extendedprice"), 6).alias("price_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT) AS b_and,
+           CAST(user_id | 4096 AS BIGINT) AS b_or,
+           CAST(xor(user_id, 1365) AS BIGINT) AS b_xor,
+           CAST(user_id << 3 AS BIGINT) AS b_shl,
+           CAST(user_id >> 2 AS BIGINT) AS b_shr,
+           CAST(bit_count(CAST(user_id AS BIGINT)) AS INTEGER) AS b_pop
+    FROM events
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: AND/OR/XOR, shifts, popcount — the primitives
+    under hash partitioning, bloom filters, and the SimHash/LSH operators
+    (llm/dedup.py builds on exactly these)."""
+    e = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return e.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("b_and"),
+        u.bitwiseOR(F.lit(4096)).alias("b_or"),
+        u.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.expr("shiftleft(user_id, 3)").alias("b_shl"),
+        F.expr("shiftright(user_id, 2)").alias("b_shr"),
+        F.bit_count(u).alias("b_pop"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(text, 'a[a-z]*')) AS INTEGER) AS n_a_runs,
+           CAST(regexp_matches(text, 'spark') AS INTEGER) AS has_spark,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head
+    FROM (SELECT doc_id, substr(text, 1, 40) AS text FROM documents) t
+    """,
+    tags=("function", "regex", "text"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: group extraction, extract-all + count, boolean match,
+    global replace — on a 40-char prefix so the oracle row stays readable.
+    Patterns restricted to the RE2 ∩ java.util.regex common subset (no
+    backrefs/lookarounds), the discipline that keeps a corpus-scale regex
+    pipeline portable across engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, "^([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+"), 0)).alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit("a[a-z]*"), 0)).alias("n_a_runs"),
+        t.rlike("spark").cast("int").alias("has_spark"),
+        F.regexp_replace(t, "[aeiou]", "_").alias("devoweled_head"),
+    )

@@ -1,0 +1,121 @@
+"""Deterministic sampling operators — the training-data-pipeline primitives
+for carving reproducible subsets out of a 100 TB corpus.
+
+Engine-RNG sampling (``df.sample``, DuckDB ``USING SAMPLE``) is
+cluster-layout-dependent and cross-engine incomparable, so every operator
+here derives its randomness from md5 of a row key instead: the "random"
+order/threshold is a pure function of the data, bit-identical in Spark and
+DuckDB (both emit 32-char lowercase hex), reproducible at any partition
+count, and embarrassingly parallel — a map-side filter with NO shuffle and
+no RNG state, which is exactly what you want when sampling a 100 TB table
+(the rejected 90% never leaves the scan stage). The reference itself uses
+seeded determinism for its one stochastic choice (task order shuffle,
+seed 1, /root/reference/runner.cc:392) — same philosophy.
+
+Hex-threshold math: the first 4 md5 hex chars are uniform on [0, 0x10000);
+a lexicographic compare against a hex literal selects an exact fraction
+(e.g. < '1999' ⇒ 0x1999/0x10000 ≈ 10.0%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+# per-row key unique across lineitem: (l_orderkey, l_linenumber)
+_KEY_SQL = "md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR))"
+
+
+def _key_col() -> F.Column:
+    return F.md5(
+        F.concat_ws("_", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"))
+    )
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem
+    WHERE substr({_KEY_SQL}, 1, 4) < '1999'
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample by hash threshold — the reproducible
+    train/held-out split: membership is a pure function of the row key, so
+    the same rows are selected on any cluster, any partitioning, any day.
+    Map-side filter only; at 100 TB nothing but the survivors is shuffled
+    or materialized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.substring(_key_col(), 1, 4) < "1999").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, substr({_KEY_SQL}, 1, 4) AS h
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM s
+    WHERE h < (CASE l_returnflag WHEN 'R' THEN '8000'
+                                 WHEN 'A' THEN '4000'
+                                 ELSE '0ccc' END)
+    GROUP BY l_returnflag
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (the deterministic twin
+    of ``df.sampleBy``): returned lines kept at 50%, A-flag at 25%, the
+    rest at 5% — the class-rebalancing pattern for skewed training data.
+    The rate lookup is a CASE on the stratum column: still a pure map-side
+    filter, no shuffle, no per-stratum passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.substring(_key_col(), 1, 4)
+    thresh = (
+        F.when(F.col("l_returnflag") == "R", "8000")
+        .when(F.col("l_returnflag") == "A", "4000")
+        .otherwise("0ccc")
+    )
+    return (
+        li.filter(h < thresh)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@query(
+    "sample_uniform_k",
+    oracle="""
+    SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h
+    FROM orders
+    ORDER BY h, o_orderkey
+    LIMIT 100
+    """,
+    tags=("sampling", "llm", "topk"),
+)
+def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample: order by md5(key) and take the first k —
+    a deterministic stand-in for reservoir sampling (every row is equally
+    likely under the hash's uniform order, and re-runs pick the identical
+    set). Physically TakeOrderedAndProject: per-partition k-heaps merged on
+    the driver, NOT a global sort — O(k) memory per task at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string")).alias("h")
+    return (
+        o.select("o_orderkey", h)
+        .orderBy("h", "o_orderkey")
+        .limit(100)
+    )

@@ -59,12 +59,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
+    import ocs_duckdb_runner_spark.operators.analytics  # noqa: F401
     import ocs_duckdb_runner_spark.operators.core  # noqa: F401
     import ocs_duckdb_runner_spark.operators.grouping  # noqa: F401
     import ocs_duckdb_runner_spark.operators.joins  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.sampling  # noqa: F401
     import ocs_duckdb_runner_spark.operators.setops  # noqa: F401
     import ocs_duckdb_runner_spark.operators.subqueries  # noqa: F401
     import ocs_duckdb_runner_spark.operators.windows  # noqa: F401
+    import ocs_duckdb_runner_spark.functions.complex  # noqa: F401
     import ocs_duckdb_runner_spark.functions.scalar  # noqa: F401
     import ocs_duckdb_runner_spark.llm.dedup  # noqa: F401
     import ocs_duckdb_runner_spark.llm.similarity  # noqa: F401
