@@ -158,3 +158,32 @@ def event_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         span,
     )
+
+
+@query(
+    "event_hier_rollup",
+    oracle=f"""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', CAST(ts AS TIMESTAMP)),
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)))
+    """,
+    tags=("events", "rollup"),
+)
+def event_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hour→day→grand-total
+    aggregates in ONE pass via ROLLUP (Expand + a single hash aggregate),
+    the batch form of a continuous aggregate — at 100 TB this materializes
+    every rollup level without re-scanning the fact table per level.
+    Exact fixed-point value sums make every level order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c"))
+    )

@@ -240,3 +240,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.8)
     )
+
+
+CENTROID_IDS = (3, 11, 47, 99)  # deterministic coarse-quantizer seeds
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, label, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    cent AS (SELECT vec_id AS cid, ev AS cv FROM fp
+             WHERE vec_id IN {CENTROID_IDS}),
+    scored AS (SELECT f.vec_id, f.label, f.ev, c.cid,
+                      row_number() OVER (
+                        PARTITION BY f.vec_id
+                        ORDER BY {_sql_cosine('f.ev', 'c.cv')} DESC, c.cid
+                      ) AS rn
+               FROM fp f CROSS JOIN cent c),
+    assigned AS (SELECT vec_id, label, ev, cid FROM scored WHERE rn = 1),
+    q AS (SELECT ev AS qv, cid AS qcid FROM assigned
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id, a.label, {_sql_cosine('a.ev', 'q.qv')} AS cos_sim
+    FROM assigned a, q
+    WHERE a.cid = q.qcid
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 5
+    """,
+    tags=("llm", "similarity", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the complement of the LSH path: a fixed coarse
+    quantizer (4 deterministic centroid vectors) partitions the corpus by
+    nearest-centroid (argmax cosine, centroid-id tie-break); a query probes
+    only its own cell, exact cosine re-rank inside. At 100 TB the assigned
+    table IS the IVF index — written once, partitioned by cid, so a probe
+    is a partition-pruned scan of ~N/K vectors. Centroids broadcast (K
+    rows); assignment is one windowed argmax per vector; fixed-point math
+    keeps even cell boundaries oracle-exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", "label", fp_vec(F.col("embedding")).alias("ev"))
+    cent = (
+        fp.filter(F.col("vec_id").isin(*CENTROID_IDS))
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("cv"))
+    )
+    scored = fp.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", cosine(F.col("ev"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "ev", "cid")
+    )
+    q = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("ev").alias("qv"), F.col("cid").alias("qcid"))
+    )
+    return (
+        assigned.join(F.broadcast(q), assigned.cid == q.qcid)
+        .select("vec_id", "label", cosine(F.col("ev"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )

@@ -271,3 +271,92 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp_bag"),
         F.length("text").cast("long").alias("len_chars"),
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_fp,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           substr(norm, 1, 30) AS norm_head
+    FROM n
+    """,
+    tags=("llm", "text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the step before any dedup/fingerprint
+    pass: lowercase, strip non-alphanumerics, collapse whitespace, trim.
+    Emitting the md5 of the normalized form proves byte-identical
+    normalization across engines (the property exact dedup at 100 TB
+    depends on: a one-byte drift splits a duplicate cluster). Pure
+    map-side, whole-stage-codegen'd, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+        F.substring(norm, 1, 30).alias("norm_head"),
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             substr(text, 1, 60) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or call 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '[a-z0-9]+@[a-z0-9.]+')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(body, '[0-9]{3}-[0-9]{4}')) AS INTEGER)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(body, '[a-z0-9]+@[a-z0-9.]+',
+                                             '<EMAIL>', 'g'),
+                              '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+    FROM synth
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing pass of a training-data
+    pipeline: count and mask email/phone patterns. The fixture corpus is a
+    clean word soup, so each doc is salted with one synthetic email+phone
+    (a deterministic function of doc_id) to give the redactor real work;
+    the oracle checks the match counts AND the md5 of the redacted output,
+    so both engines must rewrite identical bytes. Patterns stay in the
+    RE2 ∩ java.regex portable subset; map-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email, phone = "[a-z0-9]+@[a-z0-9.]+", "[0-9]{3}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(phone), 0)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_fp"),
+    )
