@@ -124,7 +124,15 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> Column:
     """n_hashes MinHash values per doc, computed map-side: for seed s,
     min over shingles of xxhash64(seed, shingle). array_min over a
-    transform — no explode, no shuffle."""
+    transform — no explode, no shuffle.
+
+    Deliberately NOT the double-hashing trick (h1 xor rot(h2, i)): Catalyst
+    collapses adjacent projections, so a "precomputed" (h1, h2) pair gets
+    re-inlined into all n_hashes lambda slots (higher-order lambdas sit
+    outside common-subexpression elimination), doubling the hash work and
+    allocating a struct per shingle per slot — measured 7.6× slower at
+    sf0.1. xxhash64 over a long is a handful of multiplies; n_hashes plain
+    evaluations stay in codegen and win."""
     return F.array(
         *[
             F.array_min(F.transform(sh, lambda x, s=s: F.xxhash64(F.lit(s), x)))
@@ -155,7 +163,9 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     band bucket self-join. The join key (band index, band hash) is an
     equi-key: Catalyst plans a shuffle hash join on the buckets, so cost
     scales with bucket collisions (≈ true near-dups), never n²."""
-    sigs = docs.select("doc_id", minhash_bands(minhash_signature(F.col("sh"))).alias("bands"))
+    sigs = docs.select(
+        "doc_id", minhash_bands(minhash_signature(F.col("sh"))).alias("bands")
+    )
     # persist the banded signatures: 4 rows × 3 longs per doc (tiny at any
     # scale) — without it BOTH self-join branches recompute the whole
     # shingle+signature pipeline, which dominates the query
@@ -298,7 +308,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle counts. Integer set arithmetic → the jaccard double is
     bit-identical to the oracle. The ≥0.2 threshold bounds the output;
     the shared-shingle join bounds the work."""
-    sh = _doc_shingles(spark, sf_dir).select(
+    # join key = xxhash64(shingle), not the shingle string: the inverted
+    # index shuffles 8-byte longs instead of ~20-byte strings and the join
+    # compares integers. Distinct-per-doc is taken BEFORE hashing, so
+    # counts equal the oracle's distinct-string counts (a cross-shingle
+    # xxhash64 collision is ~1e-11 at corpus scale — engine-internal
+    # choice, same results).
+    sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
     ).persist()  # read 3x: both inverted-index join branches + the counts
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
