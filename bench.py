@@ -29,6 +29,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "flagship",
+    "tpch_q3_toporders",
+    "tpch_q5_nation_revenue",
+    "tpch_q10_returned",
+    "sample_hash_bernoulli",
+    "sim_ivf_topk",
+    "text_normalize",
+    "fn_percentile",
     "agg_basic",
     "agg_distinct",
     "agg_rollup",
@@ -61,8 +68,16 @@ def main() -> int:
         },
     )
     qs = all_queries()
-    # JVM + reader warm-up so per-query numbers measure the queries
+    # Warm-up so per-query numbers measure steady state, not JVM spin-up:
+    # the first action pays parquet-reader + shuffle-service init, and the
+    # first run of each plan pays whole-stage-codegen compilation. Running
+    # the flagship + a join at sf0.001 compiles the same generated classes
+    # (codegen cache keys on the plan, not the data) for ~0 data cost.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for wq in ("flagship", "join_multiway"):
+            qs[wq](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,108 @@
+"""Time-series operators beyond plain windows: gap filling (dense time
+grids) and time-range window frames — the hypertable-ish surface a
+monitoring/feature pipeline needs over the events table.
+
+Timestamp discipline matches events/windows.py: events.ts is ns-precision
+parquet, truncated to µs by the loader and CAST on the oracle side; range
+frames are expressed over integer epoch-µs on BOTH engines so frame
+membership is exact integer arithmetic, not interval semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+
+@query(
+    "event_gap_fill",
+    oracle=f"""
+    WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                      event_type, value
+               FROM events),
+    b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM e),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    types AS (SELECT DISTINCT event_type FROM e),
+    grid AS (SELECT hour, event_type FROM hours, types),
+    c AS (SELECT hour, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 {sql_fx_sum('value')} AS sum_value_c
+          FROM e GROUP BY 1, 2)
+    SELECT g.hour, g.event_type,
+           COALESCE(c.n, 0) AS n,
+           COALESCE(c.sum_value_c, 0) AS sum_value_c
+    FROM grid g LEFT JOIN c ON c.hour = g.hour AND c.event_type = g.event_type
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: a DENSE hour × event_type grid (empty buckets emitted
+    as zero rows) — what dashboards and feature windows need, and what a
+    plain group-by can't produce. The grid is generated from the observed
+    min/max hour (sequence + explode over a 1-row aggregate — broadcast,
+    trivially small at any data scale: grid size grows with time span,
+    not event count), then left-joined with the hourly aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type", "value"
+    )
+    bounds = e.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = e.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
+    )
+    return grid.join(counts, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("sum_value_c"), F.lit(0)).alias("sum_value_c"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    WITH x AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id, us,
+           CAST(count(*) OVER win AS BIGINT) AS n_1h,
+           CAST(sum(cents) OVER win AS BIGINT) AS sum_c_1h
+    FROM x
+    WINDOW win AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, events and value-cents in the
+    trailing hour of each event — the sliding-by-event (not by-bucket)
+    rate counter. RANGE over integer epoch-µs makes frame boundaries exact
+    and peer handling (same-timestamp rows) identical in both engines;
+    one shuffle on user_id, sorted within partition, single pass."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.count(F.lit(1)).over(win).alias("n_1h"),
+        F.sum("cents").over(win).alias("sum_c_1h"),
+    )

@@ -12,7 +12,7 @@ shuffle, and those shuffle already-reduced partial aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.registry import load_table, query
@@ -359,4 +359,54 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(body, F.lit(email), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all(body, F.lit(phone), 0)).alias("n_phones"),
         F.md5(redacted.cast("binary")).alias("redacted_fp"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.dfreq,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.dfreq + 1.0)), 6)
+               AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.dfreq + 1.0)) DESC,
+                        tf.token
+             ) AS rn
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN n)
+    SELECT doc_id, token, tf, dfreq, tfidf
+    FROM scored WHERE rn <= 5
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 highest-scoring tokens per document
+    (score = tf · ln((N+1)/(df+1)), smoothed). All inputs to the double
+    arithmetic are integers, so scores are bit-identical per engine pair;
+    token is the rank tie-break. Plan shape for scale: tf is one shuffle on
+    (doc_id, token); df re-aggregates the already-tiny tf side; N and the
+    df table broadcast back onto tf (df is vocab-sized, not corpus-sized);
+    the final top-5 per doc is a WindowGroupLimit, not a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", "dfreq", F.round(score, 6).alias("tfidf"))
     )

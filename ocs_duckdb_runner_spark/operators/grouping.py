@@ -204,3 +204,39 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95_price"),
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             max(struct_pack(p := o_totalprice, k := o_orderkey)) AS hi,
+             min(struct_pack(p := o_totalprice, k := o_orderkey)) AS lo
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus,
+           hi.p AS max_price, CAST(hi.k AS BIGINT) AS argmax_orderkey,
+           lo.p AS min_price, CAST(lo.k AS BIGINT) AS argmin_orderkey
+    FROM m
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per group (which order carries the extreme price) via
+    lexicographic struct min/max — ONE aggregate, no join-back, and
+    deterministic under value ties (the orderkey inside the struct is the
+    tie-break), which bare max_by/arg_max does not guarantee. The
+    struct-extremum trick merges map-side like any min/max — at 100 TB it
+    beats the window-rank formulation (no sort, no full-row shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    agg = o.groupBy("o_orderstatus").agg(
+        F.max(s).alias("hi"), F.min(s).alias("lo")
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("hi.p").alias("max_price"),
+        F.col("hi.k").alias("argmax_orderkey"),
+        F.col("lo.p").alias("min_price"),
+        F.col("lo.k").alias("argmin_orderkey"),
+    )

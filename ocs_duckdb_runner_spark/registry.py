@@ -74,6 +74,7 @@ def _load_all() -> None:
     import ocs_duckdb_runner_spark.llm.text  # noqa: F401
     import ocs_duckdb_runner_spark.llm.multimodal  # noqa: F401
     import ocs_duckdb_runner_spark.llm.udfs  # noqa: F401
+    import ocs_duckdb_runner_spark.events.timeseries  # noqa: F401
     import ocs_duckdb_runner_spark.events.windows  # noqa: F401
     import ocs_duckdb_runner_spark.sources.connectors  # noqa: F401
     import ocs_duckdb_runner_spark.streaming.stream_queries  # noqa: F401

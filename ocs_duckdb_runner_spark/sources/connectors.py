@@ -110,3 +110,58 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "bucketed", "sink"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketed+sorted on the
+    join key (8 buckets, external tables), then joined WITHOUT any
+    exchange — the bucketed scans already satisfy the join's required
+    hash distribution, so the sort-merge join starts from the files.
+    This is the layout contract for a 100 TB fact table that gets joined
+    on the same key repeatedly: pay the shuffle once at write time, never
+    at read time (tests/test_plans.py pins the exchange-free plan).
+    Results are layout-independent — the oracle is the plain join."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    specs = [
+        ("orders", "o_custkey", f"orders_bkt_{tag}"),
+        ("customer", "c_custkey", f"customer_bkt_{tag}"),
+    ]
+    for table, key, name in specs:
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, table)
+                .write.mode("overwrite")
+                .option("path", f"{_CACHE_ROOT}/{tag}/bucketed/{name}")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(specs[0][2])
+    c = spark.table(specs[1][2])
+    # hint("merge"): force the sort-merge path so the plan demonstrates the
+    # exchange-free bucketed join even though customer would broadcast
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )

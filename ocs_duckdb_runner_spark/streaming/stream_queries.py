@@ -146,3 +146,51 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     return spark.table(_run_to_memory(deduped, "append"))
+
+
+@query("stream_sessionize", oracle=None, tags=("streaming", "session"))
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization: session_window aggregation under
+    a watermark — the streaming twin of event_sessionize (which carries the
+    oracle-checked semantics). State per (user, open session), closed and
+    evicted once the watermark passes the gap — bounded memory at any
+    scale. Complete mode so the single fixture micro-batch emits all
+    sessions; rows-only driver check."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        events.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return spark.table(_run_to_memory(agg, "complete"))
+
+
+@query("stream_static_join", oracle=None, tags=("streaming", "join"))
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the streaming events enriched against a static
+    batch dimension (per-user tier derived from the same fixture) — the
+    standard enrichment topology (stream ⋈ slowly-changing dim). The
+    static side is planned per micro-batch as a broadcast hash join; no
+    stream-side state is kept. Aggregated per tier so the output is small
+    and stable; rows-only driver check."""
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    events = read_events_stream(spark, sf_dir)
+    enriched = events.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
+    )
+    return spark.table(_run_to_memory(agg, "complete"))

@@ -70,6 +70,11 @@ def probe() -> None:
     qs = all_queries()
     names = [
         "flagship",
+        "tpch_q3_toporders",
+        "tpch_q4_order_priority",
+        "tpch_q5_nation_revenue",
+        "tpch_q10_returned",
+        "sample_hash_bernoulli",
         "agg_pricing_summary",
         "agg_basic",
         "agg_distinct",

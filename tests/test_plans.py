@@ -96,3 +96,21 @@ def test_partition_pruning_on_partitioned_sink(spark):
     )
     part_line = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "o_orderstatus" in part_line
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    """Both sides bucketed on the join key: the sort-merge join must read
+    bucket files directly — an Exchange before the join means the bucketing
+    contract broke and a 100 TB fact table would re-shuffle on every join."""
+    df = get_query("join_bucketed").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # exactly ONE Exchange: the final-aggregate one. A second would sit
+    # between the bucketed scans and the join — the broken-contract case.
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
