@@ -147,3 +147,48 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hist_q1 long, hist_q2 long, hist_q3 long, hist_q4 long"
         ),
     )
+
+
+EMBED_DIM = 4  # fixed output width — the "resize to model input" analog
+
+
+def _fake_embed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in embedding extractor: payload byte i → channel
+    i scaled to [0,1], zero-padded to EMBED_DIM — the fixed-width resize+
+    normalize contract of a real vision/audio encoder, minus the codec."""
+    for pdf in it:
+        payloads = pdf["payload"]
+        rows = {"doc_id": pdf["doc_id"]}
+        for i in range(EMBED_DIM):
+            rows[f"e{i}"] = payloads.map(
+                lambda b, i=i: round(b[i] / 255.0, 6) if len(b) > i else 0.0
+            )
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_embed_extract",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(
+               f"round(CASE WHEN octet_length(encode(text)) > {i} THEN "
+               f"ord(substring(text, {i + 1}, 1)) / 255.0 ELSE 0.0 END, 6)"
+               f" AS e{i}" for i in range(4)
+           )}
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "embed"),
+)
+def mm_embed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction to a FIXED-WIDTH embedding via mapInPandas —
+    unlike mm_decode_features this one is EXACTLY oracle-checked: the stub
+    embedding (byte i / 255, zero-padded) is SQL-expressible, so a pass
+    proves the Arrow round trip (binary → pandas → double columns) is
+    byte-exact, not merely that it runs. Swap _fake_embed's body for a
+    real encoder and the schema/partitioning/batching contract is already
+    validated. ASCII fixture text ⇒ ord(char) == byte value in the
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    p = _with_payload(d)
+    schema = "doc_id long, " + ", ".join(f"e{i} double" for i in range(EMBED_DIM))
+    return p.mapInPandas(_fake_embed, schema=schema)
