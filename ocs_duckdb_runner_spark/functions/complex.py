@@ -159,3 +159,30 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.rlike("spark").cast("int").alias("has_spark"),
         F.regexp_replace(t, "[aeiou]", "_").alias("devoweled_head"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(length(md5(text)) AS INTEGER) AS md5_len
+    FROM documents
+    """,
+    tags=("function", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface (md5, sha-256) — the content-addressing
+    primitives under dedup fingerprints and dataset versioning; both
+    engines emit lowercase hex, compared byte-for-byte. (xxhash64 is used
+    throughout the dedup ops but is seed/engine-specific, so the portable
+    digests are the oracle-checked ones.)"""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(blob).alias("h_md5"),
+        F.sha2(blob, 256).alias("h_sha256"),
+        F.length(F.md5(blob)).alias("md5_len"),
+    )

@@ -341,3 +341,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+FUZZY_BLOCK_CHARS = 16  # blocking key: first chars of normalized text
+FUZZY_PREFIX = 40  # edit distance compared over this prefix
+FUZZY_MAX_DIST = 5
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH n AS (SELECT doc_id,
+                      substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk,
+                      substr(text, 1, {FUZZY_PREFIX}) AS head
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+    FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("llm", "dedup", "fuzzy"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs with BLOCKING — the classic
+    record-linkage shape: docs only meet if they share a blocking key
+    (first {16} chars), then Levenshtein over a bounded prefix confirms.
+    Blocking turns O(n²) comparisons into per-block O(b²) with b ≪ n, and
+    the quadratic-cost levenshtein runs on a fixed 40-char prefix, so
+    per-pair cost is bounded — both essential at corpus scale. Exact
+    integer distances ⇒ oracle-checked."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n = d.select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("head"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )

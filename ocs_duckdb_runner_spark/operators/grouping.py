@@ -240,3 +240,36 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo.p").alias("min_price"),
         F.col("lo.k").alias("argmin_orderkey"),
     )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+             AS urgent_price_c
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_and/bool_or (ANY/ALL
+    semantics), and a FILTERed fixed-point sum — the one-pass multi-metric
+    pattern (N conditional metrics = one scan, not N queries). All merge
+    map-side like plain counts."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.count_if(urgent).alias("n_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.sum(F.when(urgent, price_c)).alias("urgent_price_c"),
+    )

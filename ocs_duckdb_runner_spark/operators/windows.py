@@ -146,3 +146,34 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist / ntile
+    per nation over account balance (the percentile-bucketing shape for
+    per-segment score normalization). The order key carries c_custkey so
+    ranks are tie-free and both engines agree exactly; the doubles are
+    integer-rank ratios, so no rounding is needed. One shuffle on the
+    partition key, one in-partition sort."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
