@@ -78,6 +78,12 @@ def main() -> int:
     if os.path.isdir(warm_dir):
         for wq in ("flagship", "join_multiway"):
             qs[wq](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        # warm the fan-out path too (per-object SQL plan + REST metrics)
+        wobj = split_objects(spark, warm_dir, 8)
+        wfiles = sorted(
+            f"{wobj}/{f}" for f in os.listdir(wobj) if f.endswith(".parquet")
+        )
+        FanoutRunner(spark, threads=8).run(wfiles)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -388,3 +388,99 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
+
+
+# the jaccard-pairs query as a reusable oracle CTE body (doc_a, doc_b)
+_SQL_JACCARD_PAIRS = f"""
+    sh AS ({_SQL_SHINGLES}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT p.doc_a, p.doc_b
+      FROM rawpairs p
+      JOIN counts ca ON ca.doc_id = p.doc_a
+      JOIN counts cb ON cb.doc_id = p.doc_b
+      WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2)
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_JACCARD_PAIRS},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+              UNION ALL
+              SELECT doc_b, doc_a FROM jp),
+    reach AS (
+      SELECT doc_id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS doc_id, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id,
+           CAST(min(lbl) AS BIGINT) AS cluster,
+           (doc_id = min(lbl)) AS is_keeper
+    FROM reach
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph — the step that turns
+    pairwise candidates into dedup DECISIONS: every doc labeled with the
+    min doc_id reachable through jaccard≥0.2 edges (its cluster), keeper =
+    the cluster representative. A∼B∼C collapses to ONE kept doc even when
+    A and C were never directly compared — pair-level dedup alone cannot
+    do this.
+
+    Spark side is genuinely iterative (min-label propagation to fixpoint
+    with a convergence check — the standard large-scale CC formulation;
+    rounds ≤ graph diameter, and near-dup clusters are low-diameter).
+    Each round is one shuffle of (node, label); persist + unpersist keeps
+    lineage and memory flat at any scale. The oracle reaches the same
+    fixpoint declaratively via a recursive CTE, so even this iterative
+    operator is value-checked exactly."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .persist()
+    )
+    for _ in range(20):  # ≥ graph diameter; convergence check exits early
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+    )

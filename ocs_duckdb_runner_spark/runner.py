@@ -38,32 +38,36 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.exactness import fx_avg
 from ocs_duckdb_runner_spark.registry import load_table, query
 
 
+def to_sql(path: str) -> str:
+    """The fixed per-object query template as ONE SQL string — the direct
+    analog of the reference's ToSql(source) (runner.cc:174-182), and also
+    the fast path: the whole query is a single Py4J round trip, where the
+    DataFrame formulation cost ~40 GIL-serialized Py4J calls per file —
+    which, multiplied across pool threads, dominated fan-out wall time.
+    The avg is the exactness.fx_avg fixed-point form inlined."""
+    return f"""
+    SELECT l_orderkey AS VID,
+           min(l_quantity) AS X,
+           min(l_extendedprice) AS Y,
+           min(l_discount) AS Z,
+           CAST(sum(CAST(round(l_tax * 10000) AS BIGINT)) AS DOUBLE)
+             / count(l_tax) / 10000.0 AS E
+    FROM parquet.`{path}`
+    WHERE l_quantity > 10 AND l_quantity < 20
+      AND l_extendedprice > 20000 AND l_extendedprice < 60000
+      AND l_discount > 0.02 AND l_discount < 0.08
+    GROUP BY l_orderkey
+    ORDER BY E, VID
+    """
+
+
 def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
-    """The fixed per-object query template (runner.cc:174-182 ToSql) over
-    one lineitem-schema parquet object."""
-    df = spark.read.parquet(path)
-    return (
-        df.filter(
-            (F.col("l_quantity") > 10)
-            & (F.col("l_quantity") < 20)
-            & (F.col("l_extendedprice") > 20000)
-            & (F.col("l_extendedprice") < 60000)
-            & (F.col("l_discount") > 0.02)
-            & (F.col("l_discount") < 0.08)
-        )
-        .groupBy(F.col("l_orderkey").alias("VID"))
-        .agg(
-            F.min("l_quantity").alias("X"),
-            F.min("l_extendedprice").alias("Y"),
-            F.min("l_discount").alias("Z"),
-            fx_avg("l_tax", 4).alias("E"),
-        )
-        .orderBy("E", "VID")
-    )
+    """The fixed per-object query (runner.cc:174-182) over one
+    lineitem-schema parquet object."""
+    return spark.sql(to_sql(path))
 
 
 def _rest_input_metrics(spark: SparkSession) -> tuple[int, int]:
@@ -113,6 +117,13 @@ class FanoutRunner:
         sources = list(sources)
         random.Random(1).shuffle(sources)
         b0, r0 = _rest_input_metrics(self.spark)
+        # per-object queries are tiny: 32 shuffle partitions would turn each
+        # group-by into 32 scheduled tasks of scheduling overhead. One
+        # partition per job mirrors the reference's single-threaded
+        # per-instance execution (runner.cc:200) — parallelism lives across
+        # files, exactly like its pool. Restored after the run.
+        prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", "1")
         t0 = time.monotonic()
         total_hits = 0
         failures: list[str] = []
@@ -129,6 +140,7 @@ class FanoutRunner:
                     failures.append(str(ex))
                     print(f"error: {ex}", file=sys.stderr)
         wall = time.monotonic() - t0
+        self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         b1, r1 = _rest_input_metrics(self.spark)
         report = {
             "sources": len(sources),

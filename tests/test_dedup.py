@@ -60,3 +60,38 @@ def test_minhash_deterministic_across_runs(planted):
     a = sorted(map(tuple, minhash_candidates(docs).collect()))
     b = sorted(map(tuple, minhash_candidates(docs).collect()))
     assert a == b
+
+
+def test_cluster_transitivity(spark, tmp_path):
+    """A∼B and B∼C (but A≁C directly) must land in ONE cluster with one
+    keeper — the property pair-level dedup can't deliver."""
+    words = [f"w{i}" for i in range(30)]
+    a = " ".join(words)
+    b = " ".join(words[:24] + [f"x{i}" for i in range(6)])   # ~0.57 jaccard vs a
+    c = " ".join(words[18:24] + [f"x{i}" for i in range(6)]
+                 + [f"y{i}" for i in range(12)])             # overlaps b, not a enough
+    lone = " ".join(f"z{i}" for i in range(30))
+    rows = [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b)),
+            (3, c, "en", "s", len(c)), (9, lone, "en", "s", len(lone))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    from ocs_duckdb_runner_spark.llm.dedup import (
+        dedup_clusters,
+        dedup_ngram_jaccard,
+    )
+
+    pairs = {(r.doc_a, r.doc_b) for r in
+             dedup_ngram_jaccard(spark, d).select("doc_a", "doc_b").collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs  # a and c are NOT directly similar
+
+    got = {r.doc_id: (r.cluster, r.is_keeper)
+           for r in dedup_clusters(spark, d).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)  # transitive closure pulled c into 1
+    assert got[9] == (9, True)   # singleton keeps itself
