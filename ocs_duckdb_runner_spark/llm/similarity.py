@@ -305,3 +305,60 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(5)
     )
+
+
+N_BATCH_QUERIES = 10  # query set: vec_id 0..9
+BATCH_TOPK = 3
+
+
+@query(
+    "sim_batch_topk",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, label, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    q AS (SELECT vec_id AS qid, ev AS qv FROM fp
+          WHERE vec_id < {N_BATCH_QUERIES}),
+    scored AS (
+      SELECT q.qid, f.vec_id, f.label,
+             {_sql_cosine('f.ev', 'q.qv')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_sql_cosine('f.ev', 'q.qv')} DESC, f.vec_id
+             ) AS rn
+      FROM fp f CROSS JOIN q
+      WHERE f.vec_id <> q.qid)
+    SELECT qid, vec_id, label, cos_sim
+    FROM scored WHERE rn <= {BATCH_TOPK}
+    """,
+    tags=("llm", "similarity", "batch"),
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity search: top-{3} neighbors for EVERY query in a
+    query set at once (self-match excluded) — the shape real retrieval
+    runs, amortizing one corpus scan across all queries instead of one
+    scan per query. The query set broadcasts (M rows), cosine is map-side
+    fixed-point, and per-query top-k is a WindowGroupLimit partitioned by
+    query id — the only shuffle carries M×k candidate rows. At larger M,
+    compose with the LSH/IVF index (sim_ann_lsh_topk / sim_ivf_topk) to
+    cut the per-query candidate set from N to N/cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", "label", fp_vec(F.col("embedding")).alias("ev"))
+    q = fp.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        fp.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "label",
+            cosine(F.col("ev"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_TOPK)
+        .select("qid", "vec_id", "label", "cos_sim")
+    )
