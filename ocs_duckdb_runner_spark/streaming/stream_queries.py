@@ -194,3 +194,36 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
     )
     return spark.table(_run_to_memory(agg, "complete"))
+
+
+@query("stream_foreach_batch", oracle=None, tags=("streaming", "sink"))
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the escape hatch for sinks Structured Streaming
+    doesn't ship natively (JDBC upserts, MERGE INTO, multi-table writes):
+    each micro-batch arrives as a regular DataFrame with a batch id, and
+    arbitrary batch logic runs exactly-once per epoch (checkpoint-fenced).
+    Here each batch is aggregated per event_type and appended to a parquet
+    sink; the returned DataFrame re-reads the sink — so the driver check
+    covers the whole write-then-read loop."""
+    import uuid
+
+    out = f"/tmp/ocs_stream_sink/{uuid.uuid4().hex}"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    events = read_events_stream(spark, sf_dir)
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

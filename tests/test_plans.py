@@ -114,3 +114,29 @@ def test_bucketed_join_has_no_exchange_before_join(spark):
     # between the bucketed scans and the join — the broken-contract case.
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
+
+
+def test_sim_cosine_topk_uses_heap_not_global_sort(spark):
+    plan = plan_of(spark, "sim_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # query vector broadcasts
+
+
+def test_text_tfidf_pushes_group_limit_and_broadcasts_df(spark):
+    plan = plan_of(spark, "text_tfidf")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan  # vocab-sized df table broadcasts
+
+
+def test_dedup_fingerprint_shuffles_hashes_not_documents(spark):
+    # the exchange must carry (fp, doc_id), never the text column
+    plan = plan_of(spark, "dedup_fingerprint")
+    exchange_args = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert exchange_args and all("text" not in ln for ln in exchange_args)
+
+
+def test_sample_uniform_k_is_heap_based(spark):
+    plan = plan_of(spark, "sample_uniform_k")
+    assert "TakeOrderedAndProject" in plan
