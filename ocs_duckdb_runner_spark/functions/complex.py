@@ -186,3 +186,49 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(blob, 256).alias("h_sha256"),
         F.length(F.md5(blob)).alias("md5_len"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))
+                AS BIGINT) AS BIGINT) AS sum_u,
+           CAST(len(list_filter(embedding, x -> x > 3.0)) > 0
+                AS INTEGER) AS any_big,
+           CAST(CAST(list_sum(list_transform(list_zip(embedding,
+                  list_reverse(embedding)),
+                t -> CAST(round(CAST(t[1] AS DOUBLE) * 1e6) AS BIGINT)
+                   * CAST(round(CAST(t[2] AS DOUBLE) * 1e6) AS BIGINT)))
+                AS BIGINT) AS BIGINT) AS rev_dot_u
+    FROM embeddings
+    """,
+    tags=("function", "array", "higher-order"),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface — transform,
+    filter, aggregate(fold), exists, zip_with — the JVM-side machinery the
+    dedup/similarity operators are built from (no UDF, no explode: one
+    codegen'd pass per row). Folds run in fixed-point micro-units so sums
+    are order-independent; the zip_with dot-product against the reversed
+    vector exercises two-array lambdas."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    fx = lambda c: F.round(c.cast("double") * 1e6).cast("long")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform(v, lambda x: fx(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_u"),
+        F.exists(v, lambda x: x > 3.0).cast("int").alias("any_big"),
+        F.aggregate(
+            F.zip_with(v, F.reverse(v), lambda a, b: fx(a) * fx(b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("rev_dot_u"),
+    )

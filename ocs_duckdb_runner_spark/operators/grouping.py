@@ -273,3 +273,46 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
         F.sum(F.when(urgent, price_c)).alias("urgent_price_c"),
     )
+
+
+HIST_WIDTH = 50_000.0
+HIST_BUCKETS = 10
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {HIST_WIDTH}),
+                        {HIST_BUCKETS - 1}) AS INTEGER) AS bucket
+      FROM orders)
+    SELECT bucket,
+           bucket * {HIST_WIDTH} AS lo,
+           (bucket + 1) * {HIST_WIDTH} AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (10 × 50k price buckets, top bucket
+    open-ended) — the profiling primitive behind data-quality dashboards
+    and equi-width binning for feature discretization. Explicit floor
+    arithmetic rather than width_bucket so both engines bin identically;
+    one partial+final aggregate, shuffle carries ≤ bucket-count rows per
+    partition."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_BUCKETS - 1)
+    ).cast("int")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n",
+        )
+    )

@@ -165,3 +165,44 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
         )
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE), o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("source", "schema-evolution"),
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch carries
+    o_totalprice, a later batch dropped it and added o_orderpriority —
+    exactly how long-lived 100 TB datasets actually look. mergeSchema
+    unions the footers; rows surface NULL for columns their batch never
+    had, which the oracle reproduces with explicit NULL padding. (Merge
+    happens at planning from footers only — no data pass.)"""
+    out = _roundtrip_dir(sf_dir, "parquet_evolve")
+    o = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(f"{out}/batch=1/_SUCCESS"):
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch=1")
+        )
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch=2")
+        )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/batch=1", f"{out}/batch=2")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
