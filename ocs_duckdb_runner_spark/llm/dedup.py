@@ -484,3 +484,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster"),
         (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+@query(
+    "pipeline_dedup_end2end",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      FROM documents),
+    keepers AS (SELECT fp, min(doc_id) AS keeper FROM n GROUP BY fp)
+    SELECT n.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT n.fp) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN n.doc_id = k.keeper THEN n.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           round(1.0 - CAST(count(DISTINCT n.fp) AS DOUBLE) / count(*), 6)
+             AS dup_ratio
+    FROM n JOIN keepers k ON k.fp = n.fp
+    GROUP BY n.lang
+    """,
+    tags=("llm", "dedup", "pipeline"),
+)
+def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data dedup pipeline in ONE declarative plan:
+    normalize (lower/strip/collapse — so case/punct variants collapse) →
+    16-byte content fingerprint → deterministic keeper per fingerprint →
+    per-language corpus report (docs before/after, surviving chars, dup
+    ratio). This is the shape a 100 TB pre-training cleanup actually runs:
+    the only wide exchanges carry (fp, doc_id, lang, n_chars) — never
+    document text — and every stage is a built-in JVM expression, so the
+    whole pipeline is three hash aggregates end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    n = d.select(
+        "doc_id", "lang", "n_chars", F.md5(norm.cast("binary")).alias("fp")
+    )
+    keepers = n.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    joined = n.join(keepers, "fp")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("keeper"), F.col("n_chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("kept_chars"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )

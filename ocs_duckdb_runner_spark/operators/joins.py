@@ -398,3 +398,40 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             fx_sum("o_totalprice").alias("sum_price_c"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderkey % 5 END AS grp
+               FROM orders),
+    r AS (SELECT DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                               ELSE o_orderkey % 5 END AS grp,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'null-grp'
+                      ELSE 'grp-' || CAST(o_orderkey % 5 AS VARCHAR) END AS tag
+          FROM orders)
+    SELECT l.o_orderkey, r.tag
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics you need when joining
+    on nullable dimensions (unknown-bucket to unknown-bucket). Spark still
+    plans a hash join on the null-safe key, so NULLs form one hash group
+    rather than falling out of the join."""
+    o = load_table(spark, sf_dir, "orders")
+    grp = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long")).otherwise(
+        F.col("o_orderkey") % 5
+    )
+    left = o.select("o_orderkey", grp.alias("grp"))
+    tag = F.when(F.col("o_orderkey") % 7 == 0, F.lit("null-grp")).otherwise(
+        F.concat(F.lit("grp-"), (F.col("o_orderkey") % 5).cast("string"))
+    )
+    right = o.select(grp.alias("rgrp"), tag.alias("tag")).distinct()
+    return left.join(
+        right, left.grp.eqNullSafe(right.rgrp)
+    ).select("o_orderkey", "tag")

@@ -177,3 +177,38 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "nth"),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value over a full-partition frame plus an
+    unordered partition count — per-customer 'their second-ever order'
+    lookup. The full-partition ROWS frame makes nth_value deterministic
+    (default frames stop at CURRENT ROW and would leave it NULL for early
+    rows); one shuffle on the partition key serves all three windows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.count(F.lit(1)).over(wc).alias("n_orders"),
+    )
