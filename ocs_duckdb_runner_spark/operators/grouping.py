@@ -9,7 +9,7 @@ requested — the property that matters at 100 TB (versus N scans + union).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
@@ -315,4 +315,61 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
             "n",
         )
+    )
+
+
+@query("agg_bloom_filter", oracle=None, tags=("agg", "sketch", "bloom"))
+def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built from first principles with built-in expressions —
+    the pre-join existence sketch that lets a 100 TB fact scan drop
+    non-matching rows BEFORE the shuffle. Build: each member key sets k=3
+    bit positions (xxhash64 mod M); the filter is a (word, bits) table of
+    64-bit words produced by a bit_or aggregate — fixed M/64 rows,
+    mergeable, order-independent. Probe: each candidate key joins its 3
+    words against the (broadcast) bitmap and passes only if all bits are
+    set. Bits depend on the engine hash, so rows-only here; the
+    no-false-negative / low-false-positive contract is unit-tested
+    (tests/test_sampling_analytics.py)."""
+    M = 1 << 20  # 1M bits -> 16k words; ~0.1% fp at 50k members, k=3
+    K = 3
+    o = load_table(spark, sf_dir, "orders")
+
+    def positions(key: Column) -> Column:
+        return F.array(
+            *[F.pmod(F.xxhash64(F.lit(i), key), F.lit(M)) for i in range(K)]
+        )
+
+    members = o.filter(F.col("o_orderstatus") == "O").select(
+        F.explode(positions(F.col("o_orderkey"))).alias("pos")
+    )
+    bitmap = (
+        members.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probes = o.select(
+        "o_orderkey",
+        (F.col("o_orderstatus") == "O").alias("actually_present"),
+        F.posexplode(positions(F.col("o_orderkey"))).alias("i", "pos"),
+    ).select(
+        "o_orderkey",
+        "actually_present",
+        (F.col("pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+    )
+    checked = probes.join(F.broadcast(bitmap), "word", "left").select(
+        "o_orderkey",
+        "actually_present",
+        (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias(
+            "hit"
+        ),
+    )
+    verdict = checked.groupBy("o_orderkey", "actually_present").agg(
+        F.bool_and("hit").alias("bloom_says")
+    )
+    return verdict.groupBy("actually_present", "bloom_says").agg(
+        F.count(F.lit(1)).alias("n")
     )

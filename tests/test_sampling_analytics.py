@@ -85,3 +85,18 @@ def test_tpch_q10_filter_pushdown(spark, name):
     plan = plan_of(spark, name)
     assert "EqualTo(l_returnflag,R)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    rows = {
+        (r.actually_present, r.bloom_says): r.n
+        for r in get_query("agg_bloom_filter").fn(spark, SF_DIR).collect()
+    }
+    # every present key must be found: the (True, False) cell cannot exist
+    assert (True, False) not in rows
+    present = sum(n for (a, _), n in rows.items() if a)
+    absent_pass = rows.get((False, True), 0)
+    absent = absent_pass + rows.get((False, False), 0)
+    assert present > 0 and absent > 0
+    # false-positive rate stays near the configured budget
+    assert absent_pass / absent < 0.05
