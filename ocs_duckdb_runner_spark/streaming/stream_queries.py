@@ -227,3 +227,50 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@query("stream_stream_join", oracle=None, tags=("streaming", "join"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join: each 'purchase' event matched to the
+    same user's 'click' events from the preceding hour — both sides
+    watermarked so the join state is RANGE-BOUNDED: a buffered click can
+    be evicted once the watermark passes its ts + 1 hour, which is what
+    keeps state finite on an unbounded stream (the defining constraint of
+    streaming joins; an un-watermarked side would buffer forever).
+    Aggregated per event_type pair; rows-only driver check — the batch
+    twin of this shape is join_asof/window_range_frame."""
+    left = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+        .withWatermark("l_ts", "10 minutes")
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    pairs = joined.select(
+        "l_user",
+        "l_ts",
+        "r_ts",
+        F.round(F.col("l_value") * 100).cast("long").alias("purchase_c"),
+    )
+    # stream-stream joins emit in APPEND mode only (matched rows flow out
+    # as soon as both sides arrive; the watermark governs state eviction,
+    # not emission, for inner joins)
+    return spark.table(_run_to_memory(pairs, "append"))
