@@ -522,9 +522,12 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
         )
     )
+    # persist the fingerprinted projection: ~50 B/doc, but it feeds BOTH
+    # the keeper aggregate and the join branch — without it the whole
+    # normalize+md5 scan (the expensive regex pass) runs once per branch
     n = d.select(
         "doc_id", "lang", "n_chars", F.md5(norm.cast("binary")).alias("fp")
-    )
+    ).persist()
     keepers = n.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     joined = n.join(keepers, "fp")
     return joined.groupBy("lang").agg(

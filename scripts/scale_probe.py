@@ -38,12 +38,21 @@ KEY_STRIDE = 100_000_000
 def build() -> None:
     spark = build_spark(app_name="scale-probe-build")
     os.makedirs(OUT, exist_ok=True)
-    for t in ("lineitem", "orders"):
+    # fact tables AND the LLM tables are struck 10x (disjoint key ranges);
+    # documents keeps its text verbatim per copy so the dedup operators see
+    # 10x the corpus with 10x the duplicate clusters — the honest scale-up
+    # for near-dup work (every copy collides with its 9 twins).
+    scaled = {
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    for t, key in scaled.items():
         dst = f"{OUT}/{t}.parquet"
         if os.path.exists(dst):
             continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        key = "l_orderkey" if t == "lineitem" else "o_orderkey"
         parts = [
             df.withColumn(key, F.col(key) + F.lit(i * KEY_STRIDE)) for i in range(COPIES)
         ]
@@ -54,7 +63,7 @@ def build() -> None:
         out.repartition(16).write.mode("overwrite").parquet(dst)
         print(f"built {t}: {spark.read.parquet(dst).count():,} rows")
     for t in TABLES:
-        if t in ("lineitem", "orders"):
+        if t in scaled:
             continue
         dst = f"{OUT}/{t}.parquet"
         if not os.path.exists(dst):
@@ -86,6 +95,13 @@ def probe() -> None:
         "window_frame_agg",
         "sort_multi",
         "topk_limit",
+        "dedup_fingerprint",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "text_tfidf",
+        "sim_cosine_topk",
+        "sim_ann_lsh_topk",
+        "pipeline_dedup_end2end",
     ]
     spark.read.parquet(f"{OUT}/lineitem.parquet").count()  # warm
     for name in names:
