@@ -542,3 +542,80 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_ratio"),
     )
+
+
+_SQL_KEEPER_SHINGLES = """
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM (SELECT min(doc_id) AS doc_id, first(string_split(text, ' ')) AS toks
+            FROM documents GROUP BY md5(text))
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_unique",
+    oracle=f"""
+    WITH sh AS ({_SQL_KEEPER_SHINGLES}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.shared,
+           CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2
+    """,
+    tags=("llm", "dedup", "jaccard", "pipeline"),
+)
+def dedup_ngram_jaccard_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup formulation: exact-dedup first (collapse to
+    one keeper per distinct text, min doc_id), THEN jaccard pairs over
+    unique texts only. Exact copies contribute ZERO pairs here — the
+    quadratic intra-cluster term that dominates plain dedup_ngram_jaccard
+    when duplicate multiplicity grows (SCALING.md: 42s vs ~6s at the 10×
+    probe) is gone, and cluster membership for the collapsed copies is
+    recovered from the fingerprint map (dedup_fingerprint). Same inverted
+    index, same exact arithmetic, same oracle discipline."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    keepers = (
+        d.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks"))
+    )
+    sh = keepers.select(
+        "doc_id", F.explode(shingle_hashes(F.col("toks"))).alias("shingle")
+    ).persist()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    jac = F.col("shared").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared")
+    )
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
