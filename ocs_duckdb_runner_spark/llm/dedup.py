@@ -619,3 +619,25 @@ def dedup_ngram_jaccard_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+@query("dedup_minhash_unique", oracle=None, tags=("llm", "dedup", "minhash", "pipeline"))
+def dedup_minhash_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates over UNIQUE texts (exact-dedup-first, like
+    dedup_ngram_jaccard_unique): one keeper per distinct text enters the
+    signature/banding stage, so exact copies add zero signature work and
+    zero candidate pairs. Same engine-specific hashing as dedup_minhash ⇒
+    rows-only; semantics carried by the planted-near-dup unit tests plus
+    the keeper mapping from dedup_fingerprint."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    keepers = (
+        d.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks"))
+    )
+    docs = keepers.select("doc_id", shingle_hashes(F.col("toks")).alias("sh"))
+    return minhash_candidates(docs)
