@@ -50,7 +50,11 @@ HEADLINE = [
     "text_quality",
     "dedup_fingerprint",
     "dedup_minhash",
+    "dedup_minhash_unique",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_unique",
+    "dedup_clusters",
+    "pipeline_dedup_end2end",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "event_tumbling",

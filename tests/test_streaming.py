@@ -90,3 +90,37 @@ def test_custom_state_totals_match_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch_twin(spark):
+    """The streaming interval join must produce exactly the rows its batch
+    twin produces on the same bounded input (stream-batch unification is
+    the whole point of Structured Streaming)."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import get_query, load_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r.l_user, r.l_ts, r.r_ts, r.purchase_c)
+        for r in get_query("stream_stream_join").fn(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("purchase_c"),
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    want = {
+        (r.l_user, r.l_ts, r.r_ts, r.purchase_c)
+        for r in left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
