@@ -232,3 +232,76 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("rev_dot_u"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+    tags=("function", "url", "text"),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — host/path/query/param/protocol extraction, the
+    first step of any web-corpus pipeline (domain filtering, dedup by
+    canonical URL, robots scoping). Spark's native parse_url does the
+    splitting; the oracle reproduces each component with regexes, so the
+    check pins parse_url's exact component semantics. URLs are
+    synthesized deterministically from doc metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@query(
+    "fn_encode",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 24))))) AS b64_rt,
+           lower(hex(encode(substr(text, 1, 8)))) AS hx,
+           decode(unhex(hex(encode(substr(text, 1, 8))))) AS hx_rt
+    FROM documents
+    """,
+    tags=("function", "encode"),
+)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode surface: base64 and hex, each round-tripped
+    back to the original text — the transport encodings multimodal
+    payloads and fingerprints travel in. Round-trip-equality inside the
+    query means a single corrupted byte fails the value hash."""
+    d = load_table(spark, sf_dir, "documents")
+    t24 = F.substring("text", 1, 24).cast("binary")
+    t8 = F.substring("text", 1, 8).cast("binary")
+    return d.select(
+        "doc_id",
+        F.base64(t24).alias("b64"),
+        F.unbase64(F.base64(t24)).cast("string").alias("b64_rt"),
+        F.lower(F.hex(t8)).alias("hx"),
+        F.unhex(F.hex(t8)).cast("string").alias("hx_rt"),
+    )
