@@ -106,3 +106,88 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(win).alias("n_1h"),
         F.sum("cents").over(win).alias("sum_c_1h"),
     )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(first_signup) AS BIGINT) AS n_signed_up,
+           CAST(count(CASE WHEN first_purchase > first_signup
+                           THEN 1 END) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN first_purchase > first_signup
+                THEN epoch_us(first_purchase) - epoch_us(first_signup) END)
+                AS BIGINT) AS min_conversion_us
+    FROM per_user
+    """,
+    tags=("events", "funnel"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: of users who signed up, how many purchased AFTER
+    their first signup, and how fast — the conversion query every product
+    analytics stack runs. One conditional-min aggregate per user (map-side
+    partial, single shuffle on user_id), then a global conditional count;
+    no joins, no windows. Exact µs arithmetic keeps the latency metric
+    oracle-checked."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = F.col("first_purchase") > F.col("first_signup")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(F.when(converted, F.lit(1))).alias("n_converted"),
+        F.min(
+            F.when(
+                converted,
+                F.unix_micros(F.col("first_purchase"))
+                - F.unix_micros(F.col("first_signup")),
+            )
+        ).alias("min_conversion_us"),
+    )
+
+
+@query(
+    "event_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS first_day
+      FROM events GROUP BY user_id),
+    per_day AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+                FROM firsts GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+    tags=("events", "timeseries", "growth"),
+)
+def event_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: new users per day (first-seen day) and the
+    cumulative user count — the standard DAU/retention denominator. A
+    naive per-day countDistinct over expanding windows is quadratic;
+    first-seen day + running sum is two tiny aggregates and one window
+    over days (days ≪ events — driver-safe at any scale)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    per_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )

@@ -410,3 +410,35 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "token", "tf", "dfreq", F.round(score, 6).alias("tfidf"))
     )
+
+
+@query(
+    "text_stopword_removal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x NOT IN
+                ('a','the','of','and','to','in','is','on'))) AS INTEGER)
+             AS n_content,
+           md5(array_to_string(list_filter(toks, x -> x NOT IN
+                ('a','the','of','and','to','in','is','on')), ' ')) AS cleaned_fp
+    FROM t
+    """,
+    tags=("llm", "text", "stopwords"),
+)
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal — the token-level cleaning pass before indexing or
+    shingling: filter the stopword set out of each document map-side
+    (higher-order filter, no explode), emit the content-token count and
+    the md5 of the cleaned text so both engines must produce identical
+    cleaned bytes in identical order."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    cleaned = F.filter(toks, lambda x: ~x.isin(*_STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(cleaned).alias("n_content"),
+        F.md5(F.array_join(cleaned, " ").cast("binary")).alias("cleaned_fp"),
+    )
