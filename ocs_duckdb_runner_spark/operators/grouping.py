@@ -373,3 +373,39 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdict.groupBy("actually_present", "bloom_says").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "agg_grouping_funcs",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def agg_grouping_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() / grouping_id() over a ROLLUP — the functions that make
+    hierarchical results machine-readable: they distinguish a NULL that
+    came from the DATA from a NULL that marks a subtotal row, which no
+    amount of inspecting the key columns can do. gid doubles as the
+    level selector when a downstream consumer wants exactly one rollup
+    level from the single-pass result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n"
+        )
+    )
