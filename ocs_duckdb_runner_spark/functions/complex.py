@@ -305,3 +305,31 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(t8)).alias("hx"),
         F.unhex(F.hex(t8)).cast("string").alias("hx_rt"),
     )
+
+
+@query(
+    "fn_crypto_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           substr(text, 1, 32) AS plain_rt,
+           CAST(length(substr(text, 1, 32)) AS INTEGER) AS n_plain
+    FROM documents
+    """,
+    tags=("function", "crypto"),
+)
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt → aes_decrypt round
+    trip (GCM, random IV per row — so the CIPHERTEXT is nondeterministic
+    but the round trip is exact). The oracle pins the decrypted output to
+    the original bytes: a pass proves encrypt and decrypt are true
+    inverses under the session key, which is the property a
+    pseudonymization / at-rest-encryption pipeline depends on."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key (fixture secret)
+    plain = F.substring("text", 1, 32)
+    rt = F.aes_decrypt(F.aes_encrypt(plain.cast("binary"), key.cast("binary")), key.cast("binary"))
+    return d.select(
+        "doc_id",
+        rt.cast("string").alias("plain_rt"),
+        F.length(rt.cast("string")).alias("n_plain"),
+    )
