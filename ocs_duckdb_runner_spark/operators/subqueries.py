@@ -150,3 +150,35 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, t.max_price, t.n_orders
+    FROM customer c,
+    LATERAL (SELECT max(o.o_totalprice) AS max_price,
+                    CAST(count(*) AS BIGINT) AS n_orders
+             FROM orders o WHERE o.o_custkey = c.c_custkey) t
+    """,
+    tags=("join", "lateral", "subquery"),
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table — the 'for each row, run this
+    subquery' surface. An aggregate lateral emits exactly one row per
+    outer row (NULL max / zero count for customers with no orders), so
+    it composes like a left join without writing one. Catalyst
+    decorrelates it into the same aggregate+join plan the hand-written
+    formulation would produce — the point is the surface, the plan cost
+    is identical."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.max_price, t.n_orders
+        FROM customer c,
+        LATERAL (SELECT max(o.o_totalprice) AS max_price,
+                        count(*) AS n_orders
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        """
+    )
