@@ -333,3 +333,88 @@ def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt.cast("string").alias("plain_rt"),
         F.length(rt.cast("string")).alias("n_plain"),
     )
+
+
+@query(
+    "fn_math_ext",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_quantity), 6) AS q_sin,
+           round(cos(l_quantity), 6) AS q_cos,
+           round(atan2(l_quantity, l_extendedprice / 1000), 6) AS q_atan2,
+           round(degrees(l_discount), 6) AS d_deg,
+           round(radians(l_quantity), 6) AS q_rad,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign,
+           round(log2(l_extendedprice), 6) AS p_log2,
+           round(log10(l_extendedprice), 6) AS p_log10,
+           round(cbrt(l_extendedprice), 6) AS p_cbrt
+    FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended math surface: trigonometry, angle conversion, sign, and
+    the log/root family beyond fn_math. Transcendentals differ in the
+    last ulp across libm implementations, so every float output is
+    rounded to 6 digits on both sides — the same drift discipline
+    exactness.py applies to aggregation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, dd = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(q), 6).alias("q_sin"),
+        F.round(F.cos(q), 6).alias("q_cos"),
+        F.round(F.atan2(q, p / 1000), 6).alias("q_atan2"),
+        F.round(F.degrees(dd), 6).alias("d_deg"),
+        F.round(F.radians(q), 6).alias("q_rad"),
+        F.signum(dd - 0.05).alias("d_sign"),
+        F.round(F.log2(p), 6).alias("p_log2"),
+        F.round(F.log10(p), 6).alias("p_log10"),
+        F.round(F.cbrt(p), 6).alias("p_cbrt"),
+    )
+
+
+@query(
+    "fn_string_ext",
+    oracle="""
+    WITH t AS (SELECT doc_id, substr(text, 1, 20) AS s FROM documents)
+    SELECT doc_id,
+           translate(s, 'aeiou', '01234') AS tr,
+           lpad(s, 24, '.') AS lp,
+           rpad(s, 24, '.') AS rp,
+           repeat(substr(s, 1, 3), 3) AS rep,
+           reverse(s) AS rev,
+           CAST(ascii(s) AS INTEGER) AS first_code,
+           chr(97 + CAST(doc_id % 26 AS INTEGER)) AS rot_char,
+           CAST(strpos(s, 'a') AS INTEGER) AS a_pos,
+           left(s, 5) AS l5,
+           right(s, 5) AS r5,
+           split_part(s, ' ', 2) AS word2
+    FROM t
+    """,
+    tags=("function", "string"),
+)
+def fn_string_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface beyond fn_string: translate, padding,
+    repeat, reverse, ascii/chr, substring position, left/right, and
+    split_part — the per-field cleanup toolkit of ingestion pipelines.
+    All map-side codegen'd expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.substring("text", 1, 20)
+    t = d.select("doc_id", s.alias("s"))
+    sc = F.col("s")
+    return t.select(
+        "doc_id",
+        F.translate(sc, "aeiou", "01234").alias("tr"),
+        F.lpad(sc, 24, ".").alias("lp"),
+        F.rpad(sc, 24, ".").alias("rp"),
+        F.repeat(F.substring(sc, 1, 3), 3).alias("rep"),
+        F.reverse(sc).alias("rev"),
+        F.ascii(sc).alias("first_code"),
+        F.chr(F.lit(97) + (F.col("doc_id") % 26).cast("int")).alias("rot_char"),
+        F.instr(sc, "a").alias("a_pos"),
+        F.substring(sc, 1, 5).alias("l5"),
+        sc.substr(F.length(sc) - 4, F.lit(5)).alias("r5"),
+        F.split_part(sc, F.lit(" "), F.lit(2)).alias("word2"),
+    )
