@@ -191,3 +191,48 @@ def event_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
     )
+
+
+@query(
+    "event_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS active_hour
+      FROM events)
+    SELECT f.cohort,
+           CAST((epoch_us(a.active_hour) - epoch_us(f.cohort))
+                / 3600000000 AS BIGINT) AS hours_since,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def event_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen hour (the
+    cohort), counted in each subsequent hour they were active — the
+    triangle chart behind every retention dashboard. Two aggregates (first
+    touch per user; distinct user-hours) and one join on user_id; the
+    distinct collapses to per-(user, hour) BEFORE the join, so the join
+    input is bounded by users × active-hours, not raw events."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("active_hour")
+    ).distinct()
+    hours_since = (
+        (F.unix_micros(F.col("active_hour")) - F.unix_micros(F.col("cohort")))
+        / 3_600_000_000
+    ).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort", hours_since.alias("hours_since"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
