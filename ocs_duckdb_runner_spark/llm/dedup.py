@@ -62,18 +62,27 @@ def shingle_hashes(tokens: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def _doc_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) with the token array MATERIALIZED by the spread()
+    exchange. The barrier matters as much as the parallelism: higher-order
+    lambdas sit outside Catalyst's common-subexpression elimination, so a
+    collapsed projection re-inlines split(text) into every element_at slot
+    of the shingle transform — re-splitting the text per element. Tokenize
+    below an exchange and the lambdas read a bound attribute instead."""
+    d = load_table(spark, sf_dir, "documents")
+    return spread(d.select("doc_id", F.split(F.col("text"), " ").alias("toks")))
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread(): the documents table is a single small parquet split, but
-    # shingling+hashing is compute-bound -> widen to all cores first
-    d = spread(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    return d.select("doc_id", shingles(toks).alias("sh"))
+    return _doc_token_frame(spark, sf_dir).select(
+        "doc_id", shingles(F.col("toks")).alias("sh")
+    )
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    return d.select("doc_id", shingle_hashes(toks).alias("sh"))
+    return _doc_token_frame(spark, sf_dir).select(
+        "doc_id", shingle_hashes(F.col("toks")).alias("sh")
+    )
 
 
 @query(
@@ -163,7 +172,11 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     band bucket self-join. The join key (band index, band hash) is an
     equi-key: Catalyst plans a shuffle hash join on the buckets, so cost
     scales with bucket collisions (≈ true near-dups), never n²."""
-    sigs = docs.select(
+    # materialize the shingle arrays first: the 16 signature slots each
+    # re-inline the full `sh` expression otherwise (higher-order lambdas
+    # have no CSE), recomputing the shingle pipeline 16× per doc
+    mat = docs.persist()
+    sigs = mat.select(
         "doc_id", minhash_bands(minhash_signature(F.col("sh"))).alias("bands")
     )
     # persist the banded signatures: 4 rows × 3 longs per doc (tiny at any
@@ -173,7 +186,7 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode("bands").alias("band", "band_hash")
     ).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -184,7 +197,14 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # materialize the (small) pair set, then release the cached bands:
+        # a long-lived session sweeping 133 queries must not accumulate
+        # per-query cache blocks (see ADVICE r1)
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
+    mat.unpersist()
+    return out
 
 
 @query("dedup_minhash", oracle=None, tags=("llm", "dedup", "minhash"))
@@ -255,7 +275,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted for the same reason as the minhash bands: the 64-slot
     # vote-fold fingerprint is expensive; compute it once, not per branch
     a, b = quarters.alias("a"), quarters.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.q") == F.col("b.q"))
@@ -269,7 +289,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    quarters.unpersist()
+    return out
 
 
 _SQL_SHINGLES = """
@@ -280,6 +303,56 @@ _SQL_SHINGLES = """
              ELSE [array_to_string(toks, ' ')] END)) AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 """
+
+
+def _jaccard_from_tokens(token_frame: DataFrame) -> DataFrame:
+    """(doc_id, toks) → materialized exact-Jaccard pairs. The shingle
+    ARRAY frame is what gets persisted: size() and explode() and both
+    self-join branches all read the cached arrays, so the expensive
+    shingle pipeline runs exactly once per doc (persisting the exploded
+    rows instead would re-run it for the size() column; computing size
+    inline would re-run it via projection collapse)."""
+    arr = token_frame.select(
+        "doc_id", shingle_hashes(F.col("toks")).alias("sh")
+    ).persist()
+    sh = arr.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    out = _jaccard_pairs_from_sh(sh).localCheckpoint(eager=True)
+    arr.unpersist()
+    return out
+
+
+def _jaccard_pairs_from_sh(sh: DataFrame) -> DataFrame:
+    """Exploded (doc_id, n_sh, shingle-hash) frame → exact Jaccard pairs
+    (doc_a, doc_b, shared, jaccard ≥ 0.2) via the inverted-index join:
+    only docs sharing ≥1 shingle ever meet, intersection by count. The
+    per-doc counts ride the explode as grouping keys, so the union
+    denominator needs NO counts aggregate and NO re-join — one self-join
+    + one aggregate total. Integer set arithmetic → the jaccard double is
+    bit-identical to the DuckDB oracle. Caller persists ``sh`` (read by
+    both join branches)."""
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "shared", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.2)
 
 
 @query(
@@ -299,14 +372,15 @@ _SQL_SHINGLES = """
     JOIN counts cb ON cb.doc_id = p.doc_b
     WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2
     """,
-    tags=("llm", "dedup", "jaccard"),
+    tags=("llm", "dedup", "jaccard", "didactic"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index join: explode
-    distinct shingles, self-join on shingle (only docs sharing ≥1 shingle
-    ever meet), count the intersection, derive the union from per-doc
-    shingle counts. Integer set arithmetic → the jaccard double is
-    bit-identical to the oracle. The ≥0.2 threshold bounds the output;
+    """DIDACTIC baseline: exact 3-gram Jaccard pairs over ALL docs. The
+    emitted-pair term is quadratic in per-cluster copy count, so at high
+    duplicate multiplicity this form is a scale-killer (SCALING.md: 42 s
+    at the 10× probe vs ~6 s collapsed) — production near-dup is
+    dedup_ngram_jaccard_unique (exact-collapse first), which
+    dedup_clusters routes through. The ≥0.2 threshold bounds the output;
     the shared-shingle join bounds the work."""
     # join key = xxhash64(shingle), not the shingle string: the inverted
     # index shuffles 8-byte longs instead of ~20-byte strings and the join
@@ -314,33 +388,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts equal the oracle's distinct-string counts (a cross-shingle
     # xxhash64 collision is ~1e-11 at corpus scale — engine-internal
     # choice, same results).
-    sh = _doc_shingle_hashes(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).persist()  # read 3x: both inverted-index join branches + the counts
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    jac = F.col("shared").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared")
-    )
-    return (
-        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
-    )
+    return _jaccard_from_tokens(_doc_token_frame(spark, sf_dir))
 
 
 FUZZY_BLOCK_CHARS = 16  # blocking key: first chars of normalized text
@@ -438,52 +486,92 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     A and C were never directly compared — pair-level dedup alone cannot
     do this.
 
-    Spark side is genuinely iterative (min-label propagation to fixpoint
-    with a convergence check — the standard large-scale CC formulation;
-    rounds ≤ graph diameter, and near-dup clusters are low-diameter).
-    Each round is one shuffle of (node, label); persist + unpersist keeps
-    lineage and memory flat at any scale. The oracle reaches the same
-    fixpoint declaratively via a recursive CTE, so even this iterative
-    operator is value-checked exactly."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").persist()
-    labels = (
-        load_table(spark, sf_dir, "documents")
+    The edge set is the PRODUCTION composition: jaccard pairs over unique
+    texts only (dedup_ngram_jaccard_unique) plus one doc→keeper edge per
+    exact copy from the fingerprint map. Connectivity is provably identical
+    to pairs-over-all-docs — an exact copy has jaccard 1.0 with its keeper,
+    so every all-docs edge is recovered through keeper edges — but the
+    quadratic intra-cluster pair term is gone, so the oracle (a recursive
+    CTE over the all-docs pair set) is unchanged.
+
+    Spark side is genuinely iterative (min-label propagation to fixpoint —
+    the standard large-scale CC formulation; rounds ≤ graph diameter, and
+    near-dup clusters are low-diameter). Propagation runs ONLY over nodes
+    that touch an edge — every other doc trivially keeps its own label, so
+    at 100 TB the per-round shuffle is the (tiny) near-dup node set, not
+    the corpus. Each round is ONE job: the changed count rides in the
+    materializing aggregate instead of a separate compare-join action;
+    AQE coalesces the per-round shuffles to the node set's actual size.
+    Final membership for collapsed exact copies is recovered through the
+    fingerprint map (doc → keeper → cluster), whose scan is shared with
+    keeper selection."""
+    d = load_table(spark, sf_dir, "documents")
+    # ONE fingerprint scan shared by keeper selection and final mapping
+    fp_map = d.select(
+        F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id"
+    ).persist()
+    keeper_map = fp_map.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    keepers = spread(
+        d.join(
+            keeper_map.select(F.col("keeper").alias("doc_id")), "doc_id", "semi"
+        ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    )
+    keeper_pairs = _jaccard_from_tokens(keepers).select("doc_a", "doc_b")
+    und = keeper_pairs.toDF("src", "dst")
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    cached = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
         .select("doc_id", F.col("doc_id").alias("lbl"))
         .persist()
     )
+    labels = cached
     for _ in range(20):  # ≥ graph diameter; convergence check exits early
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        merged = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl"))
+                .cast("long")
+                .alias("chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # single action per round: materializes the new labels into cache
+        # AND returns the change count
+        changed = merged.agg(F.sum("chg")).first()[0]
+        cached.unpersist()
+        cached = merged
+        labels = merged.select("doc_id", "lbl")
+        if not changed:
             break
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        F.col("lbl").alias("cluster"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+    # doc → keeper (exact-copy collapse) → propagated cluster label;
+    # docs whose keeper never touched an edge keep the keeper's id
+    cluster = F.coalesce(F.col("lbl"), F.col("keeper"))
+    out = (
+        fp_map.join(keeper_map, "fp")
+        .join(labels.withColumnRenamed("doc_id", "keeper"), "keeper", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (F.col("doc_id") == cluster).alias("is_keeper"),
+        )
+        .localCheckpoint(eager=True)
     )
+    cached.unpersist()
+    edges.unpersist()
+    fp_map.unpersist()
+    return out
 
 
 @query(
@@ -530,7 +618,7 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     keepers = n.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     joined = n.join(keepers, "fp")
-    return joined.groupBy("lang").agg(
+    out = joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
         F.sum(
@@ -541,7 +629,9 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_ratio"),
-    )
+    ).localCheckpoint(eager=True)
+    n.unpersist()
+    return out
 
 
 _SQL_KEEPER_SHINGLES = """
@@ -553,6 +643,31 @@ _SQL_KEEPER_SHINGLES = """
       FROM (SELECT min(doc_id) AS doc_id, first(string_split(text, ' ')) AS toks
             FROM documents GROUP BY md5(text))
 """
+
+
+def _keeper_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup collapse every production near-dup stage runs
+    first: one keeper per distinct text (min doc_id) with its token array.
+
+    Shaped so untokenized text shuffles at most once: keeper ids come from
+    a (fp, doc_id) aggregate whose exchange carries 24-byte rows, then a
+    semi-join on doc_id pulls the keeper docs' text back — AQE broadcasts
+    the id set locally; at cluster scale it degrades to a shuffled
+    semi-join of ids. The token projection sits below the spread()
+    exchange so downstream shingle lambdas read a materialized array
+    (see _doc_token_frame on why the barrier is load-bearing)."""
+    d = load_table(spark, sf_dir, "documents")
+    keeper_ids = (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return spread(
+        d.join(keeper_ids, "doc_id", "semi").select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+    )
 
 
 @query(
@@ -583,42 +698,7 @@ def dedup_ngram_jaccard_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe) is gone, and cluster membership for the collapsed copies is
     recovered from the fingerprint map (dedup_fingerprint). Same inverted
     index, same exact arithmetic, same oracle discipline."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    keepers = (
-        d.select(
-            F.md5(F.col("text").cast("binary")).alias("fp"),
-            "doc_id",
-            F.split(F.col("text"), " ").alias("toks"),
-        )
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks"))
-    )
-    sh = keepers.select(
-        "doc_id", F.explode(shingle_hashes(F.col("toks"))).alias("shingle")
-    ).persist()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca, cb = counts.alias("ca"), counts.alias("cb")
-    jac = F.col("shared").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared")
-    )
-    return (
-        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
-    )
+    return _jaccard_from_tokens(_keeper_token_docs(spark, sf_dir))
 
 
 @query("dedup_minhash_unique", oracle=None, tags=("llm", "dedup", "minhash", "pipeline"))
@@ -629,15 +709,6 @@ def dedup_minhash_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero candidate pairs. Same engine-specific hashing as dedup_minhash ⇒
     rows-only; semantics carried by the planted-near-dup unit tests plus
     the keeper mapping from dedup_fingerprint."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    keepers = (
-        d.select(
-            F.md5(F.col("text").cast("binary")).alias("fp"),
-            "doc_id",
-            F.split(F.col("text"), " ").alias("toks"),
-        )
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks"))
-    )
+    keepers = _keeper_token_docs(spark, sf_dir)
     docs = keepers.select("doc_id", shingle_hashes(F.col("toks")).alias("sh"))
     return minhash_candidates(docs)

@@ -147,11 +147,21 @@ def spread(df: DataFrame) -> DataFrame:
     single core no matter how many the cluster has. For such operators the
     one extra round-robin shuffle of the (small) input is repaid many times
     over. No-op when the scan is already wide — so at 100 TB, where the
-    input has thousands of splits, this adds nothing."""
+    input has thousands of splits, this adds nothing.
+
+    Width signal is len(inputFiles()) — file-listing metadata only. The
+    earlier df.rdd.getNumPartitions() forced a full plan→RDD conversion
+    on every construction (ADVICE r1); a file count under-estimates width
+    for huge multi-split files, but those are exactly the inputs that are
+    already wide enough not to need spreading."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
