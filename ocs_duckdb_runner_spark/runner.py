@@ -70,11 +70,37 @@ def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
     return spark.sql(to_sql(path))
 
 
-def _rest_input_metrics(spark: SparkSession) -> tuple[int, int]:
-    """(bytesRead, recordsRead) across all completed stages, from the
-    monitoring REST API — Spark's equivalent of the reference's
-    MonitoredFileSystem totals (runner.cc:147-161). Returns (0, 0) when
-    the UI is disabled."""
+def _fs_read_ops(spark: SparkSession) -> int:
+    """Total filesystem read operations across all Hadoop FileSystem
+    schemes — the analog of the reference's per-handle ranged-read counter
+    (runner.cc:89,109-117, reported at runner.cc:348). Spark's scan path
+    goes through the Hadoop FS API, whose global statistics count every
+    positioned/streamed read; in local mode (like the reference's single
+    process) driver and executors share one JVM, so the counter covers the
+    whole run. Returns 0 when the JVM statistics are unreachable."""
+    try:
+        jvm = spark.sparkContext._jvm
+        total = 0
+        it = (
+            jvm.org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics()
+            .iterator()
+        )
+        while it.hasNext():
+            stats = it.next()
+            v = stats.getLong("readOps")
+            total += int(v) if v is not None else 0
+        return total
+    except Exception:  # noqa: BLE001  (py4j/Hadoop internals unavailable)
+        return 0
+
+
+def _rest_input_metrics(spark: SparkSession) -> tuple[int, int, int]:
+    """(bytesRead, recordsRead, scanTasks) across all completed stages,
+    from the monitoring REST API — Spark's equivalent of the reference's
+    MonitoredFileSystem totals (runner.cc:147-161). scanTasks counts
+    completed tasks in input-reading stages: the per-split open that
+    stands in for a ranged read when the filesystem itself doesn't count
+    ops. Returns zeros when the UI is disabled."""
     try:
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
@@ -83,9 +109,14 @@ def _rest_input_metrics(spark: SparkSession) -> tuple[int, int]:
         return (
             sum(s.get("inputBytes", 0) for s in stages),
             sum(s.get("inputRecords", 0) for s in stages),
+            sum(
+                s.get("numCompleteTasks", 0)
+                for s in stages
+                if s.get("inputBytes", 0) > 0
+            ),
         )
     except Exception:  # noqa: BLE001  (UI off / endpoint unavailable)
-        return (0, 0)
+        return (0, 0, 0)
 
 
 class FanoutRunner:
@@ -116,32 +147,48 @@ class FanoutRunner:
         # deterministic load-balancing shuffle, seed 1 (runner.cc:392)
         sources = list(sources)
         random.Random(1).shuffle(sources)
-        b0, r0 = _rest_input_metrics(self.spark)
+        b0, r0, t0_scan = _rest_input_metrics(self.spark)
+        ops0 = _fs_read_ops(self.spark)
         # per-object queries are tiny: 32 shuffle partitions would turn each
         # group-by into 32 scheduled tasks of scheduling overhead. One
         # partition per job mirrors the reference's single-threaded
         # per-instance execution (runner.cc:200) — parallelism lives across
-        # files, exactly like its pool. Restored after the run.
+        # files, exactly like its pool. Restored after the run (finally:
+        # even an interrupt must not leave the shared session pinned to 1).
         prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", "1")
-        t0 = time.monotonic()
+        # AQE re-plans between stages — pure overhead for these fixed
+        # single-partition per-object plans (~25% of warm wall time);
+        # the reference's per-object engine is equally static
+        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         total_hits = 0
         failures: list[str] = []
         per_file: dict[str, int] = {}
-        with ThreadPoolExecutor(max_workers=self.threads) as pool:
-            for fut in [
-                pool.submit(self._run_one, (i, p)) for i, p in enumerate(sources)
-            ]:
-                try:
-                    path, hits, _dt = fut.result()
-                    per_file[path] = hits
-                    total_hits += hits
-                except Exception as ex:  # noqa: BLE001  per-task isolation (R14)
-                    failures.append(str(ex))
-                    print(f"error: {ex}", file=sys.stderr)
-        wall = time.monotonic() - t0
-        self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        b1, r1 = _rest_input_metrics(self.spark)
+        t0 = time.monotonic()
+        try:
+            with ThreadPoolExecutor(max_workers=self.threads) as pool:
+                for fut in [
+                    pool.submit(self._run_one, (i, p))
+                    for i, p in enumerate(sources)
+                ]:
+                    try:
+                        path, hits, _dt = fut.result()
+                        per_file[path] = hits
+                        total_hits += hits
+                    except Exception as ex:  # noqa: BLE001  per-task isolation (R14)
+                        failures.append(str(ex))
+                        print(f"error: {ex}", file=sys.stderr)
+            wall = time.monotonic() - t0
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        b1, r1, t1_scan = _rest_input_metrics(self.spark)
+        # filesystem-level ranged-read count when the FS tracks it (s3a —
+        # the reference's deployment, runner.cc:89); per-split scan-task
+        # count as the local-FS approximation (RawLocalFileSystem never
+        # increments readOps)
+        fs_ops = _fs_read_ops(self.spark) - ops0
         report = {
             "sources": len(sources),
             "threads": self.threads,
@@ -149,6 +196,7 @@ class FanoutRunner:
             "hits": total_hits,
             "read_bytes": b1 - b0,
             "read_records": r1 - r0,
+            "read_ops": fs_ops if fs_ops > 0 else t1_scan - t0_scan,
             "failures": len(failures),
             "per_file_hits": per_file,
         }
@@ -163,6 +211,7 @@ class FanoutRunner:
         print(f"== total threads: {rep['threads']}", file=e)
         print(f"== total query time: {rep['total_query_time_sec']} s", file=e)
         print(f"== total hits: {rep['hits']}", file=e)
+        print(f"== spark read ops: {rep['read_ops']}", file=e)
         print(f"== spark read records: {rep['read_records']}", file=e)
         b = rep["read_bytes"]
         print(
@@ -204,14 +253,38 @@ def runner_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "part_idx int, object string, hits long")
 
 
+def normalize_source(line: str) -> str:
+    """One stdin source line → a Spark-readable path. The reference's
+    README feeds quoted 's3://bucket/key' lines (README.md:74-76); Spark's
+    object-store connector is s3a, so s3:// rewrites to s3a://."""
+    src = line.strip().strip("'\"")
+    if src.startswith("s3://"):
+        src = "s3a://" + src[len("s3://") :]
+    return src
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI mirroring the reference (runner.cc:361-395): parquet object
-    paths on stdin, one per line; -j pool size; -p print result rows."""
+    paths on stdin, one per line; -j pool size; -a/-i/-k/-p the S3
+    address/access-id/secret-key/port exactly as the reference spells
+    them, mapped onto the s3a connector via session.S3Config
+    (runner.cc:205-217). Example (README.md:74):
+
+        python -m ocs_duckdb_runner_spark.runner -a 127.0.0.1 -p 9000 -j 4 <<EOF
+        's3://ocs/xx_036785.parquet'
+        EOF
+    """
     ap = argparse.ArgumentParser(
         description="fan one fixed analytical query out over parquet objects"
     )
     ap.add_argument("-j", type=int, default=4, help="pool threads (default 4)")
-    ap.add_argument("-p", action="store_true", help="print result rows")
+    ap.add_argument("-a", metavar="ADDR", default=None, help="s3 server address")
+    ap.add_argument("-i", metavar="ID", default="", help="s3 access key id")
+    ap.add_argument("-k", metavar="KEY", default="", help="s3 secret access key")
+    ap.add_argument(
+        "-p", metavar="PORT", type=int, default=9000, help="s3 port (default 9000)"
+    )
+    ap.add_argument("--print-rows", action="store_true", help="print result rows")
     ap.add_argument(
         "--split-sf-dir",
         help="instead of stdin: split this fixture dir's lineitem into "
@@ -220,10 +293,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--split-n", type=int, default=8)
     args = ap.parse_args(argv)
 
-    from ocs_duckdb_runner_spark.session import build_spark
+    from ocs_duckdb_runner_spark.session import S3Config, build_spark
 
+    s3 = None
+    if args.a:
+        s3 = S3Config(
+            endpoint=f"http://{args.a}:{args.p}",
+            access_key_id=args.i,
+            secret_access_key=args.k,
+        )
     spark = build_spark(
         app_name="ocs-duckdb-runner-spark-fanout",
+        s3=s3,
         extra_conf={
             "spark.scheduler.mode": "FAIR",
             "spark.ui.enabled": "true",  # REST metrics source (R11)
@@ -235,11 +316,11 @@ def main(argv: list[str] | None = None) -> int:
             f"{objdir}/{f}" for f in os.listdir(objdir) if f.endswith(".parquet")
         )
     else:
-        sources = [line.strip() for line in sys.stdin if line.strip()]
+        sources = [normalize_source(line) for line in sys.stdin if line.strip()]
     if not sources:
         print("no sources on stdin", file=sys.stderr)
         return 2
-    rep = FanoutRunner(spark, threads=args.j, print_rows=args.p).run(sources)
+    rep = FanoutRunner(spark, threads=args.j, print_rows=args.print_rows).run(sources)
     return 0 if rep["failures"] == 0 else 1
 
 

@@ -92,5 +92,13 @@ def build_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if s3 is not None:
+        # builder configs are silently ignored when a session already
+        # exists — push the object-store options onto the live Hadoop conf
+        # too, mirroring the reference's per-connection SETs
+        # (runner.cc:205-217)
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in s3.hadoop_options().items():
+            hconf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark

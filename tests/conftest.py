@@ -20,7 +20,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_spark(app_name="ocs-duckdb-runner-spark-tests", shuffle_partitions=8)
+    s = build_spark(
+        app_name="ocs-duckdb-runner-spark-tests",
+        shuffle_partitions=8,
+        # UI on: the fan-out runner's byte/read-op accounting reads the
+        # monitoring REST API (R11) — tests pin it, so the source must be up
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     yield s
 
 

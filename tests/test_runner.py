@@ -38,3 +38,85 @@ def test_fanout_isolates_bad_source(spark):
     rep = FanoutRunner(spark, threads=4).run(files)
     assert rep["failures"] == 1  # bad file logged, run completed (R14)
     assert rep["hits"] > 0
+
+
+def test_fanout_reports_read_ops(spark):
+    """R11: the report carries a read-op count next to bytes (reference
+    prints 'Total duckdb read ops', runner.cc:348). On local FS the
+    filesystem doesn't count ops, so the per-split scan-task count stands
+    in — one per object here."""
+    files = _sources(spark)
+    rep = FanoutRunner(spark, threads=4).run(files)
+    assert rep["read_ops"] >= len(files)
+
+
+def test_fanout_restores_session_conf_on_error(spark):
+    """Interrupted or failing runs must not leave the shared session
+    pinned to 1 shuffle partition / AQE off (ADVICE r1)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    FanoutRunner(spark, threads=2).run(["/nonexistent/a.parquet"])
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+
+def test_normalize_source_reference_stdin_forms():
+    """The reference feeds quoted 's3://bucket/key' lines on stdin
+    (README.md:74-76); s3:// maps to Spark's s3a connector."""
+    from ocs_duckdb_runner_spark.runner import normalize_source
+
+    assert normalize_source("'s3://ocs/xx_036785.parquet'\n") == (
+        "s3a://ocs/xx_036785.parquet"
+    )
+    assert normalize_source('"s3://b/k.parquet"') == "s3a://b/k.parquet"
+    assert normalize_source("/local/path.parquet") == "/local/path.parquet"
+
+
+def test_s3_cli_flags_reach_hadoop_conf(spark):
+    """-a/-i/-k/-p → S3Config → live Hadoop conf (the reference's
+    per-connection SET s3_endpoint/... , runner.cc:205-217)."""
+    from ocs_duckdb_runner_spark.session import S3Config, build_spark
+
+    build_spark(
+        s3=S3Config(
+            endpoint="http://127.0.0.1:9000",
+            access_key_id="id",
+            secret_access_key="key",
+        )
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://127.0.0.1:9000"
+    assert hconf.get("fs.s3a.access.key") == "id"
+    assert hconf.get("fs.s3a.secret.key") == "key"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_s3a_fanout_smoke(spark):
+    """End-to-end fan-out against a live object store. Gated: needs a
+    reachable endpoint (OCS_S3_TEST_ENDPOINT=host:port, bucket 'ocs' with
+    lineitem-schema objects) and the hadoop-aws jars on the classpath —
+    neither ships in this container, so CI skips; the wiring below it is
+    covered by the conf + normalize tests above."""
+    import os
+
+    import pytest
+
+    endpoint = os.environ.get("OCS_S3_TEST_ENDPOINT")
+    if not endpoint:
+        pytest.skip("no OCS_S3_TEST_ENDPOINT configured")
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        )
+    except Exception:
+        pytest.skip("hadoop-aws not on classpath")
+    from ocs_duckdb_runner_spark.runner import normalize_source
+    from ocs_duckdb_runner_spark.session import S3Config, build_spark
+
+    host, _, port = endpoint.partition(":")
+    s = build_spark(s3=S3Config(endpoint=f"http://{host}:{port or 9000}"))
+    keys = os.environ.get("OCS_S3_TEST_OBJECTS", "s3://ocs/lineitem.parquet")
+    files = [normalize_source(k) for k in keys.split(",")]
+    rep = FanoutRunner(s, threads=4).run(files)
+    assert rep["failures"] == 0
+    assert rep["read_bytes"] > 0  # byte accounting exercised over s3a
