@@ -207,12 +207,16 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     return out
 
 
-@query("dedup_minhash", oracle=None, tags=("llm", "dedup", "minhash"))
+@query("dedup_minhash", oracle=None, tags=("llm", "dedup", "minhash", "didactic"))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs over documents (signature →
-    bands → bucket join). Hash values are engine-specific → rows-only
-    check here; recall/precision semantics are locked by
-    tests/test_dedup.py on planted near-duplicates."""
+    """DIDACTIC baseline: MinHash-LSH near-dup candidate pairs over ALL
+    documents (signature → bands → bucket join). Like dedup_ngram_jaccard,
+    the candidate-pair output grows quadratically with exact-duplicate
+    multiplicity (every copy collides in every band) — production minhash
+    is dedup_minhash_unique, which collapses exact copies first. Hash
+    values are engine-specific → rows-only check here; recall/precision
+    semantics are locked by tests/test_dedup.py on planted
+    near-duplicates."""
     return minhash_candidates(_doc_shingle_hashes(spark, sf_dir))
 
 
@@ -456,6 +460,107 @@ _SQL_JACCARD_PAIRS = f"""
 """
 
 
+# Edge sets at or below this row count are resolved with driver-side
+# union-find instead of the distributed fix-point loop: 1M (src, dst) long
+# pairs is ~16 MB — broadcast-class, the same size regime where Spark
+# itself abandons a distributed join for a broadcast. Below it, every
+# propagation round costs ~0.6 s of Catalyst re-analysis + codegen compile
+# (measured on a 241-edge graph: the round's JOB is microseconds) while
+# union-find on the driver is microseconds total.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side connected components: min-id label per edge-touching
+    node. Path-halving union-find, then a second pass re-rooting so every
+    node maps to the MINIMUM id in its component (union by arbitrary root
+    does not guarantee min-root)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # path compression for x itself
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
+    """Distributed min-label propagation to fixpoint over an (src, dst)
+    edge frame (both directions present) — the standard large-scale CC
+    formulation; rounds ≤ graph diameter, and near-dup clusters are
+    low-diameter. Returns (doc_id, lbl) for every edge-touching node.
+
+    Exchange width is the caller's (sized from the edge count, not the
+    session's corpus-sized shuffle partitions). Edges are hash-partitioned
+    by src once; each round's labels come out of a groupBy at the same
+    width, so the src=doc_id join needs NO exchange on either side and a
+    round is ONE exchange (the dst re-key) + ONE job — the changed count
+    rides in the materializing aggregate instead of a separate
+    compare-join action. AQE is paused inside the loop (and restored):
+    the plan is deliberately static, and per-round re-planning would both
+    cost time and re-break the co-partitioning."""
+    spark = edges_src_dst.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = edges_src_dst.repartition(width, "src").persist()
+        cached = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("lbl"))
+            .persist()
+        )
+        labels = cached
+        for _ in range(30):  # ≥ graph diameter; convergence check exits early
+            nbr = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            merged = (
+                labels.join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                    (F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl"))
+                    .cast("long")
+                    .alias("chg"),
+                )
+                .persist()
+            )
+            # single action per round: materializes the new labels into
+            # cache AND returns the change count
+            changed = merged.agg(F.sum("chg")).first()[0]
+            cached.unpersist()
+            cached = merged
+            labels = merged.select("doc_id", "lbl")
+            if not changed:
+                break
+        # pin the surviving labels outside the loop-scoped conf: the
+        # caller's corpus-sized joins must run at the session's width
+        out = labels.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    cached.unpersist()
+    edges.unpersist()
+    return out
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -494,17 +599,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic intra-cluster pair term is gone, so the oracle (a recursive
     CTE over the all-docs pair set) is unchanged.
 
-    Spark side is genuinely iterative (min-label propagation to fixpoint —
-    the standard large-scale CC formulation; rounds ≤ graph diameter, and
-    near-dup clusters are low-diameter). Propagation runs ONLY over nodes
-    that touch an edge — every other doc trivially keeps its own label, so
-    at 100 TB the per-round shuffle is the (tiny) near-dup node set, not
-    the corpus. Each round is ONE job: the changed count rides in the
-    materializing aggregate instead of a separate compare-join action;
-    AQE coalesces the per-round shuffles to the node set's actual size.
-    Final membership for collapsed exact copies is recovered through the
-    fingerprint map (doc → keeper → cluster), whose scan is shared with
-    keeper selection."""
+    Component resolution is SIZE-GATED, the same way Spark itself gates
+    broadcast vs shuffled joins: the near-dup edge set is orders of
+    magnitude smaller than the corpus, and when it fits the driver
+    (≤ DRIVER_CC_MAX_EDGES ≈ 16 MB of id pairs) union-find resolves it in
+    one collect of the already-checkpointed pair frame — a distributed
+    fix-point loop would pay ~0.6 s of Catalyst re-analysis + codegen per
+    round to schedule microsecond jobs. Above the gate (corpus-scale dup
+    graphs) the genuinely iterative distributed path
+    (:func:`_propagate_min_label`) runs, its exchange width sized from the
+    edge count. Either way the per-round/collect payload is the near-dup
+    node set, never the corpus, and the final membership for collapsed
+    exact copies is recovered through the fingerprint map
+    (doc → keeper → cluster), whose scan is shared with keeper
+    selection."""
     d = load_table(spark, sf_dir, "documents")
     # ONE fingerprint scan shared by keeper selection and final mapping
     fp_map = d.select(
@@ -517,44 +625,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     )
     keeper_pairs = _jaccard_from_tokens(keepers).select("doc_a", "doc_b")
-    und = keeper_pairs.toDF("src", "dst")
-    edges = und.union(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    cached = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("lbl"))
-        .persist()
-    )
-    labels = cached
-    for _ in range(20):  # ≥ graph diameter; convergence check exits early
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+    # one cheap action on the checkpointed pair frame decides the path AND
+    # (small case) already delivers the edges — no separate count() job
+    head = keeper_pairs.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(head) <= DRIVER_CC_MAX_EDGES:
+        lbl_map = _union_find_labels([(r[0], r[1]) for r in head])
+        labels = F.broadcast(
+            spark.createDataFrame(
+                list(lbl_map.items()) or [(None, None)], "doc_id long, lbl long"
+            ).filter(F.col("doc_id").isNotNull())
         )
-        merged = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-                (F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl"))
-                .cast("long")
-                .alias("chg"),
-            )
-            .persist()
+    else:
+        n_pairs = keeper_pairs.count()  # cached-RDD scan, not a recompute
+        width = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, 1 + n_pairs // 100_000),
         )
-        # single action per round: materializes the new labels into cache
-        # AND returns the change count
-        changed = merged.agg(F.sum("chg")).first()[0]
-        cached.unpersist()
-        cached = merged
-        labels = merged.select("doc_id", "lbl")
-        if not changed:
-            break
+        und = keeper_pairs.toDF("src", "dst")
+        edges = und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        labels = _propagate_min_label(edges, width)
     # doc → keeper (exact-copy collapse) → propagated cluster label;
     # docs whose keeper never touched an edge keep the keeper's id
     cluster = F.coalesce(F.col("lbl"), F.col("keeper"))
@@ -568,8 +659,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    cached.unpersist()
-    edges.unpersist()
     fp_map.unpersist()
     return out
 

@@ -95,3 +95,31 @@ def test_cluster_transitivity(spark, tmp_path):
     assert got[2] == (1, False)
     assert got[3] == (1, False)  # transitive closure pulled c into 1
     assert got[9] == (9, True)   # singleton keeps itself
+
+
+def test_union_find_min_root():
+    """Driver-side CC labels every node with the MINIMUM id in its
+    component regardless of edge order (union by arbitrary root does not
+    guarantee this without the re-root pass)."""
+    from ocs_duckdb_runner_spark.llm.dedup import _union_find_labels
+
+    # chain presented max-first, plus a separate component
+    lbl = _union_find_labels([(9, 7), (7, 5), (5, 3), (3, 1), (20, 10)])
+    assert lbl == {9: 1, 7: 1, 5: 1, 3: 1, 1: 1, 20: 10, 10: 10}
+
+
+def test_propagate_min_label_matches_union_find(spark):
+    """The distributed fix-point path (used above DRIVER_CC_MAX_EDGES)
+    agrees with driver union-find on a multi-hop chain — a graph whose
+    diameter forces several propagation rounds."""
+    from ocs_duckdb_runner_spark.llm.dedup import (
+        _propagate_min_label,
+        _union_find_labels,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = [(i, i + 1) for i in range(1, 8)] + [(100, 101), (101, 102)]
+    und = spark.createDataFrame(pairs, "src long, dst long")
+    edges = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {r.doc_id: r.lbl for r in _propagate_min_label(edges, width=2).collect()}
+    assert got == _union_find_labels(pairs)
