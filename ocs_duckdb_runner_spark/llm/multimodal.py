@@ -2,12 +2,13 @@
 opaque ``binary`` columns with typed metadata, plus decode / feature-extract
 / frame-sample operators.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features behind a clearly-marked gate; the real decoder
-raises NotImplementedError) — but the Spark-side plumbing is real and
-tested: binary column construction, schema contracts, Arrow batch shape
-through mapInPandas, and partition-parallel frame sampling. Swapping the
-fake for Pillow/ffmpeg is a one-function change.
+The environment ships no media libraries, so the codec implemented here is
+binary Netpbm (P5 grayscale / P6 RGB) — a real public image format simple
+enough to both ENCODE (JVM-side, so containers exist without external
+fixtures) and DECODE (regex header parse + numpy pixel stats) without any
+dependency, which makes the full encode → Arrow → parse → stats path
+oracle-checkable byte-for-byte. Heavier codecs (jpeg/wav/mp4 via
+Pillow/ffmpeg) would slot into the same mapInPandas batch contract.
 
 The fixtures carry no binary columns, so payloads are derived
 deterministically from documents.text (utf-8 bytes) — the plumbing is
@@ -16,8 +17,10 @@ identical to real media bytes.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,48 +106,158 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> dict:
-    """REAL decoder entry point — intentionally unimplemented: the
-    container ships no codecs. Swap in Pillow/torchaudio/ffmpeg here."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "mm_decode_features uses the deterministic stub instead"
+# Netpbm header: magic, whitespace-separated width/height/maxval, ONE
+# whitespace byte, then raw pixel data — the real P5/P6 grammar.
+_PNM_HEADER = re.compile(rb"^(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s")
+# every 17th doc gets a deliberately over-declared height: a truncated
+# container, so the decoder's malformed-input path is exercised (and
+# oracle-checked) instead of merely existing
+_CORRUPT_EVERY = 17
+
+
+def decode_pnm(buf: bytes) -> dict:
+    """REAL decoder for binary Netpbm images (P5 grayscale / P6 RGB):
+    parse the ASCII header, then numpy over the raw pixel bytes —
+    np.frombuffer + vectorized stats, no per-byte Python. Raises
+    ValueError on a non-PNM payload (how a real codec surfaces junk
+    bytes). Truncated pixel data (header promises more than the buffer
+    holds) is decoded as far as it goes and flagged — the lenient mode a
+    bulk media pipeline wants, vs erroring out a whole batch."""
+    m = _PNM_HEADER.match(buf)
+    if not m:
+        raise ValueError("not a PNM (P5/P6) payload")
+    fmt = m.group(1).decode()
+    width, height, maxval = (int(m.group(i)) for i in (2, 3, 4))
+    channels = 3 if fmt == "P6" else 1
+    n_expected = width * height * channels
+    px = np.frombuffer(buf, dtype=np.uint8, offset=m.end())[:n_expected]
+    chan = [
+        float(px[k::channels].mean()) if px[k::channels].size else 0.0
+        for k in range(channels)
+    ]
+    return {
+        "fmt": fmt,
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_px": int(px.size),
+        "truncated": px.size < n_expected,
+        "mean_px": float(px.mean()) if px.size else 0.0,
+        "max_px": int(px.max()) if px.size else 0,
+        "c0_mean": chan[0],
+        "c1_mean": chan[1] if channels == 3 else 0.0,
+        "c2_mean": chan[2] if channels == 3 else 0.0,
+    }
+
+
+def _decode_pnm_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode: one decode_pnm per payload (variable-length
+    buffers can't cross-row vectorize), numpy-vectorized within each
+    payload."""
+    cols = (
+        "fmt width height maxval n_px truncated mean_px max_px "
+        "c0_mean c1_mean c2_mean"
+    ).split()
+    for pdf in it:
+        feats = [decode_pnm(bytes(b)) for b in pdf["payload"]]
+        out = {"doc_id": pdf["doc_id"]}
+        out.update({c: [f[c] for f in feats] for c in cols})
+        yield pd.DataFrame(out)
+
+
+def _with_pnm_payload(df: DataFrame) -> DataFrame:
+    """Encode each document's bytes as a REAL binary Netpbm container,
+    JVM-side: doc_id parity picks P5 (1 channel) or P6 (RGB), width
+    4+doc_id%8, height = floor(byte_len / (width*channels)) so the pixel
+    plane fills from the text bytes. Every _CORRUPT_EVERY-th doc
+    over-declares height by 1 — a truncated file, on purpose."""
+    blen = F.octet_length(F.col("text").cast("binary"))
+    c = F.when(F.col("doc_id") % 2 == 1, F.lit(3)).otherwise(F.lit(1))
+    w = (F.lit(4) + F.col("doc_id") % 8).cast("int")
+    h = F.greatest(F.lit(1), F.floor(blen / (w * c))).cast("int") + F.when(
+        F.col("doc_id") % _CORRUPT_EVERY == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    header = F.concat_ws(
+        "",
+        F.when(c == 3, F.lit("P6")).otherwise(F.lit("P5")),
+        F.lit("\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return df.select(
+        "doc_id",
+        F.concat(
+            header.cast("binary"),
+            F.substring(F.col("text").cast("binary"), 1, w * h * c),
+        ).alias("payload"),
+        F.when(c == 3, F.lit("image/x-portable-pixmap"))
+        .otherwise(F.lit("image/x-portable-graymap"))
+        .alias("mime"),
     )
 
 
-def _fake_decode_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in feature extractor with the SAME Arrow batch
-    shape a real decoder would have: payload bytes in → fixed-width
-    feature row out (byte stats + 4-bin histogram)."""
-    for pdf in it:
-        payloads = pdf["payload"]
-        rows = {
-            "doc_id": pdf["doc_id"],
-            "n_bytes": payloads.map(len).astype("int64"),
-            "mean_byte": payloads.map(
-                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-            ),
-            "hist_q1": payloads.map(lambda b: sum(1 for x in b if x < 64)),
-            "hist_q2": payloads.map(lambda b: sum(1 for x in b if 64 <= x < 128)),
-            "hist_q3": payloads.map(lambda b: sum(1 for x in b if 128 <= x < 192)),
-            "hist_q4": payloads.map(lambda b: sum(1 for x in b if x >= 192)),
-        }
-        yield pd.DataFrame(rows)
-
-
-@query("mm_decode_features", oracle=None, tags=("llm", "multimodal", "stub"))
+@query(
+    "mm_decode_features",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS blen,
+             CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS c,
+             4 + doc_id % 8 AS w
+      FROM documents),
+    q AS (
+      SELECT *, greatest(1, CAST(floor(blen / (w * c)) AS BIGINT))
+                + CASE WHEN doc_id % {_CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END AS h
+      FROM p),
+    r AS (SELECT *, least(blen, w * h * c) AS n_px, w * h * c AS n_exp FROM q),
+    px AS (
+      SELECT r.doc_id, r.c, i,
+             ord(substring(r.text, CAST(i AS INT), 1)) AS v
+      FROM r, unnest(generate_series(1, r.n_px)) AS t(i)),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_px,
+             avg(v) AS mean_px,
+             CAST(max(v) AS INTEGER) AS max_px,
+             avg(v) FILTER ((i - 1) % c = 0) AS c0_mean,
+             CASE WHEN any_value(c) = 3
+                  THEN avg(v) FILTER ((i - 1) % c = 1)
+                  ELSE 0.0 END AS c1_mean,
+             CASE WHEN any_value(c) = 3
+                  THEN avg(v) FILTER ((i - 1) % c = 2)
+                  ELSE 0.0 END AS c2_mean
+      FROM px GROUP BY doc_id)
+    SELECT r.doc_id,
+           CASE WHEN r.c = 3 THEN 'P6' ELSE 'P5' END AS fmt,
+           CAST(r.w AS INTEGER) AS width,
+           CAST(r.h AS INTEGER) AS height,
+           255 AS maxval,
+           a.n_px,
+           r.n_px < r.n_exp AS truncated,
+           a.mean_px, a.max_px, a.c0_mean, a.c1_mean, a.c2_mean
+    FROM r JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract via mapInPandas (Arrow batch iterator) — the
-    real plumbing for a codec UDF: binary in, fixed-schema features out,
-    partition-parallel. Decode itself is the deterministic stub
-    (_fake_decode_features); decode_image is the marked real entry point."""
+    """Decode + feature-extract over binary image payloads via mapInPandas
+    — with a REAL codec: payloads are binary Netpbm (P5/P6) containers
+    built JVM-side from the fixture bytes, and decode_pnm parses the
+    actual header grammar and runs numpy over the raw pixel plane
+    (dimensions, channel means, truncation detection). The oracle rebuilds
+    the same features from byte arithmetic in DuckDB, so the whole
+    encode → Arrow batch → parse → vectorized-stats path is hash-checked,
+    including deliberately truncated containers. Swapping decode_pnm for
+    Pillow/ffmpeg keeps the identical batch contract."""
     d = load_table(spark, sf_dir, "documents")
-    p = _with_payload(d)
+    p = _with_pnm_payload(d)
     return p.mapInPandas(
-        _fake_decode_features,
+        _decode_pnm_features,
         schema=(
-            "doc_id long, n_bytes long, mean_byte double, "
-            "hist_q1 long, hist_q2 long, hist_q3 long, hist_q4 long"
+            "doc_id long, fmt string, width int, height int, maxval int, "
+            "n_px long, truncated boolean, mean_px double, max_px int, "
+            "c0_mean double, c1_mean double, c2_mean double"
         ),
     )
 

@@ -1,0 +1,37 @@
+"""Codec tests: decode_pnm is a real Netpbm parser — pin its grammar
+handling (P5/P6, truncation, junk input) independently of the Spark
+plumbing, which the driver oracle covers end-to-end."""
+
+import numpy as np
+import pytest
+
+from ocs_duckdb_runner_spark.llm.multimodal import decode_pnm
+
+
+def test_decode_p5_grayscale():
+    px = bytes(range(6))
+    f = decode_pnm(b"P5\n3 2\n255\n" + px)
+    assert (f["fmt"], f["width"], f["height"], f["maxval"]) == ("P5", 3, 2, 255)
+    assert f["n_px"] == 6 and not f["truncated"]
+    assert f["mean_px"] == np.mean(list(px))
+    assert f["max_px"] == 5
+    assert f["c0_mean"] == f["mean_px"] and f["c1_mean"] == 0.0
+
+
+def test_decode_p6_rgb_channel_means():
+    # 2x1 RGB: pixels (10,20,30) and (40,60,80)
+    f = decode_pnm(b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 60, 80]))
+    assert f["fmt"] == "P6" and f["n_px"] == 6
+    assert (f["c0_mean"], f["c1_mean"], f["c2_mean"]) == (25.0, 40.0, 55.0)
+
+
+def test_decode_truncated_flagged():
+    # header promises 4x4 but only 5 pixel bytes follow
+    f = decode_pnm(b"P5\n4 4\n255\n" + bytes([1, 2, 3, 4, 5]))
+    assert f["truncated"] and f["n_px"] == 5
+    assert f["mean_px"] == 3.0
+
+
+def test_decode_rejects_non_pnm():
+    with pytest.raises(ValueError):
+        decode_pnm(b"\x89PNG\r\n\x1a\nnot a pnm")
