@@ -1,0 +1,105 @@
+"""Text embedding via Arrow-batched mapInPandas (SURVEY.md §2c follow-on):
+the one LLM-pipeline staple that inherently lives on the Python side of the
+Arrow boundary — a per-batch encoder producing a fixed-width vector column.
+
+The encoder here is the feature-hashing trick (Weinberger et al.: hash each
+token into one of D signed buckets, sum, L2-normalize) — deterministic and
+md5-based, so the SAME arithmetic is expressible in DuckDB and the whole
+Arrow round trip (text batches in → vector column out) is hash-checked,
+exactly the way a real sentence-encoder swap-in would be validated on a
+sample. Exactness: bucket sums are integers (exact), the L2 norm is one
+sqrt and one divide per component — IEEE-correctly-rounded on both
+engines, so no rounding fudge is needed.
+
+Batch shape is the real knob at scale: mapInPandas receives Arrow batches
+of up to spark.sql.execution.arrow.maxRecordsPerBatch rows (default 10k).
+A transformer encoder wants batches sized to device memory (hundreds of
+rows); this hash encoder wants them as LARGE as fits in heap, since its
+cost per batch is one Python dispatch + a vocabulary-cached hash per
+token. See SCALING.md for measurements.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ocs_duckdb_runner_spark.registry import load_table, query, spread
+
+EMBED_BUCKETS = 8  # D: output dimensionality of the hashed embedding
+
+
+@lru_cache(maxsize=1 << 16)
+def _token_bucket_sign(tok: str) -> tuple[int, int]:
+    """(bucket, sign) from the first two hex chars of md5(token) — the
+    exact arithmetic the DuckDB oracle mirrors with strpos over the hex
+    string. Cached: real corpora hit a head-heavy vocabulary, so the md5
+    runs once per distinct token per executor, not once per occurrence."""
+    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+    return int(h[0], 16) % EMBED_BUCKETS, 1 if int(h[1], 16) % 2 == 0 else -1
+
+
+def _embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One Arrow batch in → one batch of L2-normalized vectors out.
+    Bucket accumulation is a numpy int matrix (exact); the normalize is
+    vectorized across the whole batch."""
+    for pdf in it:
+        mat = np.zeros((len(pdf), EMBED_BUCKETS), dtype=np.int64)
+        for i, text in enumerate(pdf["text"]):
+            for tok in text.split(" "):
+                b, s = _token_bucket_sign(tok)
+                mat[i, b] += s
+        norm = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1))
+        safe = np.where(norm == 0.0, 1.0, norm)
+        emb = mat.astype(np.float64) / safe[:, None]
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "embedding": list(emb)}
+        )
+
+
+def _oracle_sql() -> str:
+    """Generated oracle: 8 pivoted signed-count columns, then the same
+    sqrt/divide. strpos('0123456789abcdef', ch)-1 is hex-digit value."""
+    hexval = "strpos('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1"
+    b = hexval.format(pos=1)
+    s = hexval.format(pos=2)
+    sgn = f"CASE WHEN ({s}) % 2 = 0 THEN 1 ELSE -1 END"
+    raws = ",\n             ".join(
+        f"CAST(sum(CASE WHEN ({b}) % {EMBED_BUCKETS} = {d} "
+        f"THEN {sgn} ELSE 0 END) AS BIGINT) AS r{d}"
+        for d in range(EMBED_BUCKETS)
+    )
+    sq = " + ".join(f"r{d} * r{d}" for d in range(EMBED_BUCKETS))
+    comps = ", ".join(
+        f"CASE WHEN nrm = 0 THEN 0.0 ELSE r{d} / nrm END"
+        for d in range(EMBED_BUCKETS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    agg AS (
+      SELECT doc_id,
+             {raws}
+      FROM tok GROUP BY doc_id),
+    n AS (SELECT *, sqrt(CAST({sq} AS DOUBLE)) AS nrm FROM agg)
+    SELECT doc_id, [{comps}] AS embedding FROM n
+    """
+
+
+@query("text_embedding", oracle=_oracle_sql(), tags=("llm", "text", "embedding", "arrow"))
+def text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based text embedding (feature hashing, D=8, L2-normalized) as
+    an Arrow-batched mapInPandas encoder — the batch contract a real
+    sentence encoder uses: text column in, array<double> vector column
+    out, partition-parallel, no shuffle. The md5 arithmetic is mirrored
+    in the DuckDB oracle, so the vector values (not just shapes) are
+    hash-checked through the Arrow boundary."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "text").mapInPandas(
+        _embed_batches, schema="doc_id long, embedding array<double>"
+    )
