@@ -395,7 +395,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_from_tokens(_doc_token_frame(spark, sf_dir))
 
 
-FUZZY_BLOCK_CHARS = 16  # blocking key: first chars of normalized text
+FUZZY_BLOCK_CHARS = 16  # blocking key part 1: first chars of the text
+FUZZY_LEN_BUCKET = 16  # blocking key part 2: length(text) DIV this
+FUZZY_MAX_BLOCK = 64  # blocks bigger than this are boilerplate — dropped
 FUZZY_PREFIX = 40  # edit distance compared over this prefix
 FUZZY_MAX_DIST = 5
 
@@ -404,35 +406,71 @@ FUZZY_MAX_DIST = 5
     "dedup_fuzzy_levenshtein",
     oracle=f"""
     WITH n AS (SELECT doc_id,
-                      substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk,
+                      substr(text, 1, {FUZZY_BLOCK_CHARS}) AS pre,
+                      length(text) // {FUZZY_LEN_BUCKET} AS lb,
                       substr(text, 1, {FUZZY_PREFIX}) AS head
-               FROM documents)
+               FROM documents),
+    small AS (
+      SELECT n.* FROM n
+      JOIN (SELECT pre, lb FROM n GROUP BY pre, lb
+            HAVING count(*) <= {FUZZY_MAX_BLOCK}) ok
+      USING (pre, lb)),
+    probes AS (
+      SELECT doc_id, pre, head, unnest([lb - 1, lb, lb + 1]) AS pa
+      FROM small)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
-    FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    FROM probes a JOIN small b
+      ON a.pre = b.pre AND a.pa = b.lb AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}
     """,
     tags=("llm", "dedup", "fuzzy"),
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (edit-distance) near-dup pairs with BLOCKING — the classic
-    record-linkage shape: docs only meet if they share a blocking key
-    (first {16} chars), then Levenshtein over a bounded prefix confirms.
-    Blocking turns O(n²) comparisons into per-block O(b²) with b ≪ n, and
-    the quadratic-cost levenshtein runs on a fixed 40-char prefix, so
-    per-pair cost is bounded — both essential at corpus scale. Exact
-    integer distances ⇒ oracle-checked."""
+    """Fuzzy (edit-distance) near-dup pairs with CAPPED blocking — the
+    record-linkage shape hardened for real corpora: docs meet only if
+    they share BOTH a prefix block (first 16 chars) and the same-or-
+    adjacent length bucket (length DIV 16; each doc probes buckets
+    lb−1..lb+1 so true pairs straddling a boundary still meet — edit
+    distance ≤ 5 bounds length skew well under one bucket). Blocks
+    larger than FUZZY_MAX_BLOCK docs are discarded outright: a prefix
+    shared by hundreds of docs is boilerplate (headers, templates), not
+    duplication evidence, and it is exactly the case that re-creates
+    O(b²) pairs inside plain prefix blocking (ADVICE r1). Per-doc work
+    is now ≤ 3 buckets × ≤ 64 candidates — linear by construction.
+    Levenshtein runs on a fixed 40-char prefix so per-pair cost is
+    bounded. Exact integer distances ⇒ oracle-checked."""
     d = spread(load_table(spark, sf_dir, "documents"))
     n = d.select(
         "doc_id",
-        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("pre"),
+        F.floor(F.length("text") / FUZZY_LEN_BUCKET).alias("lb"),
         F.substring("text", 1, FUZZY_PREFIX).alias("head"),
     )
-    a, b = n.alias("a"), n.alias("b")
+    ok = (
+        n.groupBy("pre", "lb")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= FUZZY_MAX_BLOCK)
+        .select("pre", "lb")
+    )
+    small = n.join(ok, ["pre", "lb"], "semi")
+    probes = small.select(
+        "doc_id",
+        "pre",
+        "head",
+        F.explode(
+            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+        ).alias("pa"),
+    )
+    a, b = probes.alias("a"), small.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.pre") == F.col("b.pre"))
+            & (F.col("a.pa") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -123,3 +123,44 @@ def test_propagate_min_label_matches_union_find(spark):
     edges = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     got = {r.doc_id: r.lbl for r in _propagate_min_label(edges, width=2).collect()}
     assert got == _union_find_labels(pairs)
+
+
+def test_fuzzy_hot_block_bounded(spark, tmp_path):
+    """A boilerplate prefix shared by a pile of same-length docs must NOT
+    recreate O(b^2) pairs (the block is dropped as non-discriminative),
+    while genuine near-dups elsewhere — including a pair straddling a
+    length-bucket boundary — are still found."""
+    from ocs_duckdb_runner_spark.llm.dedup import (
+        FUZZY_LEN_BUCKET,
+        FUZZY_MAX_BLOCK,
+        dedup_fuzzy_levenshtein,
+    )
+
+    boiler = "COMMON-HEADER-XY"  # 16 chars: one shared prefix block
+    assert len(boiler) == 16
+    rows = []
+    # hot block: FUZZY_MAX_BLOCK+20 docs, same prefix, same length bucket
+    for i in range(FUZZY_MAX_BLOCK + 20):
+        t = boiler + f" body {i:04d} " + "z" * 40
+        rows.append((i, t, "en", "s", len(t)))
+    # genuine near-dup pair, rare prefix, same bucket
+    a = "RARE-PREFIX-ONE! " + "q" * 50
+    b = a[:-1] + "r"  # 1 edit
+    rows += [(1000, a, "en", "s", len(a)), (1001, b, "en", "s", len(b))]
+    # near-dup pair straddling a length-bucket boundary: lengths K*16-1
+    # and K*16+2 land in adjacent buckets; heads differ by 3 edits
+    base = "BOUNDARY-PAIR-AB " + "m" * 100
+    c = base[: 6 * FUZZY_LEN_BUCKET - 1]
+    d = (base + "mmm")[: 6 * FUZZY_LEN_BUCKET + 2]
+    assert len(c) // FUZZY_LEN_BUCKET + 1 == len(d) // FUZZY_LEN_BUCKET
+    rows += [(2000, c, "en", "s", len(c)), (2001, d, "en", "s", len(d))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{p}/documents.parquet")
+
+    got = {(r.doc_a, r.doc_b) for r in dedup_fuzzy_levenshtein(spark, p).collect()}
+    assert (1000, 1001) in got        # rare-prefix pair found
+    assert (2000, 2001) in got        # adjacency probe caught the straddle
+    assert all(x >= 1000 for pair in got for x in pair)  # hot block: 0 pairs
