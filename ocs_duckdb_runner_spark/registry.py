@@ -174,15 +174,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default; we read it as a long (nanosAsLong) and truncate to the session
     µs TimestampType so every downstream query sees a native timestamp —
     the same truncation the oracle applies with CAST(ts AS TIMESTAMP).
+
+    Session side effect (API boundary): the session time zone is pinned to
+    UTC — oracle parity is only defined under UTC timestamp semantics
+    (DuckDB is UTC-naive), and it must hold even when the caller's session
+    was built elsewhere (e.g. the driver's own SparkSession). The
+    nanosAsLong legacy flag, by contrast, is scoped to the events read and
+    restored: it changes how ANY later ns-timestamp parquet in the same
+    session is typed, which is not this function's call to make (ADVICE
+    r1). Scoping is sound because the flag is consulted when
+    ``spark.read.parquet`` resolves the schema, not at execution time.
     """
-    # oracle parity holds only under UTC timestamp semantics (DuckDB is
-    # UTC-naive); enforce it even when the caller's session was built
-    # elsewhere (e.g. the driver's own SparkSession)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
