@@ -218,3 +218,345 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_e4").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                AS BIGINT) AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("analytics", "tpch", "filter", "agg"),
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): pure scan → conjunctive
+    filter → ungrouped sum. The whole predicate (date range + discount band
+    + quantity cap) pushes to the parquet scan, so at 100 TB this reads only
+    row groups whose min/max stats overlap the band — no shuffle at all; the
+    single-row answer is a partial-agg + one-row final merge.
+
+    Exactness: l_extendedprice (2 dp) × l_discount (2 dp) has exactly 4
+    decimals — round(x*1e4) is an integer, and integer sums are
+    order-independent across any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(disc_rev).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum({_REV}) FILTER (WHERE n2.n_name = 'NATION_5') AS BIGINT)
+               AS nation_rev_e4,
+           CAST(sum({_REV}) AS BIGINT) AS total_rev_e4,
+           CAST(sum({_REV}) FILTER (WHERE n2.n_name = 'NATION_5') AS DOUBLE)
+               / CAST(sum({_REV}) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY year(o.o_orderdate)
+    ORDER BY o_year
+    """,
+    tags=("analytics", "tpch", "join", "star"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of all revenue sold into the
+    ASIA region, the fraction supplied by NATION_5, per order-year. Two
+    distinct roles for ``nation`` (customer side and supplier side) — the
+    same dim broadcast twice under different aliases. The share is a ratio
+    of two order-independent integer sums; dividing the same two BIGINTs as
+    doubles is one IEEE op, bit-identical on both engines.
+
+    100 TB plan: region/nation/supplier broadcast; the fact chain
+    lineitem→orders→customer shuffles on join keys only, and the final
+    group-by is on ~7 distinct years — a near-free exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_rev = F.when(F.col("n2.n_name") == "NATION_5", _rev_e4())
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nation_rev).alias("nation_rev_e4"),
+            F.sum(_rev_e4()).alias("total_rev_e4"),
+            (
+                F.sum(nation_rev).cast("double")
+                / F.sum(_rev_e4()).cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("analytics", "tpch", "join", "agg"),
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): LEFT join with an
+    extra non-key predicate INSIDE the join condition (not a post-filter —
+    that would drop the zero-order customers), per-customer order count
+    including zeros, then the distribution of those counts. Two chained
+    aggregations: the first shuffles on c_custkey, the second on the tiny
+    c_count domain (≤ tens of values) — the classic wide-then-narrow
+    re-aggregation whose second exchange is negligible at any scale."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q17_small_qty",
+    oracle=f"""
+    WITH lines AS (
+        SELECT l.l_partkey, {_REV} AS rev_e4,
+               CAST(round(l.l_quantity * 100) AS BIGINT) AS q_e2
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+    ), win AS (
+        SELECT rev_e4, q_e2,
+               sum(q_e2) OVER (PARTITION BY l_partkey) AS sum_q_e2,
+               count(*) OVER (PARTITION BY l_partkey) AS n_part_lines
+        FROM lines
+    )
+    SELECT CAST(sum(rev_e4) AS BIGINT) AS small_qty_rev_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM win
+    WHERE 5 * n_part_lines * q_e2 < sum_q_e2
+    """,
+    tags=("analytics", "tpch", "window", "join"),
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from lines
+    whose quantity is below 20% of the per-part average, for one brand.
+    The correlated AVG subquery is expressed as a window over l_partkey —
+    one shuffle on partkey instead of a self-join (half the scans). The
+    fractional comparison q < sum/(5n) is cross-multiplied to
+    5·n·q_e2 < sum_q_e2 — pure integer arithmetic, no division, exact on
+    both engines.
+
+    100 TB plan: the brand filter broadcasts (part is a dim); the window
+    shuffle keys on l_partkey which is high-cardinality and unskewed, and
+    AQE coalesces the post-filter partitions."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    )
+    q_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    w = Window.partitionBy("l_partkey")
+    lines = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        _rev_e4().alias("rev_e4"),
+        q_e2.alias("q_e2"),
+    )
+    win = lines.select(
+        "rev_e4",
+        "q_e2",
+        F.sum("q_e2").over(w).alias("sum_q_e2"),
+        F.count(F.lit(1)).over(w).alias("n_part_lines"),
+    )
+    return (
+        win.filter(5 * F.col("n_part_lines") * F.col("q_e2") < F.col("sum_q_e2"))
+        .agg(
+            F.sum("rev_e4").alias("small_qty_rev_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_e2,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_e2
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d'), o.o_totalprice
+    ORDER BY totalprice_e2 DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("analytics", "tpch", "subquery", "topk"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds a threshold, joined back to customer, top-100 by
+    price. The IN-subquery is an aggregate-then-semi-join: Spark computes
+    the qualifying keyset with a partial-agg pipeline and semi-joins it
+    into the fact — at 100 TB the keyset is a vanishing fraction of orders
+    (AQE turns the semi join into a broadcast automatically when it fits).
+    Quantities are e2 fixed-point so the HAVING threshold is an exact
+    integer comparison."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    q_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(q_e2).alias("tot_q_e2"))
+        .filter(F.col("tot_q_e2") > 25000)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "totalprice_e2"
+            ),
+        )
+        .agg(F.sum(q_e2).alias("sum_qty_e2"))
+        .orderBy(F.col("totalprice_e2").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22_idle_balance",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_e2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM customer
+        WHERE c_acctbal > 0.0
+          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_acctbal_e2
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.cnt > pos.sum_e2
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    tags=("analytics", "tpch", "subquery", "anti"),
+)
+def tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers in a country
+    set with above-average positive balance and NO RECENT orders — a
+    scalar aggregate subquery feeding a filter, plus an anti join whose
+    build side is itself date-filtered. The schema has no c_phone, so the
+    country code is c_nationkey directly.
+
+    The above-average test is cross-multiplied (bal_e2 · cnt > sum_e2) —
+    exact integers, no division, no float averaging drift. The scalar
+    (sum, count) pair is a one-row broadcast; the anti join keys on
+    o_custkey. At 100 TB the anti join is the only wide exchange, and the
+    orders side can be pre-projected to the single join column (column
+    pruning reaches the scan)."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    bal_e2 = F.round(F.col("c_acctbal") * 100).cast("long")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    )
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(bal_e2).alias("sum_e2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal_e2 * F.col("cnt") > F.col("sum_e2"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(bal_e2).alias("total_acctbal_e2"),
+        )
+        .orderBy("c_nationkey")
+    )

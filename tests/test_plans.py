@@ -140,3 +140,38 @@ def test_dedup_fingerprint_shuffles_hashes_not_documents(spark):
 def test_sample_uniform_k_is_heap_based(spark):
     plan = plan_of(spark, "sample_uniform_k")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_predicates_push_to_scan_no_shuffle(spark):
+    plan = plan_of(spark, "tpch_q6_forecast")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # ungrouped agg: the only exchange is the one-row final merge
+    # (count tree-lines "Exchange (n)", not the detail headers)
+    assert plan.count("Exchange (") == 1
+
+
+def test_q8_double_nation_role_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "tpch_q8_market_share")
+    # nation appears in two roles + region + supplier: ≥4 broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q17_uses_window_not_self_join(spark):
+    plan = plan_of(spark, "tpch_q17_small_qty")
+    assert "Window" in plan
+    # one lineitem scan only — the correlated-avg is NOT a self-join
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q18_semi_join_for_in_subquery(spark):
+    plan = plan_of(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = plan_of(spark, "tpch_q22_idle_balance")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
