@@ -442,3 +442,102 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(cleaned).alias("n_content"),
         F.md5(F.array_join(cleaned, " ").cast("binary")).alias("cleaned_fp"),
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        FROM toks
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM toks WHERE len(toks) >= 2
+    ), bgc AS (
+        SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), bgs AS (
+        SELECT doc_id,
+               CAST(max(c) AS BIGINT) AS top_bigram_n,
+               CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM bgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           (b.n_tokens - b.n_distinct) / b.n_tokens AS dup_token_frac,
+           coalesce(s.top_bigram_n, 0) / greatest(coalesce(s.n_bigrams, 0), 1)
+               AS top_bigram_frac,
+           (b.n_tokens - b.n_distinct) / b.n_tokens > 0.85
+               OR coalesce(s.top_bigram_n, 0)
+                  / greatest(coalesce(s.n_bigrams, 0), 1) > 0.05
+               AS is_repetitive
+    FROM base b LEFT JOIN bgs s ON s.doc_id = b.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-token
+    fraction (1 − distinct/total) and top-bigram fraction (occurrences of the
+    most frequent word 2-gram over all 2-grams), plus the composite
+    repetitive-document flag a filtering pipeline would gate on.
+
+    Shape: the token stats are pure map-side array math on a persisted
+    tokenized projection (split runs once per doc — projection collapse
+    would otherwise re-inline it into every lambda slot). The bigram mode
+    is the one genuinely distributed piece: explode → count by
+    (doc_id, bigram) → max per doc — a word-count-shaped shuffle keyed by
+    (doc_id, bigram), the same two-level re-aggregation that scales to any
+    corpus since partial aggregation collapses repeats map-side.
+
+    Both fractions are ratios of exact integers (one IEEE division each),
+    so values hash-match the DuckDB oracle bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).persist()
+    base = toks_df.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    bigrams = toks_df.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                "             element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    bgs = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_n"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+    top_frac = F.coalesce(F.col("top_bigram_n"), F.lit(0)) / F.greatest(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)
+    )
+    out = (
+        base.join(bgs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_token_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac > 0.85) | (top_frac > 0.05)).alias("is_repetitive"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    toks_df.unpersist()
+    return out
