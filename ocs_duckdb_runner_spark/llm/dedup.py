@@ -839,3 +839,90 @@ def dedup_minhash_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = _keeper_token_docs(spark, sf_dir)
     docs = keepers.select("doc_id", shingle_hashes(F.col("toks")).alias("sh"))
     return minhash_candidates(docs)
+
+
+@query(
+    "decontaminate_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams_arr AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 6 THEN
+                 list_transform(generate_series(1, len(toks) - 5),
+                                i -> md5(array_to_string(toks[i:i+5], ' ')))
+               ELSE [md5(array_to_string(toks, ' '))] END) AS gs
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM grams_arr
+        WHERE doc_id % 19 = 0
+    ), train AS (
+        SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+               unnest(gs) AS gram
+        FROM grams_arr WHERE doc_id % 19 <> 0
+    )
+    SELECT t.doc_id, t.n_grams,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           count(*) / t.n_grams AS overlap_frac
+    FROM train t JOIN bench b ON b.gram = t.gram
+    GROUP BY t.doc_id, t.n_grams
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    6-token n-gram with the held-out benchmark slice (doc_id % 19 == 0
+    plays the eval set). The standard pretraining hygiene step — published
+    pipelines drop or redact training docs overlapping eval benchmarks on
+    long n-grams, where k is chosen so random collisions are negligible
+    and only real contamination fires.
+
+    Shape: per-doc DISTINCT 6-gram md5 keys (map-side array math below a
+    spread() exchange, one split per doc), then an inverted-index inner
+    join of training grams against the DISTINCT benchmark gram set, count
+    per doc. The shuffle carries 32-hex-char md5 keys, never text; the
+    benchmark side is tiny by construction (an eval suite, not a corpus),
+    so AQE broadcasts it and the "join" is a map-side hash probe — at
+    100 TB this is one pass over the corpus. Pure-Spark deployments would
+    swap md5 for xxhash64 (8-byte keys); md5 here keeps the key arithmetic
+    expressible in both engines so the oracle checks values exactly.
+    """
+    tf = _doc_token_frame(spark, sf_dir)
+    gs = tf.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                F.size("toks") >= 6,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 5),"
+                    " i -> md5(cast(concat_ws(' ', slice(toks, i, 6))"
+                    "              as binary)))"
+                ),
+            ).otherwise(
+                F.array(F.md5(F.concat_ws(" ", F.col("toks")).cast("binary")))
+            )
+        ).alias("gs"),
+    ).persist()
+    bench = (
+        gs.filter(F.col("doc_id") % 19 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    train = gs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id",
+        F.size("gs").cast("long").alias("n_grams"),
+        F.explode("gs").alias("gram"),
+    )
+    out = (
+        train.join(bench, "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_grams")).alias("overlap_frac"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gs.unpersist()
+    return out
