@@ -1,0 +1,175 @@
+"""Training-data export operators: deterministic sharding and sequence
+packing — the last mile of a pretraining pipeline, where a cleaned corpus
+becomes fixed-size shard files of fixed-length context windows.
+
+Both operators derive layout from md5 of the row key, never from engine
+RNG or physical partitioning, so the export is bit-reproducible on any
+cluster at any parallelism (same philosophy as operators/sampling.py).
+In production the sharded frame feeds ``df.write.partitionBy("shard")``
+(see ``sink_partitioned_parquet``) — these queries compute and verify the
+layout itself: shard balance, manifest fingerprints, window fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+# 16 shards from the first md5 hex char of the doc key. Uniform by
+# construction; at a real export you'd take 3-4 chars (4096-65536 shards)
+# so each shard lands near the DFS block size.
+_SHARD_SQL = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+
+
+def _shard_col() -> F.Column:
+    # Spark's locate(substr, str) is 1-based like DuckDB's strpos(str,
+    # substr) with swapped argument order; both return 0 on no-match,
+    # which can't happen over md5 hex output.
+    return F.expr(
+        "cast(locate(substr(md5(cast(doc_id as string)), 1, 1),"
+        " '0123456789abcdef') - 1 as int)"
+    )
+
+
+def _h_col() -> F.Column:
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+@query(
+    "export_shards",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST({_SHARD_SQL} AS INT) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h))
+               AS manifest_fp
+    FROM d
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("llm", "export", "shard"),
+)
+def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding for training-data export: every document
+    is assigned one of 16 shards by the first md5 hex char of its key, and
+    each shard gets a content manifest fingerprint — md5 over its doc_ids
+    in hash order. Identical input ⇒ identical shard membership, identical
+    within-shard order, identical manifest, on any cluster layout: the
+    property that makes a 100 TB export resumable and auditable.
+
+    The aggregation is one shuffle keyed by shard; the manifest needs the
+    within-shard order, so the per-shard doc list is collected as
+    (h, doc_id) structs, sorted, joined and hashed — at export scale you'd
+    instead write ``partitionBy("shard")`` with ``sortWithinPartitions(h)``
+    and fingerprint per file; the arithmetic here is that manifest's exact
+    definition. Shard balance (n_docs, total_chars) is the skew check an
+    export job gates on before burning cluster hours on the write."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        _h_col().alias("h"),
+        _shard_col().alias("shard"),
+    )
+    manifest = F.md5(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("h").alias("h"),
+                            F.col("doc_id").cast("string").alias("doc_id"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("doc_id"),
+            ),
+            ",",
+        )
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            manifest.alias("manifest_fp"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST({_SHARD_SQL} AS INT) AS shard
+        FROM documents
+    ), cum AS (
+        SELECT shard, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM d
+    )
+    SELECT shard,
+           CAST(cum_before // 512 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY shard, cum_before // 512
+    ORDER BY shard, bin
+    """,
+    tags=("llm", "export", "pack"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in a
+    deterministic order and cut every 512 tokens — each document is
+    assigned to the context window (bin) where it STARTS. This is the
+    concat-and-chunk packing GPT-style pipelines use to waste no context
+    length on padding.
+
+    The global concatenation order would serialize on one executor, so
+    packing is per-shard (the md5-hash shards of ``export_shards``): each
+    shard packs independently under a window partitioned by shard and
+    ordered by the doc hash — 16 independent cumulative sums today,
+    65536 at export scale, each sized to fit an executor. The cumulative
+    sum EXCLUDES the current doc (ROWS ... AND 1 PRECEDING), making the
+    bin boundary exact integer arithmetic on both engines; the report is
+    (shard, bin) → docs packed + token fill, i.e. the packing efficiency
+    audit (windows at ~512 tokens = good, long tails = fragmentation)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        _h_col().alias("h"),
+        _shard_col().alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.select(
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        cum.groupBy(
+            "shard", F.floor(F.col("cum_before") / 512).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
