@@ -362,3 +362,226 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BATCH_TOPK)
         .select("qid", "vec_id", "label", "cos_sim")
     )
+
+
+# ---- k-means clustering (unrolled Lloyd iterations) ----
+
+_KMEANS_K = 4
+
+
+def _d2(v: Column, c: Column) -> Column:
+    """Exact integer squared L2 distance between two fp (nano-unit)
+    vectors. |x| < 1.0 ⇒ elements < 1e6, diffs < 2e6, diff² < 4e12,
+    64-dim sum < 3e14 — far inside int64."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_D2 = (
+    "CAST(list_sum(list_transform(generate_series(1, {dim}),"
+    " i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))) AS BIGINT)"
+)
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v) × broadcast (cid, c) → argmin-distance assignment.
+    The (d2, cid) struct min is lexicographic in BOTH engines, so exact
+    integer distances make ties resolve identically (lowest cid)."""
+    pick = F.min(
+        F.struct(
+            _d2(F.col("v"), F.col("c")).alias("d2"),
+            F.col("cid").alias("cid"),
+        )
+    ).alias("m")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id", "v")
+        .agg(pick)
+        .select(
+            "vec_id",
+            "v",
+            F.col("m.cid").alias("cid"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    """Assigned vectors → new integer centroids: element-wise mean,
+    rounded back to nano-units. sum and count are exact integers; the
+    per-element round(sum/n) is ONE double division + round on identical
+    integers in both engines (both round half away from zero)."""
+    sums = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    elem = F.round(F.col("s").cast("double") / F.col("n")).cast("long")
+    return (
+        sums.select("cid", "pos", elem.alias("e"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("pos").alias("pos"), F.col("e").alias("e"))
+                    )
+                ),
+                lambda st: st.getField("e"),
+            ).alias("c")
+        )
+    )
+
+
+def _kmeans_oracle() -> str:
+    fp = _SQL_FP.format(v="embedding")
+    d2_c = _SQL_D2.format(dim=DIM, a="v", b="c")
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, {fp} AS v FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {_KMEANS_K}
+    ), a1 AS (
+        SELECT vec_id, v, (m).cid AS cid FROM (
+            SELECT vec_id, v,
+                   min({{'d2': {d2_c}, 'cid': cid}}) AS m
+            FROM vecs CROSS JOIN c0
+            GROUP BY vec_id, v)
+    ), s1 AS (
+        SELECT cid, t.i AS i, CAST(sum(v[t.i]) AS BIGINT) AS s,
+               count(*) AS n
+        FROM a1 CROSS JOIN range(1, {DIM + 1}) t(i)
+        GROUP BY cid, t.i
+    ), c1 AS (
+        SELECT cid,
+               list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY i) AS c
+        FROM s1 GROUP BY cid
+    ), a2 AS (
+        SELECT vec_id, (m).cid AS cluster, (m).d2 AS d2_fp FROM (
+            SELECT vec_id,
+                   min({{'d2': {d2_c}, 'cid': cid}}) AS m
+            FROM vecs CROSS JOIN c1
+            GROUP BY vec_id, v)
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(d2_fp AS BIGINT) AS d2_fp
+    FROM a2
+    """
+
+
+@query(
+    "kmeans_embeddings",
+    oracle=_kmeans_oracle(),
+    tags=("llm", "similarity", "clustering"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus — two unrolled Lloyd iterations
+    with deterministic init (the first K vectors by vec_id), the corpus
+    organization step behind curriculum buckets / diversity sampling /
+    IVF coarse quantizers (sim_ivf_topk consumes exactly such centroids).
+
+    Iteration = assign (broadcast K centroids, map-side argmin over exact
+    integer distances — no shuffle of the corpus) + recompute (posexplode
+    to (cid, dim) partial sums — ONE shuffle of K·DIM·parts tiny rows, not
+    of vectors). Centroids round back to integer nano-units each round, so
+    every distance, every tie-break, and the final assignment are
+    bit-identical to the DuckDB oracle (unrolled as CTEs). At 100 TB the
+    per-iteration cost is one corpus scan + a K·DIM-row shuffle; iteration
+    count is fixed (2 here), the production pattern for distributed Lloyd.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", fp_vec(F.col("embedding")).alias("v")).persist()
+    c0 = vecs.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _kmeans_assign(vecs, c0)
+    c1 = _kmeans_recompute(a1)
+    a2 = _kmeans_assign(vecs, c1)
+    out = a2.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster"),
+        F.col("d2").alias("d2_fp"),
+    ).localCheckpoint(eager=True)
+    vecs.unpersist()
+    return out
+
+
+@query(
+    "embed_quantize",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ), quant AS (
+        SELECT vec_id, xd, mx,
+               CASE WHEN mx = 0
+                    THEN list_transform(generate_series(1, {DIM}), i -> 0)
+                    ELSE list_transform(xd,
+                         x -> CAST(round(x * 127 / mx) AS INT)) END AS q
+        FROM base
+    )
+    SELECT vec_id,
+           CAST(round(mx / 127 * 1e9) AS BIGINT) AS scale_e9,
+           q,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                i -> (CAST(round(xd[i] * 1e6) AS BIGINT)
+                      - CAST(round(q[i] * (mx / 127) * 1e6) AS BIGINT))
+                   * (CAST(round(xd[i] * 1e6) AS BIGINT)
+                      - CAST(round(q[i] * (mx / 127) * 1e6) AS BIGINT))))
+              AS BIGINT) AS err_e12
+    FROM quant
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    memory/bandwidth cut applied before ANN serving or shipping vectors to
+    a training job: q_i = round(x_i·127 / max|x|), plus the per-vector
+    scale and the exact reconstruction error (nano-unit integer SSE).
+
+    Map-side only, no shuffle at any scale. The per-vector max|x| is
+    materialized below a localCheckpoint barrier: higher-order lambdas sit
+    outside Catalyst CSE, so without the barrier projection collapse would
+    re-inline the array_max scan into every one of the 64 lambda slots
+    (64× recompute). Every derived value is either exact integer math or
+    the same single IEEE double op on both engines, so q, scale, and error
+    all hash-match the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        xd.alias("xd"),
+        F.array_max(F.transform(F.col("embedding"),
+                                lambda x: F.abs(x.cast("double")))).alias("mx"),
+    ).localCheckpoint(eager=False)
+    q = F.when(
+        F.col("mx") == 0, F.array_repeat(F.lit(0), DIM)
+    ).otherwise(
+        F.transform(
+            F.col("xd"),
+            lambda x: F.round(x * 127 / F.col("mx")).cast("int"),
+        )
+    )
+    quant = base.select("vec_id", "xd", "mx", q.alias("q"))
+    err_elem = lambda x, qi: (  # noqa: E731
+        F.round(x * 1e6).cast("long")
+        - F.round(qi * (F.col("mx") / 127) * 1e6).cast("long")
+    )
+    err = F.aggregate(
+        F.zip_with("xd", "q", lambda x, qi: err_elem(x, qi) * err_elem(x, qi)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return quant.select(
+        "vec_id",
+        F.round(F.col("mx") / 127 * 1e9).cast("long").alias("scale_e9"),
+        "q",
+        err.alias("err_e12"),
+    )
