@@ -173,3 +173,138 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "bin")
     )
+
+
+@query(
+    "corpus_mixture",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 3
+                    WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 2
+                    ELSE 1 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 4) < '8000'
+                                  THEN 1 ELSE 0 END END AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT)
+               AS copy
+    FROM w
+    """,
+    tags=("llm", "export", "mixture"),
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture construction — the epoch-weighting step of a
+    pretraining data recipe: each source gets an integer-or-fractional
+    repeat factor (here: 3×, 2×, or 1.5× by source group), and fractional
+    weights are resolved per document by deterministic hash threshold, so
+    a 1.5× source repeats exactly its md5-lower half twice. The output is
+    the materialized instance list (doc_id, copy) a sequence-packing step
+    consumes.
+
+    Map-side only: weight is a CASE over the source column, the repeat is
+    explode(sequence(1, w)) — a lateral that amplifies rows without any
+    shuffle. At 100 TB the amplification happens AFTER filtering/packing
+    decisions, never as a stored copy: this query IS that contract (the
+    2.2× instance blow-up exists only in the exploded stream)."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    frac = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000", 1
+    ).otherwise(0)
+    n_copies = (
+        F.when(src_num % 3 == 0, F.lit(3))
+        .when(src_num % 3 == 1, F.lit(2))
+        .otherwise(F.lit(1) + frac)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), n_copies)).alias("copy"),
+    )
+
+
+@query(
+    "corpus_lang_cap",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS vocab,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY len(list_distinct(string_split(text, ' '))) DESC,
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, vocab, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 50
+    """,
+    tags=("llm", "export", "cap"),
+)
+def corpus_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus capping: keep the top-50 documents per
+    language by a quality score (distinct-token vocabulary richness,
+    doc_id tie-break) — the step that stops one dominant language from
+    swamping a multilingual mix.
+
+    Per-group top-k via row_number ≤ k compiles to WindowGroupLimit: each
+    map task keeps a 50-row heap per language before the shuffle, so the
+    exchange carries ~k·langs·tasks rows, not the corpus — the same
+    bounded-shuffle plan shape pinned for window_topk_per_group. Integer
+    score + integer tie-break ⇒ the capped set is unique and engine-
+    independent."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("vocab").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", vocab.alias("vocab"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@query(
+    "incremental_dedup",
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 2
+    ), corpus AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 >= 2
+    ), novel AS (
+        SELECT b.doc_id, b.fp FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    )
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM novel)
+    WHERE rk = 1
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the steady-state shape of a crawl
+    pipeline: a new snapshot batch (doc_id % 10 < 2 plays the increment)
+    is deduplicated AGAINST the existing corpus (anti join on content
+    fingerprint) and then WITHIN itself (keep lowest doc_id per
+    fingerprint). Only fingerprints ever shuffle — 16-byte md5 keys, never
+    text — so the increment cost scales with the batch, not the corpus:
+    at 100 TB the corpus side is a bucketed/sorted fingerprint index the
+    anti join probes, and the within-batch keeper is a WindowGroupLimit
+    over the (small) surviving batch."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    batch = d.filter(F.col("doc_id") % 10 < 2).select(
+        "doc_id", fp.alias("fp")
+    )
+    corpus = d.filter(F.col("doc_id") % 10 >= 2).select(fp.alias("fp")).distinct()
+    novel = batch.join(corpus, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        novel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "fp")
+    )
