@@ -60,6 +60,14 @@ HEADLINE = [
     "event_tumbling",
     "event_sessionize",
     "mm_frame_sample",
+    "tpch_q6_forecast",
+    "tpch_q18_large_orders",
+    "text_repetition",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "kmeans_embeddings",
+    "embed_quantize",
+    "incremental_dedup",
 ]
 
 
