@@ -841,6 +841,31 @@ def dedup_minhash_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(docs)
 
 
+# 6-token-gram md5 keys over a `toks` array column — long enough that
+# random collisions are negligible on a real vocabulary, so any shared
+# gram is genuine duplication. Mirrored by _SQL_GRAM6 for the oracle;
+# shared by decontaminate_ngram and pipeline_pretrain_end2end.
+_SQL_GRAM6 = """list_distinct(CASE WHEN len(toks) >= 6 THEN
+                 list_transform(generate_series(1, len(toks) - 5),
+                                i -> md5(array_to_string(toks[i:i+5], ' ')))
+               ELSE [md5(array_to_string(toks, ' '))] END)"""
+
+
+def gram6_hashes() -> Column:
+    return F.array_distinct(
+        F.when(
+            F.size("toks") >= 6,
+            F.expr(
+                "transform(sequence(1, size(toks) - 5),"
+                " i -> md5(cast(concat_ws(' ', slice(toks, i, 6))"
+                "              as binary)))"
+            ),
+        ).otherwise(
+            F.array(F.md5(F.concat_ws(" ", F.col("toks")).cast("binary")))
+        )
+    )
+
+
 @query(
     "decontaminate_ngram",
     oracle="""
@@ -887,21 +912,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible in both engines so the oracle checks values exactly.
     """
     tf = _doc_token_frame(spark, sf_dir)
-    gs = tf.select(
-        "doc_id",
-        F.array_distinct(
-            F.when(
-                F.size("toks") >= 6,
-                F.expr(
-                    "transform(sequence(1, size(toks) - 5),"
-                    " i -> md5(cast(concat_ws(' ', slice(toks, i, 6))"
-                    "              as binary)))"
-                ),
-            ).otherwise(
-                F.array(F.md5(F.concat_ws(" ", F.col("toks")).cast("binary")))
-            )
-        ).alias("gs"),
-    ).persist()
+    gs = tf.select("doc_id", gram6_hashes().alias("gs")).persist()
     bench = (
         gs.filter(F.col("doc_id") % 19 == 0)
         .select(F.explode("gs").alias("gram"))

@@ -308,3 +308,142 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "fp")
     )
+
+
+def _pretrain_oracle() -> str:
+    from ocs_duckdb_runner_spark.llm.dedup import _SQL_GRAM6
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source, md5(text) AS fp,
+               string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_dis
+        FROM documents
+    ), train AS (
+        SELECT * FROM base
+        WHERE doc_id % 19 <> 0
+          AND n_tok >= 20
+          AND (n_tok - n_dis) / n_tok <= 0.92
+    ), kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                   AS rk
+            FROM train)
+        WHERE rk = 1
+    ), bench AS (
+        SELECT DISTINCT unnest({_SQL_GRAM6}) AS g
+        FROM base WHERE doc_id % 19 = 0
+    ), kg AS (
+        SELECT doc_id, unnest({_SQL_GRAM6}) AS g FROM kept
+    ), contaminated AS (
+        SELECT DISTINCT kg.doc_id FROM kg JOIN bench b ON b.g = kg.g
+    ), clean AS (
+        SELECT k.* FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), mix AS (
+        SELECT doc_id, n_tok,
+               CAST({_SHARD_SQL} AS INT) AS shard,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 3
+                    WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 2
+                    ELSE 1 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 4) < '8000'
+                                  THEN 1 ELSE 0 END END AS n_copies
+        FROM clean
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_instances,
+           CAST(sum(n_tok * n_copies) AS BIGINT) AS n_tokens
+    FROM mix
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+@query(
+    "pipeline_pretrain_end2end",
+    oracle=_pretrain_oracle(),
+    tags=("llm", "export", "pipeline"),
+)
+def pipeline_pretrain_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-construction pipeline as ONE composed query —
+    quality gate → exact dedup → benchmark decontamination → epoch
+    mixture → hash-sharded export report. Each stage is the production
+    form of an operator proven individually (text_repetition's signals,
+    incremental_dedup's fingerprint keeper, decontaminate_ngram's gram
+    join, corpus_mixture's weights, export_shards' layout); the
+    composition proves they stack without materialization between stages.
+
+    Plan: ONE tokenize scan persisted, then fingerprint keeper (16-byte
+    key shuffle), gram anti join (md5 keys, bench side AQE-broadcast),
+    map-side mixture weights + shard assignment, final 16-group
+    aggregate. Nothing re-reads the corpus; the only wide exchanges carry
+    hashes or (shard) keys. The per-shard (docs, instances, tokens)
+    report is the artifact a training job consumes as its data card."""
+    from ocs_duckdb_runner_spark.registry import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        spread(
+            d.select(
+                "doc_id",
+                "source",
+                F.md5(F.col("text").cast("binary")).alias("fp"),
+                F.split(F.col("text"), " ").alias("toks"),
+            )
+        )
+        .withColumn("n_tok", F.size("toks").cast("long"))
+        .withColumn("n_dis", F.size(F.array_distinct("toks")).cast("long"))
+        .persist()
+    )
+    train = base.filter(
+        (F.col("doc_id") % 19 != 0)
+        & (F.col("n_tok") >= 20)
+        & ((F.col("n_tok") - F.col("n_dis")) / F.col("n_tok") <= 0.92)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        train.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .persist()
+    )
+    from ocs_duckdb_runner_spark.llm.dedup import gram6_hashes
+
+    bench = (
+        base.filter(F.col("doc_id") % 19 == 0)
+        .select(F.explode(gram6_hashes()).alias("g"))
+        .distinct()
+    )
+    kg = kept.select("doc_id", F.explode(gram6_hashes()).alias("g"))
+    contaminated = kg.join(bench, "g").select("doc_id").distinct()
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    frac = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000", 1
+    ).otherwise(0)
+    n_copies = (
+        F.when(src_num % 3 == 0, F.lit(3))
+        .when(src_num % 3 == 1, F.lit(2))
+        .otherwise(F.lit(1) + frac)
+    )
+    out = (
+        clean.select(
+            "doc_id",
+            "n_tok",
+            _shard_col().alias("shard"),
+            n_copies.alias("n_copies"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").alias("n_instances"),
+            F.sum(F.col("n_tok") * F.col("n_copies")).alias("n_tokens"),
+        )
+        .orderBy("shard")
+        .localCheckpoint(eager=True)
+    )
+    kept.unpersist()
+    base.unpersist()
+    return out
