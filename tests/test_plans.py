@@ -175,3 +175,27 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     plan = plan_of(spark, "tpch_q22_idle_balance")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_lang_cap_bounds_shuffle_with_group_limit(spark):
+    plan = plan_of(spark, "corpus_lang_cap")
+    assert "WindowGroupLimit" in plan  # 50-row heap per lang per map task
+
+
+def test_corpus_mixture_is_shuffle_free(spark):
+    plan = plan_of(spark, "corpus_mixture")
+    assert "Generate" in plan  # lateral explode
+    assert plan.count("Exchange (") == 0  # pure map-side amplification
+
+
+def test_incremental_dedup_anti_join_and_keeper_limit(spark):
+    plan = plan_of(spark, "incremental_dedup")
+    assert "LeftAnti" in plan
+    # within-batch keeper: rk=1 filter compiles to a pre-shuffle group limit
+    assert "WindowGroupLimit" in plan
+
+
+def test_text_repetition_single_scan(spark):
+    plan = plan_of(spark, "text_repetition")
+    # persisted token frame: both agg branches read the cache, not parquet
+    assert plan.count("documents.parquet") <= 1
