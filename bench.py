@@ -101,6 +101,12 @@ def main() -> int:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # collect JVM garbage OUTSIDE the timed region: each number should
+        # characterize the operator in a steady-state session, not the GC
+        # debt of whichever query happened to run before it (the session's
+        # 30s periodic GC bounds that debt in production; here it would
+        # add ±2-3x noise to individual measurements)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)

@@ -236,3 +236,72 @@ def event_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", hours_since.alias("hours_since"))
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "event_interval_join",
+    oracle="""
+    WITH err AS (
+        SELECT event_id AS error_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+        FROM events WHERE event_type = 'error'
+    ), pur AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.error_id, p.purchase_id, p.pus - e.eus AS lag_us
+    FROM err e JOIN pur p
+      ON e.user_id = p.user_id
+     AND p.pus > e.eus AND p.pus <= e.eus + 600000000
+    """,
+    tags=("events", "join", "interval"),
+)
+def event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join — each error event matched to the same user's purchase
+    events in the following 10 minutes — via the BUCKETED equi-join
+    formulation: both sides get a 10-minute time bucket, the probe side
+    (errors) explodes to buckets [b, b+1] (a match within 10 min can only
+    land in the error's own bucket or the next), the join is a plain hash
+    equi-join on (user_id, bucket), and the exact range predicate filters
+    the candidates. Each qualifying pair matches in EXACTLY one bucket —
+    the purchase's — so no dedup pass is needed.
+
+    This is the 100 TB shape for time-interval joins: a naive range-only
+    join degenerates to BroadcastNestedLoop/cartesian per user, while the
+    bucket key gives Catalyst a hash-partitionable equi-condition whose
+    shuffle scales with the data, at the cost of a bounded 2x row
+    amplification on the probe side (join_theta_range keeps the didactic
+    non-equi form)."""
+    bucket_us = 600_000_000  # 10 minutes in µs
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("eus"),
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.unix_micros(F.col("ts")).alias("pus"),
+        # integer div, not float /: bucket boundaries must be exact
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("bucket"),
+    )
+    b = F.expr(f"eus div {bucket_us}")
+    probe = err.select(
+        "error_id",
+        "user_id",
+        "eus",
+        F.explode(F.array(b, b + 1)).alias("bucket"),
+    )
+    return (
+        probe.join(
+            pur,
+            (probe.user_id == pur.p_user_id) & (probe.bucket == pur.bucket),
+        )
+        .filter(
+            (F.col("pus") > F.col("eus"))
+            & (F.col("pus") <= F.col("eus") + bucket_us)
+        )
+        .select("error_id", "purchase_id", (F.col("pus") - F.col("eus")).alias("lag_us"))
+    )

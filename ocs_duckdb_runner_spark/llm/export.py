@@ -447,3 +447,60 @@ def pipeline_pretrain_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept.unpersist()
     base.unpersist()
     return out
+
+
+@query(
+    "split_train_eval",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("llm", "export", "split"),
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5) by md5 hex prefix of
+    the document key — the eval-holdout step every training pipeline runs
+    before export. Hash assignment (not row_number, not rand()) means a
+    document's split is a pure function of its key: stable under
+    re-partitioning, re-runs, incremental appends, and engine choice —
+    append a new crawl snapshot and no existing document ever migrates
+    between splits (migration = eval contamination).
+
+    Map-side assignment + one 3-group aggregate; the report (docs, tokens,
+    language coverage per split) is the audit a data card needs. Thresholds
+    are hex-string prefixes ('e666' ≈ 0.9, 'f333' ≈ 0.95 of the 16-bit
+    space) so both engines compare identically on the md5 text form."""
+    d = load_table(spark, sf_dir, "documents")
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h4 < "e666", "train").when(h4 < "f333", "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+            "lang",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )

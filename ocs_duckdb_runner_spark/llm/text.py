@@ -541,3 +541,63 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks_df.unpersist()
     return out
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ({_sql_list(_STOPWORDS)}))) AS DOUBLE)
+                   AS n_stop,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   AS n_dis
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(
+                   -2.0 + 2.5 * (n_stop / n_tok)
+                        + 0.6 * ln(n_tok)
+                        - 1.5 * (1.0 - n_dis / n_tok)))), 4) AS score
+        FROM sig
+    )
+    SELECT doc_id, score, score >= 0.5 AS keep
+    FROM scored
+    """,
+    tags=("llm", "text", "quality", "classifier"),
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference as a map-side operator: a fixed
+    logistic model over interpretable signals (stopword ratio up-weights
+    natural prose, log-length rewards substance, repetition — 1 minus
+    type-token ratio — penalizes boilerplate), producing a calibrated
+    [0,1] keep-score per document. This is the fastText-style quality
+    gate of C4/CCNet-style pipelines with the learned weights replaced by
+    fixed ones: the ENGINE work — per-doc feature extraction + linear
+    model + sigmoid, fused into one whole-stage-codegen projection with
+    zero shuffles and zero Python — is identical, and at 100 TB it runs
+    at scan speed. The keep flag thresholds the ROUNDED score so the
+    decision boundary is identical on both engines (sigmoid is libm math;
+    round(4) absorbs last-ulp drift, see SURVEY.md §7 risks)."""
+    toks = _tokens()
+    sig = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("double").alias("n_tok"),
+        _n_matches(toks, _STOPWORDS).cast("double").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_dis"),
+    )
+    z = (
+        F.lit(-2.0)
+        + 2.5 * (F.col("n_stop") / F.col("n_tok"))
+        + 0.6 * F.log(F.col("n_tok"))
+        - 1.5 * (F.lit(1.0) - F.col("n_dis") / F.col("n_tok"))
+    )
+    scored = sig.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
+    )
+    return scored.select(
+        "doc_id", "score", (F.col("score") >= 0.5).alias("keep")
+    )

@@ -62,6 +62,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import ocs_duckdb_runner_spark.operators.analytics  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.changes  # noqa: F401
     import ocs_duckdb_runner_spark.operators.core  # noqa: F401
     import ocs_duckdb_runner_spark.operators.grouping  # noqa: F401
     import ocs_duckdb_runner_spark.operators.joins  # noqa: F401

@@ -206,3 +206,87 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{out}/batch=1", f"{out}/batch=2")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
+
+
+def _textlines_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents as ONE sorted plain-text file of "doc_id,lang" lines —
+    shared fixture for the text-source and binary-source queries. A single
+    sorted file makes the file CONTENT a pure function of the table, so
+    even the binary read is oracle-checkable from the shared view."""
+    out = _roundtrip_dir(sf_dir, "textlines")
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.select(
+                "doc_id",
+                F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang")).alias(
+                    "line"
+                ),
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")
+            .select("line")
+            .write.mode("overwrite")
+            .text(out)
+        )
+    return out
+
+
+@query(
+    "src_text_lines",
+    oracle="SELECT doc_id, lang FROM documents",
+    tags=("source", "text"),
+)
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source: documents written as "doc_id,lang" lines,
+    read back with spark.read.text and parsed with split() — the raw-text
+    ingestion path (crawl dumps, log files) every corpus pipeline starts
+    from. The oracle compares the parsed frame against the original view:
+    a pass proves writer+reader+parse are lossless. At 100 TB this source
+    is splittable per file (and within uncompressed files by line), so
+    scan parallelism comes for free."""
+    out = _textlines_dir(spark, sf_dir)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), ",")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+    )
+
+
+@query(
+    "src_binary_files",
+    oracle="""
+    WITH c AS (
+        SELECT string_agg(CAST(doc_id AS VARCHAR) || ',' || lang || chr(10),
+                          '' ORDER BY doc_id) AS body
+        FROM documents
+    )
+    SELECT CAST(1 AS BIGINT) AS n_files,
+           CAST(strlen(body) AS BIGINT) AS n_bytes,
+           md5(body) AS content_md5
+    FROM c
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary source (spark.read.format("binaryFile")) — the
+    ingestion path for opaque media blobs (images/audio/PDFs) that
+    llm/multimodal.py then decodes. Reads the single deterministic text
+    file of _textlines_dir as bytes and reports (file count, byte length,
+    content md5); because the file content is a pure function of the
+    documents view, the oracle reconstructs the identical byte stream with
+    string_agg and hashes it — i.e. even the BINARY read path is
+    value-checked, not just row-counted. binaryFile is non-splittable per
+    file by design (whole blob to one task): at 100 TB you parallelize
+    across millions of blobs, and per-file tasks are exactly the
+    reference's own unit of work (runner.cc:200)."""
+    out = _textlines_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "part-*"
+    ).load(out)
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length(F.col("content"))).alias("n_bytes"),
+        F.min(F.md5(F.col("content"))).alias("content_md5"),
+    )

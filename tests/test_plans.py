@@ -199,3 +199,34 @@ def test_text_repetition_single_scan(spark):
     plan = plan_of(spark, "text_repetition")
     # persisted token frame: both agg branches read the cache, not parquet
     assert plan.count("documents.parquet") <= 1
+
+
+def test_interval_join_is_hash_equi_join_not_nested_loop(spark):
+    """The bucketed interval join must give Catalyst an equi-condition:
+    a BroadcastNestedLoopJoin here means the range predicate fell through
+    to per-row evaluation — the per-user cartesian that dies at scale."""
+    plan = plan_of(spark, "event_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_scd2_history_plans_one_exchange_for_both_windows(spark):
+    """lag-filter-lead over the same (user_id) partitioning: Catalyst must
+    reuse one hash exchange for all three window operators — a second
+    exchange means the history build shuffles the log twice."""
+    plan = plan_of(spark, "scd2_history")
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_merge_upsert_single_join(spark):
+    plan = plan_of(spark, "merge_upsert")
+    assert "FullOuter" in plan
+    # snapshot + three derived change branches: one join only
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_quality_classifier_is_map_side_only(spark):
+    plan = plan_of(spark, "quality_classifier")
+    assert plan.count("Exchange (") == 0  # pure projection, scan speed
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
