@@ -305,3 +305,148 @@ def mm_embed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _with_payload(d)
     schema = "doc_id long, " + ", ".join(f"e{i} double" for i in range(EMBED_DIM))
     return p.mapInPandas(_fake_embed, schema=schema)
+
+
+# ---- audio: RIFF/WAVE (8-bit PCM) codec ----
+#
+# Same philosophy as the Netpbm image codec above: a REAL public container
+# format simple enough to encode JVM-side (so binary audio columns exist
+# without external fixtures) and decode with numpy — here RIFF/WAVE with
+# 8-bit unsigned PCM, whose data chunk is raw sample bytes. The header's
+# u32/u16 fields are little-endian BINARY (unlike Netpbm's ASCII header),
+# so the encoder exercises byte-level binary construction (unhex of
+# byte-swapped hex) and the decoder a real chunk walker.
+
+
+def _le_hex(expr: str, n_bytes: int) -> str:
+    """Spark SQL fragment: integer expression -> little-endian hex string
+    of n_bytes (concat of per-byte hex, low byte first)."""
+    parts = ", ".join(
+        f"lpad(hex(({expr}) div {256 ** i} % 256), 2, '0')"
+        for i in range(n_bytes)
+    )
+    return f"concat({parts})"
+
+
+def _with_wav_payload(df: DataFrame) -> DataFrame:
+    """Encode each document's bytes as a real RIFF/WAVE container with
+    8-bit mono PCM: 44-byte canonical header (RIFF size, fmt chunk with
+    format=1/channels=1/rate/byte-rate/align/bits=8, data size), then the
+    text bytes as samples. Sample rate varies per doc (8/12/16/20 kHz) so
+    the decoder's header parse is load-bearing, not constant."""
+    blen = "octet_length(cast(text as binary))"
+    rate = "8000 + cast(doc_id % 4 as int) * 4000"
+    header_hex = (
+        "concat("
+        "'52494646', "  # 'RIFF'
+        f"{_le_hex(f'36 + {blen}', 4)}, "
+        "'57415645', "  # 'WAVE'
+        "'666d7420', "  # 'fmt '
+        f"{_le_hex('16', 4)}, "  # fmt chunk size
+        f"{_le_hex('1', 2)}, "  # audio format: PCM
+        f"{_le_hex('1', 2)}, "  # channels: mono
+        f"{_le_hex(rate, 4)}, "  # sample rate
+        f"{_le_hex(rate, 4)}, "  # byte rate (rate * 1 ch * 1 B)
+        f"{_le_hex('1', 2)}, "  # block align
+        f"{_le_hex('8', 2)}, "  # bits per sample
+        "'64617461', "  # 'data'
+        f"{_le_hex(blen, 4)})"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(
+            f"concat(unhex({header_hex}), cast(text as binary))"
+        ).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+
+def decode_wav(buf: bytes) -> dict:
+    """REAL decoder for RIFF/WAVE 8-bit PCM: verify the RIFF/WAVE magic,
+    walk the chunk list (id + u32 LE size, as the format specifies — no
+    fixed-offset shortcuts), parse fmt, then numpy over the sample bytes.
+    Raises ValueError on non-WAV payloads, like decode_pnm."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            rate = int.from_bytes(body[4:8], "little")
+            if int.from_bytes(body[14:16], "little") != 8:
+                raise ValueError("only 8-bit PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype=np.uint8)
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    n = int(samples.size)
+    centered = samples.astype(np.int64) - 128
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        # integer sums in float64 are exact (< 2^53), so mean matches the
+        # oracle's avg() bit-for-bit
+        "mean_amp": float(samples.mean()) if n else 0.0,
+        "peak": int(samples.max()) if n else 0,
+        "energy": int((centered * centered).sum()),
+    }
+
+
+def _decode_wav_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = "sample_rate n_samples duration_ms mean_amp peak energy".split()
+    for pdf in it:
+        feats = [decode_wav(bytes(b)) for b in pdf["payload"]]
+        out = {"doc_id": pdf["doc_id"]}
+        out.update({c: [f[c] for f in feats] for c in cols})
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_audio_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               CAST(8000 + doc_id % 4 * 4000 AS INT) AS rate
+        FROM documents),
+    px AS (
+        SELECT p.doc_id,
+               ord(substring(p.text, CAST(i AS INT), 1)) AS v
+        FROM p, unnest(generate_series(1, p.n)) AS t(i)),
+    agg AS (
+        SELECT doc_id, avg(v) AS mean_amp,
+               CAST(max(v) AS INT) AS peak,
+               CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS energy
+        FROM px GROUP BY doc_id)
+    SELECT p.doc_id, p.rate AS sample_rate, p.n AS n_samples,
+           CAST(p.n * 1000 // p.rate AS BIGINT) AS duration_ms,
+           a.mean_amp, a.peak, a.energy
+    FROM p JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "multimodal", "codec", "audio"),
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + analyze binary AUDIO payloads via mapInPandas — the audio
+    leg of the multimodal surface, with a real codec: payloads are
+    RIFF/WAVE 8-bit-PCM containers encoded JVM-side (binary little-endian
+    header built with unhex — byte-level binary construction, unlike
+    Netpbm's ASCII header), and decode_wav walks the actual RIFF chunk
+    grammar before numpy computes duration/peak/mean/energy. The oracle
+    rebuilds the same stats from byte arithmetic over the shared view, so
+    the whole encode → Arrow → chunk-walk → vectorized-stats path is
+    hash-checked. A real resampler/fbank extractor (librosa/torchaudio)
+    drops into this exact batch contract; per-payload stats stay
+    embarrassingly parallel at 100 TB (no shuffle at all)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = _with_wav_payload(d)
+    return p.mapInPandas(
+        _decode_wav_stats,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, duration_ms long, "
+            "mean_amp double, peak int, energy long"
+        ),
+    )

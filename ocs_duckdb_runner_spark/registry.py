@@ -64,6 +64,7 @@ def _load_all() -> None:
     import ocs_duckdb_runner_spark.operators.analytics  # noqa: F401
     import ocs_duckdb_runner_spark.operators.changes  # noqa: F401
     import ocs_duckdb_runner_spark.operators.core  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.graph  # noqa: F401
     import ocs_duckdb_runner_spark.operators.grouping  # noqa: F401
     import ocs_duckdb_runner_spark.operators.joins  # noqa: F401
     import ocs_duckdb_runner_spark.operators.sampling  # noqa: F401

@@ -27,6 +27,7 @@ source path — exactly `ToSql(source)`.
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 import random
@@ -119,15 +120,49 @@ def _rest_input_metrics(spark: SparkSession) -> tuple[int, int, int]:
         return (0, 0, 0)
 
 
+def _rest_job_group_bytes(spark: SparkSession) -> dict[str, int]:
+    """jobGroup → inputBytes summed over each job's stages, from the
+    monitoring REST API. The per-file analog of the reference's per-handle
+    ReadStats (runner.cc:49-54): each fan-out file runs under its own job
+    group, so grouping stage input metrics by job group recovers a
+    per-source byte split. Empty when the UI is disabled."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as r:
+            stages = json.load(r)
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/jobs", timeout=5
+        ) as r:
+            jobs = json.load(r)
+        by_stage = {s["stageId"]: s.get("inputBytes", 0) for s in stages}
+        out: dict[str, int] = {}
+        for j in jobs:
+            group = j.get("jobGroup")
+            if group is None:
+                continue
+            out[group] = out.get(group, 0) + sum(
+                by_stage.get(sid, 0) for sid in j.get("stageIds", [])
+            )
+        return out
+    except Exception:  # noqa: BLE001  (UI off / endpoint unavailable)
+        return {}
+
+
 class FanoutRunner:
     """Run the per-object query over N parquet objects with j-way
     concurrency, collecting hits + I/O stats and printing the reference's
     report (runner.cc:343-358)."""
 
+    _RUN_SEQ = itertools.count()
+
     def __init__(self, spark: SparkSession, threads: int = 4, print_rows: bool = False):
         self.spark = spark
         self.threads = threads
         self.print_rows = print_rows
+        self._token = f"fanout-{os.getpid()}-{next(self._RUN_SEQ)}"
 
     def _run_one(self, idx_path: tuple[int, str]) -> tuple[str, int, float]:
         idx, path = idx_path
@@ -135,6 +170,11 @@ class FanoutRunner:
         # reference's pool threads, not FIFO behind each other
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", f"fanout-{idx % self.threads}"
+        )
+        # one job group per FILE → the REST metrics can split bytes per
+        # source, the analog of the reference's per-handle ReadStats
+        self.spark.sparkContext.setLocalProperty(
+            "spark.jobGroup.id", f"{self._token}:{idx}"
         )
         t0 = time.monotonic()
         rows = flagship_on_file(self.spark, path).collect()
@@ -189,6 +229,11 @@ class FanoutRunner:
         # count as the local-FS approximation (RawLocalFileSystem never
         # increments readOps)
         fs_ops = _fs_read_ops(self.spark) - ops0
+        group_bytes = _rest_job_group_bytes(self.spark)
+        per_file_bytes = {
+            p: group_bytes.get(f"{self._token}:{i}", 0)
+            for i, p in enumerate(sources)
+        }
         report = {
             "sources": len(sources),
             "threads": self.threads,
@@ -199,6 +244,7 @@ class FanoutRunner:
             "read_ops": fs_ops if fs_ops > 0 else t1_scan - t0_scan,
             "failures": len(failures),
             "per_file_hits": per_file,
+            "per_file_bytes": per_file_bytes,
         }
         self._print_report(report)
         return report

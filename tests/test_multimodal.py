@@ -35,3 +35,46 @@ def test_decode_truncated_flagged():
 def test_decode_rejects_non_pnm():
     with pytest.raises(ValueError):
         decode_pnm(b"\x89PNG\r\n\x1a\nnot a pnm")
+
+
+def test_decode_wav_roundtrip_and_chunk_walk():
+    """Hand-built canonical WAV: 4 samples at 8 kHz — decode must parse
+    the real chunk grammar, not fixed offsets (an extra chunk between
+    fmt and data must be skipped, including its alignment pad byte)."""
+    from ocs_duckdb_runner_spark.llm.multimodal import decode_wav
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    data = bytes([128, 138, 118, 255])
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"LIST", b"junk!") + chunk(
+        b"data", data
+    )
+    buf = b"RIFF" + len(body).to_bytes(4, "little") + body
+    d = decode_wav(buf)
+    assert d["sample_rate"] == 8000
+    assert d["n_samples"] == 4
+    assert d["duration_ms"] == 0  # 4 samples / 8000 Hz < 1 ms
+    assert d["peak"] == 255
+    assert d["energy"] == 0 + 10 * 10 + 10 * 10 + 127 * 127
+    assert abs(d["mean_amp"] - (128 + 138 + 118 + 255) / 4) < 1e-12
+
+
+def test_decode_wav_rejects_junk():
+    import pytest as _pytest
+
+    from ocs_duckdb_runner_spark.llm.multimodal import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00JUNK")

@@ -230,3 +230,40 @@ def test_quality_classifier_is_map_side_only(spark):
     plan = plan_of(spark, "quality_classifier")
     assert plan.count("Exchange (") == 0  # pure projection, scan speed
     assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+def _raw_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pagerank_edge_aggregation_broadcasts_dims(spark):
+    """The 100 TB cost of graph_pagerank is the fact-table edge build:
+    customer/supplier dims must broadcast so the only wide shuffle is the
+    (src, dst) aggregate; the iteration itself joins a broadcast score
+    frame. (The registered query localCheckpoints its result, which hides
+    the plan — inspect the pre-checkpoint builder.)"""
+    from ocs_duckdb_runner_spark.operators.graph import _pagerank_build
+
+    out, persisted = _pagerank_build(spark, SF_DIR)
+    plan = _raw_plan(spark, out)
+    for df in persisted:
+        df.unpersist()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_joins_on_vertex_keys_only(spark):
+    """Wedge-close joins must shuffle vertex-id pairs, never wider rows."""
+    from ocs_duckdb_runner_spark.operators.graph import _triangle_build
+
+    out, edges = _triangle_build(spark, SF_DIR)
+    plan = _raw_plan(spark, out)
+    edges.unpersist()
+    exchange_args = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert exchange_args
+    for ln in exchange_args:
+        assert "l_quantity" not in ln and "text" not in ln

@@ -120,3 +120,16 @@ def test_s3a_fanout_smoke(spark):
     rep = FanoutRunner(s, threads=4).run(files)
     assert rep["failures"] == 0
     assert rep["read_bytes"] > 0  # byte accounting exercised over s3a
+
+
+def test_fanout_per_file_byte_split(spark):
+    """R11 per-handle analog: the report splits read bytes per source via
+    per-file job groups + REST stage metrics; the split must cover every
+    file and account for (at least) the total scan bytes of the run."""
+    files = _sources(spark)
+    rep = FanoutRunner(spark, threads=4).run(files)
+    pfb = rep["per_file_bytes"]
+    assert set(pfb) == set(files)
+    assert all(v > 0 for v in pfb.values())
+    # totals come from the same stage metrics, so the split sums to them
+    assert sum(pfb.values()) == rep["read_bytes"]
