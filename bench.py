@@ -68,6 +68,15 @@ HEADLINE = [
     "kmeans_embeddings",
     "embed_quantize",
     "incremental_dedup",
+    "merge_upsert",
+    "scd2_history",
+    "event_interval_join",
+    "split_train_eval",
+    "quality_classifier",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "mm_audio_stats",
+    "pipeline_pretrain_end2end",
 ]
 
 

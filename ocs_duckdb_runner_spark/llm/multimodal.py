@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import load_table, query, spread
 
 FRAME_BYTES = 16  # "frame" = 16-byte block of the payload ("video" stand-in)
 FRAME_STRIDE = 64  # sample one frame every 64 bytes
@@ -251,7 +251,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     including deliberately truncated containers. Swapping decode_pnm for
     Pillow/ffmpeg keeps the identical batch contract."""
     d = load_table(spark, sf_dir, "documents")
-    p = _with_pnm_payload(d)
+    # widen the single-object scan BEFORE the Python stage: one parquet
+    # object = one split, which would serialize every decode on one core
+    p = spread(_with_pnm_payload(d))
     return p.mapInPandas(
         _decode_pnm_features,
         schema=(
@@ -302,7 +304,8 @@ def mm_embed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated. ASCII fixture text ⇒ ord(char) == byte value in the
     oracle."""
     d = load_table(spark, sf_dir, "documents")
-    p = _with_payload(d)
+    # widen before the Python stage (single-object scan = single split)
+    p = spread(_with_payload(d))
     schema = "doc_id long, " + ", ".join(f"e{i} double" for i in range(EMBED_DIM))
     return p.mapInPandas(_fake_embed, schema=schema)
 
@@ -442,7 +445,8 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops into this exact batch contract; per-payload stats stay
     embarrassingly parallel at 100 TB (no shuffle at all)."""
     d = load_table(spark, sf_dir, "documents")
-    p = _with_wav_payload(d)
+    # same single-split hazard as mm_decode_features: widen before Python
+    p = spread(_with_wav_payload(d))
     return p.mapInPandas(
         _decode_wav_stats,
         schema=(

@@ -601,3 +601,74 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "score", (F.col("score") >= 0.5).alias("keep")
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS b
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ), cb AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY b
+    ), cw AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM bg GROUP BY w1
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cb.c_bg * 1000000 // cw.c_w1) // count(*) AS BIGINT)
+               AS lm_micro_avg
+    FROM bg JOIN cb USING (b) JOIN cw USING (w1)
+    GROUP BY bg.doc_id
+    """,
+    tags=("llm", "text", "lm", "quality"),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, CCNet-style: train a bigram model
+    on the corpus itself (one pass), then score every document by its
+    average corpus-conditional bigram probability P(w2|w1) =
+    c(w1 w2)/c(w1 ·) — fluent text under the corpus distribution scores
+    high, out-of-distribution word salad scores low. The real pipeline
+    swaps the counts for a pretrained KenLM; the ENGINE work — a
+    train-then-score self-join where model "training" is an aggregation —
+    is exactly this shape.
+
+    Probabilities stay in exact integer micro-units (c_bg * 1e6 // c_w1,
+    floor-averaged) so scores hash-match the oracle with no float
+    summation anywhere. Scale shape: bigram extraction is the word-count
+    lateral (explode, hash-only shuffles on the bigram and head-word
+    keys); both count joins are AQE-broadcastable once aggregated (vocab²
+    is sublinear in corpus size), so scoring a 100 TB corpus shuffles
+    grams, never documents."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    from ocs_duckdb_runner_spark.registry import spread
+
+    bg = spread(d).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("b")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.b").persist()
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c_bg"))
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    out = (
+        bg.join(cb, "b")
+        .join(cw, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "cast(sum(c_bg * 1000000 div c_w1) div count(*) as bigint)"
+            ).alias("lm_micro_avg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bg.unpersist()
+    return out
