@@ -75,8 +75,8 @@ def _oracle_sql() -> str:
         for d in range(EMBED_BUCKETS)
     )
     sq = " + ".join(f"r{d} * r{d}" for d in range(EMBED_BUCKETS))
-    comps = ", ".join(
-        f"CASE WHEN nrm = 0 THEN 0.0 ELSE r{d} / nrm END"
+    comp_case = " ".join(
+        f"WHEN {d} THEN CASE WHEN nrm = 0 THEN 0.0 ELSE r{d} / nrm END"
         for d in range(EMBED_BUCKETS)
     )
     return f"""
@@ -87,7 +87,10 @@ def _oracle_sql() -> str:
              {raws}
       FROM tok GROUP BY doc_id),
     n AS (SELECT *, sqrt(CAST({sq} AS DOUBLE)) AS nrm FROM agg)
-    SELECT doc_id, [{comps}] AS embedding FROM n
+    SELECT doc_id, CAST(p.pos AS INT) AS pos,
+           CASE p.pos {comp_case} END AS component
+    FROM n CROSS JOIN
+         (SELECT unnest(generate_series(0, {EMBED_BUCKETS - 1})) AS pos) p
     """
 
 
@@ -98,8 +101,18 @@ def text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence encoder uses: text column in, array<double> vector column
     out, partition-parallel, no shuffle. The md5 arithmetic is mirrored
     in the DuckDB oracle, so the vector values (not just shapes) are
-    hash-checked through the Arrow boundary."""
+    hash-checked through the Arrow boundary.
+
+    Output shape: the vector is posexploded to (doc_id, pos, component)
+    rows — scalar columns only, since the harness canonicalizer (pandas
+    sort) cannot hash array cells (r3 postmortem). The explode is a
+    map-side projection: no shuffle is introduced."""
+    from pyspark.sql import functions as F
+
     d = spread(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", "text").mapInPandas(
+    emb = d.select("doc_id", "text").mapInPandas(
         _embed_batches, schema="doc_id long, embedding array<double>"
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "component")
     )

@@ -529,7 +529,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(round(mx / 127 * 1e9) AS BIGINT) AS scale_e9,
-           q,
+           array_to_string(q, ',') AS q_csv,
            CAST(list_sum(list_transform(generate_series(1, {DIM}),
                 i -> (CAST(round(xd[i] * 1e6) AS BIGINT)
                       - CAST(round(q[i] * (mx / 127) * 1e6) AS BIGINT))
@@ -582,6 +582,11 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.select(
         "vec_id",
         F.round(F.col("mx") / 127 * 1e9).cast("long").alias("scale_e9"),
-        "q",
+        # CSV-serialized rather than raw array<int>: the harness
+        # canonicalizer (pandas sort) cannot hash array cells (r3
+        # postmortem); a delimited string carries the identical values.
+        F.concat_ws(
+            ",", F.transform("q", lambda x: x.cast("string"))
+        ).alias("q_csv"),
         err.alias("err_e12"),
     )

@@ -64,8 +64,10 @@ def tpch_q3_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
     date-filtered orders ⋈ date-filtered lineitem → revenue per order →
     top-10. Both date predicates push down to parquet row-group stats;
-    customer is the broadcast side; the top-10 is TakeOrderedAndProject
-    (per-partition heaps), never a global sort."""
+    customer grows with SF so it carries no forced broadcast hint — the
+    planner/AQE broadcasts it while it fits and shuffle-joins beyond; the
+    top-10 is TakeOrderedAndProject (per-partition heaps), never a global
+    sort."""
     cut = F.lit("1998-07-01").cast("timestamp")
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -74,7 +76,7 @@ def tpch_q3_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -148,9 +150,11 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): the 6-table star with the
     cycle condition c_nationkey = s_nationkey — revenue by nation where the
-    ordering customer and the shipping supplier share a nation. region,
-    nation, supplier are broadcast (map-side, zero shuffle); the fact chain
-    customer→orders→lineitem shuffles on its keys only."""
+    ordering customer and the shipping supplier share a nation. region and
+    nation are broadcast (constant-size dims, map-side, zero shuffle);
+    supplier grows with SF so it carries no hint — AQE broadcasts it while
+    it fits; the fact chain customer→orders→lineitem shuffles on its keys
+    only."""
     r = load_table(spark, sf_dir, "region").filter(
         F.col("r_name").isin("ASIA", "EUROPE")
     )
@@ -165,7 +169,7 @@ def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
               & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -293,7 +297,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two order-independent integer sums; dividing the same two BIGINTs as
     doubles is one IEEE op, bit-identical on both engines.
 
-    100 TB plan: region/nation/supplier broadcast; the fact chain
+    100 TB plan: region/nation broadcast (constant-size); supplier is
+    unhinted — AQE broadcasts while it fits; the fact chain
     lineitem→orders→customer shuffles on join keys only, and the final
     group-by is on ~7 distinct years — a near-free exchange."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -309,7 +314,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
         .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -400,15 +405,16 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     5·n·q_e2 < sum_q_e2 — pure integer arithmetic, no division, exact on
     both engines.
 
-    100 TB plan: the brand filter broadcasts (part is a dim); the window
+    100 TB plan: part grows with SF, so the brand-filtered side carries no
+    forced broadcast hint — AQE measures the post-filter size at runtime
+    and broadcasts while it fits (a ~1/25 brand slice of a 100 TB-scale
+    part is still tens of GB, where a forced hint would OOM); the window
     shuffle keys on l_partkey which is high-cardinality and unskewed, and
     AQE coalesces the post-filter partitions."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     q_e2 = F.round(F.col("l_quantity") * 100).cast("long")
     w = Window.partitionBy("l_partkey")
     lines = li.join(p, li.l_partkey == p.p_partkey).select(

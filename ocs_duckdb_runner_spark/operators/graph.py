@@ -256,10 +256,15 @@ def _pagerank_build(spark: SparkSession, sf_dir: str):
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
+    # customer/supplier grow with scale factor — no forced broadcast (at
+    # 100 TB they are tens of GB and a hint OOMs every executor). AQE picks
+    # broadcast at small SF on its own and a shuffle join beyond threshold.
     flows = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c.select("c_custkey", "c_nationkey"),
+               o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s.select("s_suppkey", "s_nationkey"),
+              li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )

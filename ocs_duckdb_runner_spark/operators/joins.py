@@ -205,10 +205,15 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: lineitem⋈part with conditional (promo-type) revenue
-    per brand — fact⋈dim with the dim broadcast, conditional fixed-point
-    aggregate, zero fact-side shuffle before the final group-by."""
+    per brand — fact⋈dim with conditional fixed-point aggregate and zero
+    fact-side shuffle before the final group-by. part grows with SF, so no
+    forced broadcast hint: the planner/AQE broadcasts it while it fits and
+    falls back to a key shuffle beyond threshold (a forced hint on a
+    100 TB-scale part OOMs executors)."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
     rev = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")

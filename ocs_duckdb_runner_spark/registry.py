@@ -173,10 +173,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     self-describing parquet object per table, no catalog
     (/root/reference/runner.cc:176-180, schema from the parquet footer).
 
-    ``events.ts`` is parquet timestamp[ns], which Spark's reader rejects by
-    default; we read it as a long (nanosAsLong) and truncate to the session
-    µs TimestampType so every downstream query sees a native timestamp —
-    the same truncation the oracle applies with CAST(ts AS TIMESTAMP).
+    ``events.ts`` has shipped as parquet timestamp[ns] (older fixtures) and
+    timestamp[us] (current ones); this loader must accept both and hand every
+    downstream query the same thing: a native session-µs TimestampType under
+    UTC semantics — the truncation the oracle applies with
+    CAST(ts AS TIMESTAMP). Dispatch is on the *resolved* Spark dtype, never
+    on an assumed physical type (the r3 postmortem: a hard-coded ns
+    assumption broke the moment the fixtures moved to µs):
+
+    - plain read succeeds, ts is TimestampType      → pass through
+    - plain read succeeds, ts is TimestampNTZType   → cast to TimestampType
+      (session TZ is UTC, so the wall-clock value is preserved bit-for-bit)
+    - plain read rejects the footer (timestamp[ns]) → re-read with
+      nanosAsLong, then truncate ns→µs via timestamp_micros(ts DIV 1000)
 
     Session side effect (API boundary): the session time zone is pinned to
     UTC — oracle parity is only defined under UTC timestamp semantics
@@ -191,15 +200,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        path = f"{sf_dir}/{name}.parquet"
         try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df = spark.read.parquet(path)
+            ts_type = df.schema["ts"].dataType
+        except Exception:
+            # timestamp[ns] footer — Spark refuses it without the legacy flag
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+            ts_type = df.schema["ts"].dataType
+
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

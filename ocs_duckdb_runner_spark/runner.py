@@ -95,13 +95,17 @@ def _fs_read_ops(spark: SparkSession) -> int:
         return 0
 
 
-def _rest_input_metrics(spark: SparkSession) -> tuple[int, int, int]:
+def _rest_input_metrics(spark: SparkSession) -> tuple[int, int, int] | None:
     """(bytesRead, recordsRead, scanTasks) across all completed stages,
     from the monitoring REST API — Spark's equivalent of the reference's
     MonitoredFileSystem totals (runner.cc:147-161). scanTasks counts
     completed tasks in input-reading stages: the per-split open that
     stands in for a ranged read when the filesystem itself doesn't count
-    ops. Returns zeros when the UI is disabled."""
+    ops. Returns None when the UI is disabled — a zero here would read as
+    a *measurement* ("0 bytes read"), which is a lie; absence must be
+    visibly absence (ADVICE r2)."""
+    if spark.sparkContext.uiWebUrl is None:
+        return None
     try:
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
@@ -116,16 +120,19 @@ def _rest_input_metrics(spark: SparkSession) -> tuple[int, int, int]:
                 if s.get("inputBytes", 0) > 0
             ),
         )
-    except Exception:  # noqa: BLE001  (UI off / endpoint unavailable)
-        return (0, 0, 0)
+    except Exception:  # noqa: BLE001  (endpoint unavailable)
+        return None
 
 
-def _rest_job_group_bytes(spark: SparkSession) -> dict[str, int]:
+def _rest_job_group_bytes(spark: SparkSession) -> dict[str, int] | None:
     """jobGroup → inputBytes summed over each job's stages, from the
     monitoring REST API. The per-file analog of the reference's per-handle
     ReadStats (runner.cc:49-54): each fan-out file runs under its own job
     group, so grouping stage input metrics by job group recovers a
-    per-source byte split. Empty when the UI is disabled."""
+    per-source byte split. None when the UI is disabled (zeros would
+    masquerade as measurements — ADVICE r2)."""
+    if spark.sparkContext.uiWebUrl is None:
+        return None
     try:
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
@@ -147,8 +154,8 @@ def _rest_job_group_bytes(spark: SparkSession) -> dict[str, int]:
                 by_stage.get(sid, 0) for sid in j.get("stageIds", [])
             )
         return out
-    except Exception:  # noqa: BLE001  (UI off / endpoint unavailable)
-        return {}
+    except Exception:  # noqa: BLE001  (endpoint unavailable)
+        return None
 
 
 class FanoutRunner:
@@ -187,7 +194,7 @@ class FanoutRunner:
         # deterministic load-balancing shuffle, seed 1 (runner.cc:392)
         sources = list(sources)
         random.Random(1).shuffle(sources)
-        b0, r0, t0_scan = _rest_input_metrics(self.spark)
+        m0 = _rest_input_metrics(self.spark)
         ops0 = _fs_read_ops(self.spark)
         # per-object queries are tiny: 32 shuffle partitions would turn each
         # group-by into 32 scheduled tasks of scheduling overhead. One
@@ -223,25 +230,42 @@ class FanoutRunner:
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        b1, r1, t1_scan = _rest_input_metrics(self.spark)
+        m1 = _rest_input_metrics(self.spark)
         # filesystem-level ranged-read count when the FS tracks it (s3a —
         # the reference's deployment, runner.cc:89); per-split scan-task
         # count as the local-FS approximation (RawLocalFileSystem never
         # increments readOps)
         fs_ops = _fs_read_ops(self.spark) - ops0
         group_bytes = _rest_job_group_bytes(self.spark)
-        per_file_bytes = {
-            p: group_bytes.get(f"{self._token}:{i}", 0)
-            for i, p in enumerate(sources)
-        }
+        if m0 is None or m1 is None or group_bytes is None:
+            # UI off → the REST metrics source doesn't exist. Report the
+            # absence as null, never as 0 (ADVICE r2: zeros read as
+            # measurements), and say so once on stderr.
+            print(
+                "warning: spark.ui.enabled=false — byte/record I/O metrics "
+                "unavailable (reported as null)",
+                file=sys.stderr,
+            )
+            read_bytes = read_records = per_file_bytes = None
+            read_ops = fs_ops if fs_ops > 0 else None
+        else:
+            b0, r0, t0_scan = m0
+            b1, r1, t1_scan = m1
+            read_bytes = b1 - b0
+            read_records = r1 - r0
+            read_ops = fs_ops if fs_ops > 0 else t1_scan - t0_scan
+            per_file_bytes = {
+                p: group_bytes.get(f"{self._token}:{i}", 0)
+                for i, p in enumerate(sources)
+            }
         report = {
             "sources": len(sources),
             "threads": self.threads,
             "total_query_time_sec": round(wall, 3),
             "hits": total_hits,
-            "read_bytes": b1 - b0,
-            "read_records": r1 - r0,
-            "read_ops": fs_ops if fs_ops > 0 else t1_scan - t0_scan,
+            "read_bytes": read_bytes,
+            "read_records": read_records,
+            "read_ops": read_ops,
             "failures": len(failures),
             "per_file_hits": per_file,
             "per_file_bytes": per_file_bytes,
@@ -260,10 +284,13 @@ class FanoutRunner:
         print(f"== spark read ops: {rep['read_ops']}", file=e)
         print(f"== spark read records: {rep['read_records']}", file=e)
         b = rep["read_bytes"]
-        print(
-            f"== spark read bytes: {b} ({b / 1024:.1f} KB, {b / 1024 ** 2:.1f} MB)",
-            file=e,
-        )
+        if b is None:
+            print("== spark read bytes: null (metrics unavailable)", file=e)
+        else:
+            print(
+                f"== spark read bytes: {b} ({b / 1024:.1f} KB, {b / 1024 ** 2:.1f} MB)",
+                file=e,
+            )
 
 
 def split_objects(spark: SparkSession, sf_dir: str, n: int = 8) -> str:

@@ -23,31 +23,56 @@ from pyspark.sql import types as T
 from ocs_duckdb_runner_spark.exactness import fx_sum
 from ocs_duckdb_runner_spark.registry import query
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
 
 _COUNTER = {"n": 0}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs normalization the
-    batch loader applies (registry.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet, normalized to session-µs
+    TimestampType under UTC — the same contract as the batch loader
+    (registry.load_table), and the same dtype dispatch: the file source
+    needs a user-supplied schema, so probe the footer with a one-off batch
+    read (metadata only, no data scan) rather than assuming a physical
+    type (the r3 postmortem: fixtures moved ns→µs under a hard-coded ns
+    assumption)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema[
+            "ts"
+        ].dataType
+    except Exception:  # ns footer — batch read refuses without legacy flag
+        ts_type = None
+    if ts_type is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
     # the file source requires a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> str:

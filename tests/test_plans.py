@@ -154,8 +154,10 @@ def test_q6_predicates_push_to_scan_no_shuffle(spark):
 
 def test_q8_double_nation_role_broadcasts_all_dims(spark):
     plan = plan_of(spark, "tpch_q8_market_share")
-    # nation appears in two roles + region + supplier: ≥4 broadcast joins
-    assert plan.count("BroadcastHashJoin") >= 4
+    # nation appears in two roles + region: ≥3 forced broadcast joins.
+    # supplier is deliberately UNhinted (it grows with SF); at test scale
+    # the size-based planner still broadcasts it, at 100 TB it shuffles.
+    assert plan.count("BroadcastHashJoin") >= 3
 
 
 def test_q17_uses_window_not_self_join(spark):
@@ -239,18 +241,22 @@ def _raw_plan(spark, df) -> str:
 
 
 def test_pagerank_edge_aggregation_broadcasts_dims(spark):
-    """The 100 TB cost of graph_pagerank is the fact-table edge build:
-    customer/supplier dims must broadcast so the only wide shuffle is the
-    (src, dst) aggregate; the iteration itself joins a broadcast score
-    frame. (The registered query localCheckpoints its result, which hides
-    the plan — inspect the pre-checkpoint builder.)"""
+    """The 100 TB cost of graph_pagerank is the fact-table edge build.
+    customer/supplier carry NO forced broadcast hint (they grow with SF —
+    at 100 TB a hint OOMs executors); the size-based planner broadcasts
+    them at test scale and key-shuffles beyond. What IS pinned: the
+    iteration joins a forced-broadcast score frame (≤25 nation rows,
+    constant at any SF) and nothing degenerates to a cartesian. (The
+    registered query localCheckpoints its result, which hides the plan —
+    inspect the pre-checkpoint builder.)"""
     from ocs_duckdb_runner_spark.operators.graph import _pagerank_build
 
     out, persisted = _pagerank_build(spark, SF_DIR)
     plan = _raw_plan(spark, out)
     for df in persisted:
         df.unpersist()
-    assert plan.count("BroadcastHashJoin") >= 3
+    # ≥1 forced (score frame) + size-chosen dim broadcasts at test SF
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
 
 
