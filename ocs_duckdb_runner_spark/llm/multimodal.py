@@ -339,10 +339,13 @@ def _with_wav_payload(df: DataFrame) -> DataFrame:
     the decoder's header parse is load-bearing, not constant."""
     blen = "octet_length(cast(text as binary))"
     rate = "8000 + cast(doc_id % 4 as int) * 4000"
+    # RIFF chunks are word-aligned: an odd-length data chunk gets one pad
+    # byte (not counted in the chunk's own size, but counted in the RIFF
+    # container size = file bytes after offset 8)
     header_hex = (
         "concat("
         "'52494646', "  # 'RIFF'
-        f"{_le_hex(f'36 + {blen}', 4)}, "
+        f"{_le_hex(f'36 + {blen} + ({blen} % 2)', 4)}, "
         "'57415645', "  # 'WAVE'
         "'666d7420', "  # 'fmt '
         f"{_le_hex('16', 4)}, "  # fmt chunk size
@@ -355,10 +358,11 @@ def _with_wav_payload(df: DataFrame) -> DataFrame:
         "'64617461', "  # 'data'
         f"{_le_hex(blen, 4)})"
     )
+    pad = f"CASE WHEN {blen} % 2 = 1 THEN unhex('00') ELSE unhex('') END"
     return df.select(
         "doc_id",
         F.expr(
-            f"concat(unhex({header_hex}), cast(text as binary))"
+            f"concat(unhex({header_hex}), cast(text as binary), {pad})"
         ).alias("payload"),
         F.lit("audio/wav").alias("mime"),
     )
@@ -412,13 +416,19 @@ def _decode_wav_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "mm_audio_stats",
     oracle="""
     WITH p AS (
-        SELECT doc_id, text,
+        SELECT doc_id, hex(encode(text)) AS hx,
                CAST(octet_length(encode(text)) AS BIGINT) AS n,
                CAST(8000 + doc_id % 4 * 4000 AS INT) AS rate
         FROM documents),
     px AS (
+        -- byte-true sample extraction via the hex dump (ord() over
+        -- substring is CHARACTER-wise and would mis-read multi-byte
+        -- UTF-8; hex digits are exact for any payload)
         SELECT p.doc_id,
-               ord(substring(p.text, CAST(i AS INT), 1)) AS v
+               (strpos('0123456789ABCDEF',
+                       substring(p.hx, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF',
+                        substring(p.hx, CAST(2 * i AS INT), 1)) - 1 AS v
         FROM p, unnest(generate_series(1, p.n)) AS t(i)),
     agg AS (
         SELECT doc_id, avg(v) AS mean_amp,
@@ -427,8 +437,12 @@ def _decode_wav_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         FROM px GROUP BY doc_id)
     SELECT p.doc_id, p.rate AS sample_rate, p.n AS n_samples,
            CAST(p.n * 1000 // p.rate AS BIGINT) AS duration_ms,
-           a.mean_amp, a.peak, a.energy
-    FROM p JOIN agg a USING (doc_id)
+           -- LEFT JOIN + coalesce: an empty payload has no sample rows but
+           -- the decoder still reports it (mean 0.0, peak 0, energy 0)
+           coalesce(a.mean_amp, 0.0) AS mean_amp,
+           coalesce(a.peak, 0) AS peak,
+           coalesce(a.energy, 0) AS energy
+    FROM p LEFT JOIN agg a USING (doc_id)
     """,
     tags=("llm", "multimodal", "codec", "audio"),
 )

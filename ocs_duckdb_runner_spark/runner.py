@@ -65,10 +65,50 @@ def to_sql(path: str) -> str:
     """
 
 
+_PLAN_CACHE: dict[tuple, object] = {}
+_PLAN_CACHE_MAX = 1024
+
+
 def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
     """The fixed per-object query (runner.cc:174-182) over one
-    lineitem-schema parquet object."""
-    return spark.sql(to_sql(path))
+    lineitem-schema parquet object.
+
+    Analyzed-plan cache: parsing + analysis of the per-object SQL costs
+    ~90 ms/file (Catalyst analysis + a parquet footer read for schema
+    resolution) — ~40% of warm fan-out wall. The ANALYZED LOGICAL PLAN is
+    memoized per (path, mtime, size, session) and wrapped in a FRESH
+    Dataset per call (Dataset.ofRows, ~3 ms): physical planning and
+    execution re-run every time, so each run genuinely re-reads the object
+    and the R11 I/O metrics stay truthful. Caching the DataFrame itself
+    would be wrong — re-collecting one Dataset reuses its computed shuffle
+    output and the re-run would skip the scan entirely (0 bytes read: a
+    result cache masquerading as a query run). mtime+size in the key
+    invalidates on file replacement; remote objects (s3a) can't be stat'd
+    locally and bypass the cache; any reflection failure falls back to
+    plain spark.sql. Bounded FIFO, 1024 entries."""
+    try:
+        st = os.stat(path)
+    except OSError:  # remote object (s3a) — no local stat, no cache
+        return spark.sql(to_sql(path))
+    key = (path, st.st_mtime_ns, st.st_size, id(spark))
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        df = spark.sql(to_sql(path))
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+        except Exception:  # non-classic session / API drift
+            return df
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = plan
+        return df
+    try:
+        jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, plan
+        )
+        return DataFrame(jds, spark)
+    except Exception:  # API drift — correctness over the fast path
+        return spark.sql(to_sql(path))
 
 
 def _fs_read_ops(spark: SparkSession) -> int:
