@@ -73,6 +73,8 @@ HEADLINE = [
     "event_interval_join",
     "split_train_eval",
     "quality_classifier",
+    "chunk_documents",
+    "text_boilerplate",
     "graph_pagerank",
     "graph_triangle_count",
     "mm_audio_stats",

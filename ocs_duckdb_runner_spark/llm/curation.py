@@ -1,0 +1,364 @@
+"""Corpus-curation operators for LLM training-data pipelines (SURVEY.md
+§2d EXT): document chunking, boilerplate-segment removal, token-budget
+selection, corpus n-gram statistics, and radius (range) similarity search.
+
+These are the steps between raw filtered text and a packed training corpus:
+chunk long documents into model-window pieces, strip segments repeated
+across many documents (the C4/RefinedWeb boilerplate heuristic), cap each
+source at a token budget, and build the n-gram frequency table a tokenizer
+trainer consumes.
+
+Scale design: chunking and n-gram explosion are map-side lateral expansions
+(Generate — no shuffle); boilerplate detection shuffles (segment-hash)
+key-only twice (count distinct docs per segment, then join back); the token
+budget is one window over (source) — low-cardinality partitions but each
+holds only per-doc token counts, not text. Radius search broadcasts the
+constant-size query set and folds map-side, like sim_cosine_topk; the
+LSH/IVF variants in llm/similarity.py are the 100 TB pruning path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.llm.similarity import (
+    _SQL_FP,
+    _sql_cosine,
+    cosine,
+    fp_vec,
+)
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # chunk stride (overlap = W - S = 16)
+
+SEG_W = 8  # boilerplate segment width (tokens)
+BOILER_MIN_DOCS = 3  # segment in >= this many distinct docs => boilerplate
+
+TOKEN_BUDGET = 2000  # per-source greedy selection budget
+
+RANGE_TAU = 0.25  # radius-search cosine threshold
+RANGE_QUERY_IDS = (0, 1, 2)
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    grid AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+                 (greatest(n - {CHUNK_W}, 0) + {CHUNK_S} - 1) // {CHUNK_S}
+             )) AS chunk_idx
+      FROM tok)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least(n - chunk_idx * {CHUNK_S}, {CHUNK_W}) AS INT)
+             AS n_tokens,
+           md5(array_to_string(
+               toks[chunk_idx * {CHUNK_S} + 1 :
+                    least(n, chunk_idx * {CHUNK_S} + {CHUNK_W})],
+               ' ')) AS chunk_fp
+    FROM grid
+    """,
+    tags=("llm", "curation", "chunking"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the pretraining/RAG step that
+    turns variable-length documents into model-window pieces: {CHUNK_W}
+    tokens per chunk, stride {CHUNK_S} (16-token overlap), last chunk
+    ragged. Emits (doc_id, chunk_idx, n_tokens, md5 chunk fingerprint);
+    the fingerprint stands in for chunk text so the result stays narrow.
+
+    Plan: one Generate (posexplode over a computed start grid) — pure
+    map-side amplification, no shuffle at any scale. Chunk token slices
+    use the built-in slice(); nothing leaves the JVM."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens())
+    n_chunks_minus1 = F.floor(
+        (F.greatest(n - F.lit(CHUNK_W), F.lit(0)) + F.lit(CHUNK_S - 1))
+        / F.lit(CHUNK_S)
+    ).cast("int")
+    t = d.select(
+        "doc_id",
+        _tokens().alias("toks"),
+        n.alias("n"),
+        F.sequence(F.lit(0), n_chunks_minus1).alias("starts"),
+    )
+    e = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode("starts").alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_S + 1, F.lit(CHUNK_W)
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(
+            F.col("n") - F.col("chunk_idx") * CHUNK_S, F.lit(CHUNK_W)
+        ).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+@query(
+    "text_boilerplate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    seg AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 toks[i * {SEG_W} + 1 : least(n, i * {SEG_W} + {SEG_W})],
+                 ' ')) AS seg_fp,
+             CAST(least(n - i * {SEG_W}, {SEG_W}) AS BIGINT) AS seg_len
+      FROM tok, unnest(generate_series(0, (n - 1) // {SEG_W})) AS t(i)),
+    freq AS (
+      SELECT seg_fp, count(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY seg_fp)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) FILTER (WHERE f.n_docs >= {BOILER_MIN_DOCS})
+                AS BIGINT) AS n_boiler,
+           CAST(sum(s.seg_len)
+                FILTER (WHERE f.n_docs < {BOILER_MIN_DOCS}) AS BIGINT)
+             AS kept_tokens,
+           CAST(count(*) FILTER (WHERE f.n_docs >= {BOILER_MIN_DOCS})
+                AS DOUBLE) / count(*) AS boiler_frac
+    FROM seg s JOIN freq f USING (seg_fp)
+    GROUP BY s.doc_id
+    """,
+    tags=("llm", "curation", "boilerplate"),
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection, C4/RefinedWeb-style: split each
+    document into fixed {SEG_W}-token segments, hash them, and mark a
+    segment boilerplate when it appears in >= {BOILER_MIN_DOCS} distinct
+    documents (headers, footers, navigation chrome repeat verbatim across
+    a crawl; body text does not). Per document: segment counts, boilerplate
+    fraction, and tokens kept after dropping boilerplate segments.
+
+    Plan: segment explode is map-side; the corpus-frequency aggregate and
+    the join back both shuffle ONLY (seg_fp md5, doc_id, seg_len) — never
+    text. At 100 TB the segment-hash key space is uniform (md5), so no
+    skew; kept_tokens is NULL→0-free because every doc has >=1 segment
+    below threshold or the sum is NULL and coalesced by the caller."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens())
+    t = d.select(
+        "doc_id",
+        _tokens().alias("toks"),
+        n.alias("n"),
+        F.sequence(
+            F.lit(0), F.floor((n - 1) / F.lit(SEG_W)).cast("int")
+        ).alias("idxs"),
+    )
+    seg = t.select(
+        "doc_id",
+        F.explode("idxs").alias("i"),
+        F.col("toks"),
+        F.col("n"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * SEG_W + 1, SEG_W)
+            )
+        ).alias("seg_fp"),
+        F.least(F.col("n") - F.col("i") * SEG_W, F.lit(SEG_W))
+        .cast("long")
+        .alias("seg_len"),
+    )
+    freq = seg.groupBy("seg_fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    boiler = F.col("n_docs") >= BOILER_MIN_DOCS
+    return (
+        seg.join(freq, "seg_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(boiler.cast("long")).alias("n_boiler"),
+            F.sum(F.when(~boiler, F.col("seg_len"))).alias("kept_tokens"),
+            (
+                F.sum(boiler.cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_total,
+           CAST(count(*) FILTER (WHERE cum_tok - n_tok < {TOKEN_BUDGET})
+                AS BIGINT) AS docs_kept,
+           CAST(sum(n_tok) FILTER (WHERE cum_tok - n_tok < {TOKEN_BUDGET})
+                AS BIGINT) AS tokens_kept
+    FROM cum GROUP BY source
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source greedy token-budget selection — the sampling step that
+    caps each source's contribution to a training mixture: order a
+    source's documents longest-first (n_tok DESC, doc_id tiebreak), keep
+    documents while the budget ({TOKEN_BUDGET} tokens) is not yet
+    exhausted when a document starts (cum - own < B, so the budget
+    boundary document is kept — deterministic greedy).
+
+    Plan: ONE window + final aggregate over the same (source) hash
+    partitioning — Catalyst reuses a single exchange, and the shuffled
+    rows are (doc_id, source, n_tok), never text. Source count is
+    bounded (mixture configs are small), so partitions are coarse but
+    each holds integers only."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tok").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tok.withColumn("cum_tok", F.sum("n_tok").over(w))
+    kept = F.col("cum_tok") - F.col("n_tok") < TOKEN_BUDGET
+    return cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum(kept.cast("long")).alias("docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok"))).alias("tokens_kept"),
+    )
+
+
+@query(
+    "text_ngram_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    bg AS (
+      SELECT lang, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+               AS bigram
+      FROM tok, unnest(generate_series(1, n - 1)) AS t(i)),
+    cnt AS (
+      SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY lang, bigram),
+    rk AS (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram) AS rank
+      FROM cnt)
+    SELECT lang, bigram, n, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    tags=("llm", "curation", "ngram", "tokenizer"),
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top-5 per language — the statistic a
+    BPE/unigram tokenizer trainer consumes (merge candidates ranked by
+    corpus count; ties broken lexicographically for determinism).
+
+    Plan: bigram construction is a map-side lateral (Generate) over a
+    guarded sequence (a 1-token doc yields none — Spark's sequence()
+    counts DOWN when start > stop, so the guard is correctness, not
+    style); the count aggregates map-side first and shuffles (lang,
+    bigram) keys only; the top-5 compiles to WindowGroupLimit, so each
+    map task keeps a 5-row heap per language rather than sorting the
+    full vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    bg_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    t = d.select("lang", toks.alias("toks"), bg_idx.alias("idxs"))
+    bg = t.select(
+        "lang",
+        F.explode("idxs").alias("i"),
+        F.col("toks"),
+    ).select(
+        "lang",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", F.col("i")),
+            F.element_at("toks", F.col("i") + 1),
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "bigram", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, {_SQL_FP.format(v='embedding')} AS qv
+      FROM embeddings WHERE vec_id IN {RANGE_QUERY_IDS}),
+    fp AS (
+      SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
+      FROM embeddings)
+    SELECT q.qid, fp.vec_id, {_sql_cosine('ev', 'qv')} AS cos_sim
+    FROM fp, q
+    WHERE fp.vec_id <> q.qid
+      AND {_sql_cosine('ev', 'qv')} >= {RANGE_TAU}
+    """,
+    tags=("llm", "similarity", "range"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every vector within cosine
+    >= {RANGE_TAU} of each query — the retrieval primitive behind
+    near-duplicate audit and kNN-graph construction, where top-k is the
+    wrong contract (the neighbor count is data-dependent).
+
+    Plan: broadcast the constant-size query set, fold the fixed-point
+    cosine map-side, filter — no shuffle at any scale (the exact twin of
+    sim_cosine_topk's brute-force contract). The LSH-bucketed pruning in
+    sim_ann_lsh_topk is the 100 TB path when the query set grows; the
+    fixed-point arithmetic (integer micro-unit dot products) makes the
+    >= threshold boundary BIT-identical to the oracle, so membership at
+    the radius edge cannot drift."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*RANGE_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        fp_vec(F.col("embedding")).alias("qv"),
+    )
+    fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
+    sim = cosine(F.col("ev"), F.col("qv"))
+    return (
+        fp.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+    )

@@ -73,6 +73,7 @@ def _load_all() -> None:
     import ocs_duckdb_runner_spark.operators.windows  # noqa: F401
     import ocs_duckdb_runner_spark.functions.complex  # noqa: F401
     import ocs_duckdb_runner_spark.functions.scalar  # noqa: F401
+    import ocs_duckdb_runner_spark.llm.curation  # noqa: F401
     import ocs_duckdb_runner_spark.llm.dedup  # noqa: F401
     import ocs_duckdb_runner_spark.llm.embedding  # noqa: F401
     import ocs_duckdb_runner_spark.llm.export  # noqa: F401

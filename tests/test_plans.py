@@ -273,3 +273,45 @@ def test_triangle_count_joins_on_vertex_keys_only(spark):
     assert exchange_args
     for ln in exchange_args:
         assert "l_quantity" not in ln and "text" not in ln
+
+
+def test_chunk_documents_is_shuffle_free_lateral(spark):
+    """Chunking is pure map-side amplification: one Generate, zero
+    exchanges of any kind — at 100 TB it must scale with input splits."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Generate" in plan
+    assert plan.count("Exchange (") == 0
+
+
+def test_text_ngram_stats_pushes_group_limit(spark):
+    """Top-5-per-lang must compile to WindowGroupLimit (per-map-task
+    5-row heaps), never a full vocabulary sort."""
+    plan = plan_of(spark, "text_ngram_stats")
+    assert "WindowGroupLimit" in plan
+    assert "Generate" in plan
+
+
+def test_corpus_token_budget_reuses_one_exchange(spark):
+    """Window over (source) then aggregate on the same key: Catalyst must
+    plan exactly one hash exchange, reused by both operators."""
+    plan = plan_of(spark, "corpus_token_budget")
+    assert plan.count("Exchange (") == 1
+
+
+def test_sim_range_search_has_no_shuffle(spark):
+    """Radius search = broadcast query set + map-side fold: every exchange
+    in the plan must be a BroadcastExchange, never a shuffle."""
+    plan = plan_of(spark, "sim_range_search")
+    assert plan.count("Exchange (") == plan.count("BroadcastExchange (")
+    assert plan.count("BroadcastExchange (") >= 1
+
+
+def test_text_boilerplate_shuffles_keys_not_text(spark):
+    """The boilerplate frequency/join path must shuffle segment hashes and
+    integers only — the raw text column stays in the map stage."""
+    plan = plan_of(spark, "text_boilerplate")
+    assert "Generate" in plan
+    # the join key is the md5 seg_fp; text never appears past the scan
+    ex_sections = plan.split("Exchange")[1:]
+    assert all("text#" not in s.split("Input [")[-1].split("]")[0]
+               for s in ex_sections if "Input [" in s)
