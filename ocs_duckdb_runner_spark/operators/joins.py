@@ -179,13 +179,67 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (theta/range) join — no hashable key, so Spark uses
     BroadcastNestedLoopJoin with the small supplier side broadcast; the
-    band predicate is evaluated in codegen. At scale the general fix is
-    banding: join on a coarse bucket key, then filter — see
-    sim_ann_lsh for the banded pattern."""
+    band predicate is evaluated in codegen. At scale the fix is banding:
+    join_range_banded computes the SAME result (same oracle) as a bucket
+    equi-join + filter, the plan that holds when neither side fits in
+    memory."""
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     c = load_table(spark, sf_dir, "customer")
     cond = (c.c_acctbal > s.s_acctbal - 50) & (c.c_acctbal < s.s_acctbal + 50)
     return s.join(c, cond).select("s_suppkey", "s_name", "c_custkey")
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal > s.s_acctbal - 50 AND c.c_acctbal < s.s_acctbal + 50
+    """,
+    tags=("join", "theta", "banded"),
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME band-join semantics as join_theta_range (same oracle), via
+    the plan that survives 100 TB: BANDING. Each side is assigned a coarse
+    bucket = floor(acctbal_cents / band_width); the band width equals the
+    bucket width, so a matching pair's buckets differ by at most 1 — the
+    supplier side is replicated into buckets b-1, b, b+1 (a fixed 3×
+    lateral, map-side), the join becomes a hashable EQUI-join on the
+    bucket key, and the exact band predicate filters the candidates.
+
+    Correctness notes: cents = round(acctbal·100) is exact for 2-decimal
+    money; each customer row has exactly ONE bucket, so a pair can match
+    in only one replicated slot — no dedup needed. The final filter uses
+    the identical double comparison as the oracle (x − 50 is exact in
+    binary64 for these magnitudes since 50 is an integer multiple of any
+    ulp), so the boundary can't drift.
+
+    Scale: replaces join_theta_range's BroadcastNestedLoopJoin (which
+    needs one side to fit in memory and evaluates |S|·|C| predicates)
+    with a shuffle on a uniform synthetic key — cost is the candidate
+    pairs within ±1 bucket, not the cross product."""
+    band = 5000  # cents = $50, matching the oracle's band
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s_b = F.floor(F.round(F.col("s_acctbal") * 100).cast("long") / band)
+    c_b = F.floor(F.round(F.col("c_acctbal") * 100).cast("long") / band)
+    s_exp = s.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.explode(F.array(s_b - 1, s_b, s_b + 1)).alias("bucket"),
+    )
+    c_k = c.select("c_custkey", "c_acctbal", c_b.alias("bucket"))
+    cond = (F.col("c_acctbal") > F.col("s_acctbal") - 50) & (
+        F.col("c_acctbal") < F.col("s_acctbal") + 50
+    )
+    return (
+        s_exp.join(c_k, "bucket")
+        .filter(cond)
+        .select("s_suppkey", "s_name", "c_custkey")
+    )
 
 
 @query(

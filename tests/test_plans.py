@@ -315,3 +315,17 @@ def test_text_boilerplate_shuffles_keys_not_text(spark):
     ex_sections = plan.split("Exchange")[1:]
     assert all("text#" not in s.split("Input [")[-1].split("]")[0]
                for s in ex_sections if "Input [" in s)
+
+
+def test_join_range_banded_is_equi_join_not_nested_loop(spark):
+    """The banded range join must hand Catalyst a hashable bucket key:
+    a BroadcastNestedLoopJoin or cartesian here means the banding failed
+    and the plan degenerates to |S|x|C| predicate evaluations at scale."""
+    plan = plan_of(spark, "join_range_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
