@@ -395,6 +395,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_from_tokens(_doc_token_frame(spark, sf_dir))
 
 
+CONTAIN_TAU = 0.5  # containment threshold: half of A's shingles appear in B
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.shared,
+           CAST(p.shared AS DOUBLE) / ca.n_sh AS containment
+    FROM pairs p JOIN counts ca ON ca.doc_id = p.doc_a
+    WHERE CAST(p.shared AS DOUBLE) / ca.n_sh >= {CONTAIN_TAU}
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT C(A→B) = |A∩B| / |A| —
+    the quote/excerpt detector symmetric Jaccard misses (a short doc fully
+    embedded in a long one has high containment but low Jaccard, because
+    the union denominator is dominated by the long doc). Ordered pairs
+    (doc_a contained-in doc_b) at C ≥ {CONTAIN_TAU}.
+
+    Plan: the same inverted-index join as dedup_ngram_jaccard — only docs
+    sharing ≥1 shingle hash ever meet; per-doc shingle counts ride the
+    explode as grouping keys, so the denominator needs no extra join. The
+    ordered (<>) join emits each unordered pair in both directions, which
+    is the semantics (containment is directional), not blow-up: output is
+    threshold-bounded. Shuffles carry 8-byte shingle hashes + longs only;
+    at production multiplicity route through the exact-collapse first
+    (dedup_ngram_jaccard_unique pattern) like the symmetric path."""
+    arr = _doc_token_frame(spark, sf_dir).select(
+        "doc_id", shingle_hashes(F.col("toks")).alias("sh")
+    ).persist()
+    sh = arr.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    contain = F.col("shared").cast("double") / F.col("na")
+    out = (
+        pairs.select("doc_a", "doc_b", "shared", contain.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .localCheckpoint(eager=True)
+    )
+    arr.unpersist()
+    return out
+
+
 FUZZY_BLOCK_CHARS = 16  # blocking key part 1: first chars of the text
 FUZZY_LEN_BUCKET = 16  # blocking key part 2: length(text) DIV this
 FUZZY_MAX_BLOCK = 64  # blocks bigger than this are boilerplate — dropped
