@@ -305,3 +305,113 @@ def event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("error_id", "purchase_id", (F.col("pus") - F.col("eus")).alias("lag_us"))
     )
+
+
+@query(
+    "event_anomaly_zscore",
+    oracle="""
+    WITH hc AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM hc GROUP BY user_id)
+    SELECT h.user_id, h.hour, h.n,
+           (h.n - CAST(s.s1 AS DOUBLE) / s.n_hours)
+             / sqrt((s.n_hours * CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1)
+                    / (CAST(s.n_hours AS DOUBLE) * s.n_hours)) AS zscore
+    FROM hc h JOIN stats s USING (user_id)
+    WHERE s.n_hours >= 3
+      AND s.n_hours * s.s2 > s1 * s1
+      AND (h.n - CAST(s.s1 AS DOUBLE) / s.n_hours)
+          / sqrt((s.n_hours * CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1)
+                 / (CAST(s.n_hours AS DOUBLE) * s.n_hours)) >= 2.0
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomaly detection: hourly event counts vs the
+    user's own hourly distribution, flagging hours >= 2 population
+    z-scores above the mean — the monitoring primitive behind rate-spike
+    and abuse detection.
+
+    Exactness: the moments are integer (count, sum, sum-of-squares), so
+    mean and population variance derive from exact BIGINTs through the
+    identical double expressions on both engines — no stddev_samp() call,
+    whose float accumulation order differs per engine/partitioning. The
+    degenerate cases are excluded structurally: users with < 3 active
+    hours (no meaningful distribution) and zero-variance users (every
+    hour identical — z undefined).
+
+    Plan: two hash aggregates on (user_id[, hour]) — the second reuses
+    the first's partitioning — and a user-keyed equi-join of a stats
+    frame that holds 3 integers per user. Shuffles carry counts, never
+    events. Skew-safe: hot users produce many (user, hour) groups but
+    the per-group state is one long."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hc.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (
+        F.col("n_hours") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n_hours").cast("double") * F.col("n_hours"))
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hc.join(stats, "user_id")
+        .filter(
+            (F.col("n_hours") >= 3)
+            & (F.col("n_hours") * F.col("s2") > F.col("s1") * F.col("s1"))
+        )
+        .select("user_id", "hour", "n", z.alias("zscore"))
+        .filter(F.col("zscore") >= 2.0)
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix of user
+    behavior): for each user's time-ordered event stream, count each
+    (event_type -> next event_type) step — session-path mining's basic
+    statistic. Ties on ts are broken by event_id so the sequence is
+    deterministic on both engines.
+
+    Plan: ONE (user_id) exchange for the lead() window, then a partial
+    (map-side) count on the tiny type x type key space — the transition
+    matrix aggregate adds ~|types|^2 rows per map task, not a second
+    event-sized shuffle. Per-user ordering is in-partition sort, which at
+    100 TB is the same plan sessionization already pays."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
