@@ -468,3 +468,92 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_amp double, peak int, energy long"
         ),
     )
+
+
+def _dispatch_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Heterogeneous batch decode: inspect each payload's magic bytes and
+    route to the matching codec — the ingestion shape of a mixed-media
+    corpus (one binary column, many container formats)."""
+    for pdf in it:
+        ids, modality, n_units, mean_val = [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(b)
+            if buf[:4] == b"RIFF":
+                f = decode_wav(buf)
+                modality.append("audio")
+                n_units.append(f["n_samples"])
+                mean_val.append(f["mean_amp"])
+            else:
+                f = decode_pnm(buf)
+                modality.append("image")
+                n_units.append(f["n_px"])
+                mean_val.append(f["mean_px"])
+            ids.append(doc_id)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "modality": modality,
+                "n_units": n_units,
+                "mean_val": mean_val,
+            }
+        )
+
+
+@query(
+    "mm_dispatch_decode",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        FROM documents),
+    dims AS (
+        -- odd docs are P6 images: 3 channels, width 4+doc_id%8, height as
+        -- the encoder declares (over-declared every {_CORRUPT_EVERY}th doc)
+        SELECT doc_id, hx, blen,
+               CASE WHEN doc_id % 2 = 0 THEN blen
+                    ELSE least(blen,
+                         (4 + doc_id % 8) * 3 *
+                         (greatest(1, blen // ((4 + doc_id % 8) * 3))
+                          + CASE WHEN doc_id % {_CORRUPT_EVERY} = 0
+                                 THEN 1 ELSE 0 END))
+               END AS n_units
+        FROM p),
+    px AS (
+        SELECT d.doc_id,
+               (strpos('0123456789ABCDEF',
+                       substring(d.hx, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF',
+                        substring(d.hx, CAST(2 * i AS INT), 1)) - 1 AS v
+        FROM dims d, unnest(generate_series(1, d.n_units)) AS t(i)),
+    agg AS (SELECT doc_id, avg(v) AS mean_val FROM px GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'audio' ELSE 'image' END
+             AS modality,
+           d.n_units,
+           coalesce(a.mean_val, 0.0) AS mean_val
+    FROM dims d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "multimodal", "codec", "dispatch"),
+)
+def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality ingestion: HALF the corpus is encoded as RIFF/WAVE
+    audio (even doc_id), half as binary Netpbm images (odd doc_id), all in
+    ONE binary payload column — and a single mapInPandas pass dispatches
+    each payload to the right codec by its magic bytes (RIFF vs P5/P6),
+    the way a real media lake decodes a heterogeneous crawl. Emits the
+    modality-agnostic summary (modality, unit count, mean amplitude/pixel).
+
+    The oracle reproduces both codecs' unit counts from the container
+    arithmetic (audio: data bytes; image: the width x height x channels
+    plane, truncation-capped) over the byte-true hex dump. Plan: two
+    map-side encoder projections unioned, then Arrow-batched decode —
+    partition-parallel, no shuffle at any scale; the union is planned as
+    two scans of the same file with disjoint pushed filters."""
+    d = load_table(spark, sf_dir, "documents")
+    wav = _with_wav_payload(d.filter(F.col("doc_id") % 2 == 0))
+    pnm = _with_pnm_payload(d.filter(F.col("doc_id") % 2 == 1))
+    p = spread(wav.unionByName(pnm, allowMissingColumns=True))
+    return p.select("doc_id", "payload").mapInPandas(
+        _dispatch_decode,
+        schema="doc_id long, modality string, n_units long, mean_val double",
+    )
