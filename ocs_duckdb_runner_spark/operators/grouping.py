@@ -9,7 +9,7 @@ requested — the property that matters at 100 TB (versus N scans + union).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
@@ -407,5 +407,55 @@ def agg_grouping_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n"
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, o_orderpriority AS prio,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT l_returnflag, prio, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, prio) AS r
+      FROM c)
+    SELECT l_returnflag, prio AS mode_priority, n AS mode_n
+    FROM rk WHERE r = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent order priority per
+    return flag, ties broken lexicographically — built as count + window
+    rank rather than an engine mode() aggregate, because engines disagree
+    on mode's tie semantics (DuckDB picks first-seen, Spark's mode() is
+    non-deterministic under ties); the count+rank form is deterministic on
+    any engine and any partitioning.
+
+    Plan: join is dim-broadcast-or-AQE; the candidate count is a two-level
+    hash aggregate on the tiny (flag, priority) key space; the rank-1 cut
+    compiles to WindowGroupLimit — per-map-task 1-row heaps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    c = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag", F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "prio")
+    return (
+        c.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "l_returnflag",
+            F.col("prio").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
         )
     )
