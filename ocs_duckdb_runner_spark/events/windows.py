@@ -16,7 +16,7 @@ these materialize per-event state on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
@@ -186,4 +186,83 @@ def event_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", F.col("ts")).alias("hour"),
         )
         .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c"))
+    )
+
+
+@query(
+    "event_session_paths",
+    oracle="""
+    WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                      event_type
+               FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    paths AS (
+      SELECT user_id, sid,
+             array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS path
+      FROM sessions GROUP BY user_id, sid)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("events", "session", "sequence"),
+)
+def event_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session trajectory mining: the top-20 most common within-session
+    event-type paths (10-minute gap sessions, events ordered by time) —
+    the statistic behind funnel discovery and behavioral dataset export.
+    Path construction is made deterministic on BOTH engines by sorting
+    (ts, event_id, type) structs — never by trusting collect_list's
+    arrival order, which depends on partitioning.
+
+    Plan: one (user_id) exchange shared by the lag() flag and the cumsum
+    (same window partitioning), a per-(user, session) aggregate that
+    sorts small in-session arrays map-side, then a global count on path
+    strings with partial aggregation; the top-20 is
+    TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_new = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 10 * 60 * 1_000_000
+        )
+    ).cast("long")
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type", gap_new.alias("is_new")
+    ).withColumn("sid", F.sum("is_new").over(wc))
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("evs", lambda s: s["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
     )
