@@ -415,3 +415,49 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "event_locf",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS pv
+      FROM events)
+    SELECT event_id, user_id, ts,
+           last_value(pv IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_c
+    FROM x
+    """,
+    tags=("events", "timeseries", "locf"),
+)
+def event_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event annotated with the
+    user's most recent purchase amount at that moment (NULL before the
+    first purchase) — the forward-fill that turns sparse observations
+    into a dense feature column, the feature-engineering staple for
+    sessionized training data. Amounts are integer cents (exact); order
+    is (ts, event_id) so ties can't flip the carried value between
+    engines.
+
+    Plan: ONE (user_id) exchange + in-partition sort; last(ignorenulls)
+    over a running frame is O(1) per row. At 100 TB this is the same
+    shuffle sessionization pays — no extra pass for the fill."""
+    e = load_table(spark, sf_dir, "events")
+    pv = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_c"),
+    )
