@@ -270,7 +270,18 @@ class FanoutRunner:
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        # The UI's app-status store is fed by an ASYNC listener bus: right
+        # after the last job returns, the REST stage list can still be
+        # missing the final completions (observed under machine load).
+        # Poll until two consecutive reads agree (bounded, outside the
+        # timed region — `wall` is already captured above).
         m1 = _rest_input_metrics(self.spark)
+        for _ in range(20):
+            time.sleep(0.05)
+            m1b = _rest_input_metrics(self.spark)
+            if m1b == m1:
+                break
+            m1 = m1b
         # filesystem-level ranged-read count when the FS tracks it (s3a —
         # the reference's deployment, runner.cc:89); per-split scan-task
         # count as the local-FS approximation (RawLocalFileSystem never
