@@ -1002,3 +1002,47 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gs.unpersist()
     return out
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_JACCARD_PAIRS},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+              UNION ALL
+              SELECT doc_b, doc_a FROM jp),
+    reach AS (
+      SELECT doc_id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS doc_id, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    lab AS (SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+            FROM reach GROUP BY doc_id),
+    sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+              FROM lab GROUP BY cluster)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS docs_removed
+    FROM sizes GROUP BY sz
+    """,
+    tags=("llm", "dedup", "clusters", "report"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION REPORT: near-dup cluster size histogram — how
+    many singleton docs, how many 2-copies, how big the largest cluster,
+    and the docs-removed total a curation run will log. Built on the same
+    connected-components labels as dedup_clusters (size-gated union-find /
+    distributed propagation), then two tiny aggregates over (cluster) and
+    (size) keys — the histogram adds nothing corpus-sized to the shuffle.
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("sz") - 1).alias("docs_removed"),
+        )
+    )

@@ -459,3 +459,62 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_quantity) AS BIGINT) AS wt
+      FROM lineitem),
+    cum AS (
+      SELECT l_returnflag, price_c, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_c, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w)
+    SELECT l_returnflag, min(price_c) AS wmedian_price_c
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "median", "weighted"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group (price weighted by quantity): the
+    smallest value whose cumulative weight reaches half the total — the
+    robust-statistics aggregate no engine ships exactly, built from a
+    cumulative-weight window. Values are integer cents and weights
+    integer units, so the boundary condition 2*cw >= tw is pure integer
+    arithmetic — no float comparison can flip the chosen element between
+    engines; the (price_c, wt) ORDER makes the cumsum deterministic under
+    weight ties.
+
+    Plan: one (l_returnflag) exchange reused by both window aggregates
+    and the final min — three operators, ONE shuffle, and the shuffled
+    rows are two longs each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(cum_w).alias("cw"),
+        F.sum("wt").over(tot_w).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price_c").alias("wmedian_price_c"))
+    )
