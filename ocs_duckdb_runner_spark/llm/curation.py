@@ -362,3 +362,63 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= RANGE_TAU)
     )
+
+
+@query(
+    "corpus_quality_funnel",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             n_chars BETWEEN 100 AND 10000 AS g1,
+             len(string_split(text, ' ')) >= 20 AS g2,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.3 AS g3
+      FROM documents),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS s1,
+             CAST(count(*) FILTER (WHERE g1 AND g2) AS BIGINT) AS s2,
+             CAST(count(*) FILTER (WHERE g1 AND g2 AND g3) AS BIGINT) AS s3
+      FROM g)
+    SELECT 1 AS stage, 'length_gate' AS gate, s1 AS survivors,
+           total - s1 AS dropped FROM c
+    UNION ALL
+    SELECT 2, 'min_tokens', s2, s1 - s2 FROM c
+    UNION ALL
+    SELECT 3, 'distinct_ratio', s3, s2 - s3 FROM c
+    """,
+    tags=("llm", "curation", "quality", "report"),
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate FUNNEL report: how many documents survive each
+    cascaded filter stage (length gate → minimum tokens → distinct-token
+    ratio) and how many each stage drops — the attrition table every
+    curation run logs before committing a filter config. Gates are exact
+    integer/ratio tests, so the counts are engine-identical.
+
+    Plan: ONE corpus scan, all gates evaluated map-side as booleans, one
+    1-row conditional aggregate, then a 3-row local expansion — at 100 TB
+    the funnel costs exactly one pass regardless of stage count (vs the
+    naive one-scan-per-stage cascade)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g1 = F.col("n_chars").between(100, 10000)
+    g2 = F.size(toks) >= 20
+    g3 = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3
+    )
+    c = d.select(
+        g1.alias("g1"), (g1 & g2).alias("g12"), (g1 & g2 & g3).alias("g123")
+    ).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("g1").cast("long")).alias("s1"),
+        F.sum(F.col("g12").cast("long")).alias("s2"),
+        F.sum(F.col("g123").cast("long")).alias("s3"),
+    )
+    return c.selectExpr(
+        """stack(3,
+             1, 'length_gate',    s1, total - s1,
+             2, 'min_tokens',     s2, s1 - s2,
+             3, 'distinct_ratio', s3, s2 - s3)
+           AS (stage, gate, survivors, dropped)"""
+    )

@@ -391,3 +391,54 @@ def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+    SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM orders o
+    JOIN (SELECT 'F' AS status UNION ALL SELECT 'P') d
+      ON o.o_orderstatus = d.status
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "dpp", "partition-pruning"),
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table partitioned on the join key
+    (the Hive-layout orders sink) joined to a filtered dim — Spark plans a
+    DYNAMIC pruning subquery that evaluates the dim side FIRST and prunes
+    fact partitions at runtime, so the scan never touches partitions whose
+    keys the dim filtered out. At 100 TB (date- or status-partitioned
+    facts) this is the difference between scanning 2 of N partitions and
+    scanning all N — and it needs no hint, only the partitioned layout +
+    equi-join. The plan shape (dynamicpruning#N in the scan's
+    PartitionFilters) is pinned in tests/test_plans.py."""
+    out = _roundtrip_dir(sf_dir, "parquet_part")
+    base = _orders_projection(spark, sf_dir)
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    # the dim must be FILE-based with a real filter predicate: DPP's
+    # insertion rule requires a selective predicate on the build side, and
+    # a filtered LocalRelation constant-folds away before the
+    # PartitionPruning optimizer batch ever sees it
+    dim_dir = _roundtrip_dir(sf_dir, "status_dim")
+    if not os.path.exists(f"{dim_dir}/_SUCCESS"):
+        spark.createDataFrame(
+            [("F", "closed"), ("O", "open"), ("P", "pending")],
+            "status string, label string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("label") != "open")
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.status)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+        )
+    )

@@ -329,3 +329,11 @@ def test_join_range_banded_is_equi_join_not_nested_loop(spark):
         or "BroadcastHashJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_join_dpp_inserts_dynamic_pruning_subquery(spark):
+    """The partitioned-fact x filtered-dim join must carry a
+    dynamicpruningexpression in the scan's PartitionFilters — without it
+    the fact scan reads every partition and the layout bought nothing."""
+    plan = plan_of(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan, plan.split("PartitionFilters")[0][-500:]
