@@ -138,3 +138,38 @@ def test_fanout_per_file_byte_split(spark):
     assert rep["read_bytes"] > 0
     assert sum(pfb.values()) <= rep["read_bytes"] * 2
     assert sum(pfb.values()) >= rep["read_bytes"] // 2
+
+
+def test_cli_split_fanout_end_to_end():
+    """R15 end-to-end: the installed CLI (python -m ..runner) over a
+    split fixture must exit 0 and print the reference's stderr report
+    lines (runner.cc:343-358) with a real hit count."""
+    import re
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ocs_duckdb_runner_spark.runner",
+            "--split-sf-dir",
+            "/root/testdata/sf0.001",
+            "--split-n",
+            "4",
+            "-j",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    err = proc.stderr
+    assert "== total sources: 4" in err
+    assert "== total threads: 2" in err
+    m = re.search(r"== total hits: (\d+)", err)
+    assert m and int(m.group(1)) > 0
+    assert re.search(r"== total query time: \d+\.\d+ s", err)
+    # CLI session enables the UI, so byte accounting must be real numbers
+    assert re.search(r"== spark read bytes: [1-9]\d*", err)
