@@ -422,3 +422,85 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              3, 'distinct_ratio', s3, s2 - s3)
            AS (stage, gate, survivors, dropped)"""
     )
+
+
+@query(
+    "filter_quantile_gate",
+    oracle="""
+    WITH thr AS (
+      SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90
+      FROM documents)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d, thr
+    WHERE CAST(d.n_chars AS DOUBLE) >= thr.p90
+    """,
+    tags=("llm", "curation", "quantile", "filter"),
+)
+def filter_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quantile gating: keep only documents at or above the corpus
+    p90 of a quality signal (here n_chars as the stand-in score) — the
+    "top decile" selection pattern, where the threshold is DATA-dependent,
+    not a config constant. Exactness: the signal is integral and both
+    engines use linear interpolation for continuous quantiles over sorted
+    doubles, so the p90 threshold value is bit-identical and the >= gate
+    cannot drift.
+
+    Plan: pass 1 reduces the corpus to ONE row (percentile aggregate,
+    partial map-side); the 1-row threshold then broadcasts into the gate
+    filter (BroadcastNestedLoopJoin over 1 row = a map-side comparison).
+    Two scans of the signal column, zero wide shuffles — at 100 TB the
+    threshold pass reads one column and ships doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = d.agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.9)).alias("p90")
+    )
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars").cast("double") >= F.col("p90"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "corpus_lang_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    t AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY source)
+    SELECT c.source, t.n_langs, t.tot AS n_docs,
+           round(-sum((CAST(c.n AS DOUBLE) / t.tot)
+                * ln(CAST(c.n AS DOUBLE) / t.tot)), 12) AS lang_entropy
+    FROM c JOIN t USING (source)
+    GROUP BY c.source, t.n_langs, t.tot
+    """,
+    tags=("llm", "curation", "mixture", "entropy"),
+)
+def corpus_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diagnostics per source: Shannon entropy of the
+    language distribution (0 = monolingual, ln(k) = uniform over k) — the
+    mixture-health metric a corpus dashboard tracks per ingestion source.
+    Probabilities derive from exact integer counts and each (p·ln p) term
+    is the same two IEEE ops on identical doubles in both engines — but
+    the SUM of those terms is addition-order-dependent at the last ulp,
+    and engines aggregate in different orders, so the result is rounded
+    to 12 digits on both sides (values are O(1); 12 digits sits far above
+    ulp noise — the agg_stats precedent).
+
+    Plan: two key-only hash aggregates (source×lang, then source) and a
+    broadcast-sized join of per-source totals — the corpus shuffles
+    16-byte keys + counts once."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "source")
+        .groupBy("source", "n_langs", F.col("tot").alias("n_docs"))
+        .agg(F.round(-F.sum(p * F.log(p)), 12).alias("lang_entropy"))
+    )
