@@ -428,11 +428,13 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_quantile_gate",
     oracle="""
     WITH thr AS (
-      SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90
+      SELECT CAST(ceil(round(
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6)) AS BIGINT)
+             AS p90_gate
       FROM documents)
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d, thr
-    WHERE CAST(d.n_chars AS DOUBLE) >= thr.p90
+    WHERE d.n_chars >= thr.p90_gate
     """,
     tags=("llm", "curation", "quantile", "filter"),
 )
@@ -440,10 +442,13 @@ def filter_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-quantile gating: keep only documents at or above the corpus
     p90 of a quality signal (here n_chars as the stand-in score) — the
     "top decile" selection pattern, where the threshold is DATA-dependent,
-    not a config constant. Exactness: the signal is integral and both
-    engines use linear interpolation for continuous quantiles over sorted
-    doubles, so the p90 threshold value is bit-identical and the >= gate
-    cannot drift.
+    not a config constant. Exactness: the signal is integral, so the gate
+    `n_chars >= p90` is equivalent to the integer gate
+    `n_chars >= ceil(p90)`; rounding the interpolated p90 to 6 decimals
+    before the ceil absorbs any last-ulp divergence between Spark's
+    percentile() and DuckDB's quantile_cont() interpolation when the p90
+    lands exactly on an integer boundary (both engines apply the same
+    round→ceil→int pipeline, so membership cannot flip).
 
     Plan: pass 1 reduces the corpus to ONE row (percentile aggregate,
     partial map-side); the 1-row threshold then broadcasts into the gate
@@ -452,11 +457,17 @@ def filter_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold pass reads one column and ships doubles."""
     d = load_table(spark, sf_dir, "documents")
     thr = d.agg(
-        F.percentile(F.col("n_chars").cast("double"), F.lit(0.9)).alias("p90")
+        F.ceil(
+            F.round(
+                F.percentile(F.col("n_chars").cast("double"), F.lit(0.9)), 6
+            )
+        )
+        .cast("long")
+        .alias("p90_gate")
     )
     return (
         d.crossJoin(F.broadcast(thr))
-        .filter(F.col("n_chars").cast("double") >= F.col("p90"))
+        .filter(F.col("n_chars") >= F.col("p90_gate"))
         .select("doc_id", "lang", "source", "n_chars")
     )
 

@@ -202,7 +202,8 @@ def _with_pnm_payload(df: DataFrame) -> DataFrame:
     "mm_decode_features",
     oracle=f"""
     WITH p AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS blen,
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS blen,
              CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS c,
              4 + doc_id % 8 AS w
       FROM documents),
@@ -212,8 +213,13 @@ def _with_pnm_payload(df: DataFrame) -> DataFrame:
       FROM p),
     r AS (SELECT *, least(blen, w * h * c) AS n_px, w * h * c AS n_exp FROM q),
     px AS (
+      -- byte-true pixel extraction via the hex dump (ord() over substring
+      -- is CHARACTER-wise and mis-reads multi-byte UTF-8 payload bytes)
       SELECT r.doc_id, r.c, i,
-             ord(substring(r.text, CAST(i AS INT), 1)) AS v
+             (strpos('0123456789ABCDEF',
+                     substring(r.hx, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF',
+                      substring(r.hx, CAST(2 * i AS INT), 1)) - 1 AS v
       FROM r, unnest(generate_series(1, r.n_px)) AS t(i)),
     agg AS (
       SELECT doc_id,
@@ -284,13 +290,21 @@ def _fake_embed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @query(
     "mm_embed_extract",
     oracle=f"""
+    -- byte i extracted from the hex dump (byte-true for any UTF-8 payload,
+    -- unlike character-wise ord(substring(...)))
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS blen
+        FROM documents)
     SELECT doc_id,
            {", ".join(
-               f"round(CASE WHEN octet_length(encode(text)) > {i} THEN "
-               f"ord(substring(text, {i + 1}, 1)) / 255.0 ELSE 0.0 END, 6)"
+               f"round(CASE WHEN blen > {i} THEN "
+               f"((strpos('0123456789ABCDEF', substring(hx, {2 * i + 1}, 1)) - 1) * 16"
+               f" + strpos('0123456789ABCDEF', substring(hx, {2 * i + 2}, 1)) - 1)"
+               f" / 255.0 ELSE 0.0 END, 6)"
                f" AS e{i}" for i in range(4)
            )}
-    FROM documents
+    FROM p
     """,
     tags=("llm", "multimodal", "embed"),
 )

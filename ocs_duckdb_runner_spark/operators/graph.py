@@ -138,40 +138,63 @@ def _assoc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the ASSOCIATION co-purchase graph (support ≥ 2
     — see _SQL_ASSOC: the raw 1-co-occurrence graph is random-noise-dense
-    and its wedge set grows quadratically in degree) via the ORIENTED
-    wedge-closing join: edges are stored once with a<b, wedges extend
-    a<b<c (join on the middle vertex), and a third join closes each
-    wedge against the edge set — every triangle counted exactly once,
-    no /6 correction, no symmetric blow-up. This is the join-based
-    triangle algorithm (MR-style compact-forward); orientation by id
-    bounds wedge fan-out by each vertex's HIGHER-id degree (full
-    degree-ordering is the refinement for power-law graphs). Three hash
-    shuffles total, all on 8-byte vertex keys; the edge frame is
-    persisted so build happens once for all three roles."""
-    out, edges = _triangle_build(spark, sf_dir)
+    and its wedge set grows quadratically in degree) via the DEGREE-ORDERED
+    wedge-closing join (compact-forward): every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher, wedges pair the two
+    out-edges of a common source, and a third join closes each wedge
+    against the oriented edge set — every triangle counted exactly once,
+    no /6 correction. Degree ordering (not id ordering) is what makes this
+    survive power-law graphs: the oriented out-degree of ANY vertex is
+    O(sqrt(m)) regardless of its raw degree, so hub vertices cannot
+    explode the wedge fan-out the way id-orientation lets them. The total
+    triangle count is orientation-invariant, so the DuckDB oracle keeps
+    the simpler a<b<c formulation. Shuffles: one degree aggregate + the
+    orientation joins + wedge/close joins, all on 8-byte vertex keys; the
+    edge and oriented frames are persisted so each is built once."""
+    out, persisted = _triangle_build(spark, sf_dir)
     out = out.localCheckpoint(eager=True)
-    edges.unpersist()
+    for df in persisted:
+        df.unpersist()
     return out
 
 
 def _triangle_build(spark: SparkSession, sf_dir: str):
-    """Pre-checkpoint triangle plan + the persisted edge frame (the query
+    """Pre-checkpoint triangle plan + the persisted frames (the query
     checkpoints before unpersisting; plan tests inspect this form)."""
     edges = _assoc_edges(spark, sf_dir).persist()
-    e1 = edges.toDF("a", "b")
-    e2 = edges.toDF("b", "c")
-    e3 = edges.toDF("a", "c")
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(e3, ["a", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
     sym = edges.select(F.col("a").alias("node")).unionAll(
         edges.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # orient low-(degree, id) → high-(degree, id); carry the DST rank so
+    # the wedge join can order its two spokes without re-joining degrees
+    e = edges.join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).persist()
+    o1 = oriented.toDF("u", "v", "dv")
+    o2 = oriented.toDF("u", "w", "dw")
+    # each unordered out-pair once: spoke v ranks strictly below spoke w
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    # rank(v) < rank(w) ⇒ a closing undirected edge {v,w} is oriented v→w
+    closer = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closer, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
     stats = sym.agg(F.countDistinct("node").alias("n_nodes")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
     )
-    return stats.crossJoin(tri), edges
+    return stats.crossJoin(tri), (oriented, edges)
 
 
 # PageRank fixed-point scale: scores in micro-units (1.0 == 1_000_000).

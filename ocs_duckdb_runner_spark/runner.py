@@ -32,6 +32,7 @@ import json
 import os
 import random
 import sys
+import threading
 import time
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
@@ -67,6 +68,19 @@ def to_sql(path: str) -> str:
 
 _PLAN_CACHE: dict[tuple, object] = {}
 _PLAN_CACHE_MAX = 1024
+_PLAN_CACHE_LOCK = threading.Lock()
+_SESSION_UIDS = itertools.count()
+
+
+def _session_uid(spark: SparkSession) -> int:
+    """Stable per-session cache-key token. id(spark) can alias a GC'd
+    session's address; instead stamp each session with a monotonically
+    increasing uid on first use (guarded by the cache lock)."""
+    uid = getattr(spark, "_ocs_plan_cache_uid", None)
+    if uid is None:
+        uid = next(_SESSION_UIDS)
+        spark._ocs_plan_cache_uid = uid
+    return uid
 
 
 def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
@@ -90,17 +104,22 @@ def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
         st = os.stat(path)
     except OSError:  # remote object (s3a) — no local stat, no cache
         return spark.sql(to_sql(path))
-    key = (path, st.st_mtime_ns, st.st_size, id(spark))
-    plan = _PLAN_CACHE.get(key)
+    with _PLAN_CACHE_LOCK:
+        key = (path, st.st_mtime_ns, st.st_size, _session_uid(spark))
+        plan = _PLAN_CACHE.get(key)
     if plan is None:
         df = spark.sql(to_sql(path))
         try:
             plan = df._jdf.queryExecution().analyzed()
         except Exception:  # non-classic session / API drift
             return df
-        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[key] = plan
+        # lookup/insert/evict under one lock: the fan-out pool's worker
+        # threads hit this concurrently, and an unguarded evict-while-
+        # insert can raise "dict changed size during iteration".
+        with _PLAN_CACHE_LOCK:
+            if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            _PLAN_CACHE[key] = plan
         return df
     try:
         jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(

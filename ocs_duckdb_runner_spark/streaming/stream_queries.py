@@ -72,6 +72,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(ts_type, T.TimestampNTZType):
         raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    elif isinstance(ts_type, T.LongType):
+        # ns fixture probed *after* a prior call set nanosAsLong: the footer
+        # resolves as raw nanosecond longs — normalize exactly like the
+        # except-branch (and registry.load_table's LongType dispatch) does.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw
 
 

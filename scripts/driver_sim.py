@@ -3,10 +3,30 @@ smoke entry() at sf0.001, then run every queries() entry at the given sf
 and compare to oracle_sql() via DuckDB (row-count + sorted-column +
 order-insensitive value equality). Usage:
     python scripts/driver_sim.py [sf_dir] [query ...]
+    python scripts/driver_sim.py --json OUT.json [sf_dir] [query ...]
+
+Comparison is HASH-BASED: each row canonicalizes to a string (sorted
+columns, engine-neutral value forms) and the md5s of all rows sum mod
+2^128 — order-insensitive, O(n) with no global sort and no materialized
+tuple list, so 6M-row outputs compare in seconds (the r4 sort-stringify
+canonicalization cost minutes per query at the 10x probe and gated the
+full sweep there). On mismatch with small outputs the old sorted-diff
+path re-runs for a readable sample.
+
+Didactic-oracle cap: the all-pairs `dedup_ngram_jaccard`/
+`dedup_containment` queries emit output quadratic in duplicate
+multiplicity BY DESIGN (SCALING.md documents why production routes
+through the `_unique` variants). At the 10x probe their DuckDB oracles
+thrash (>100 GB). For corpora above _CAP_THRESHOLD docs, BOTH engines
+run those two queries over the same deterministically capped documents
+table (doc_id-hash sample materialized next to the probe fixtures), so
+the check stays an honest same-input comparison while staying bounded.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import sys
 import time
@@ -22,6 +42,11 @@ sys.path.insert(0, str(REPO))
 import __spark_entry__ as entrymod  # noqa: E402
 from ocs_duckdb_runner_spark.registry import TABLES  # noqa: E402
 from ocs_duckdb_runner_spark.session import build_spark  # noqa: E402
+
+# queries whose OUTPUT is quadratic in duplicate multiplicity by design
+_CAPPED_QUERIES = {"dedup_ngram_jaccard", "dedup_containment"}
+_CAP_THRESHOLD = 20_000  # docs; sf0.1 has 5k — cap only kicks in at probes
+_CAP_MOD = 7  # keep doc_id % 7 == 0 → ~1/7 of the corpus
 
 
 def canon_val(v):
@@ -48,16 +73,87 @@ def canon_val(v):
     return repr(v)
 
 
+def canon_hash(pdf: pd.DataFrame) -> int:
+    """Order-insensitive 128-bit content hash: md5 per canonical row,
+    summed mod 2^128. Equal multisets of rows ⟺ equal (hash, len) with
+    md5-collision probability; no sort, no row-tuple materialization."""
+    pdf = pdf[sorted(pdf.columns)]
+    cols = [pdf[c].map(canon_val) for c in pdf.columns]
+    joined = cols[0].astype(str) if cols else pd.Series([], dtype=str)
+    if len(cols) > 1:
+        joined = joined.str.cat([c.astype(str) for c in cols[1:]], sep="\x1f")
+    total = 0
+    for s in joined:
+        h = int.from_bytes(hashlib.md5(s.encode()).digest(), "big")
+        total = (total + h) % (1 << 128)
+    return total
+
+
 def canon(pdf: pd.DataFrame) -> list[tuple]:
+    """Sorted canonical rows — the readable-diff slow path."""
     pdf = pdf[sorted(pdf.columns)]
     return sorted(
         tuple(canon_val(v) for v in row) for row in pdf.itertuples(index=False)
     )
 
 
+def _doc_count(sf_dir: str) -> int:
+    p = Path(f"{sf_dir}/documents.parquet")
+    if not p.exists():
+        return 0
+    glob = f"{p}/*.parquet" if p.is_dir() else str(p)
+    return duckdb.sql(f"SELECT count(*) FROM read_parquet('{glob}')").fetchone()[0]
+
+
+def _build_capped_dir(sf_dir: str) -> str:
+    """Materialize a deterministically sampled documents table (plus the
+    other tables untouched, via symlink) for the quadratic didactic
+    queries — same bytes for both engines."""
+    import os
+
+    out = Path("/tmp/ocs_driver_sim_capped") / Path(sf_dir).name
+    out.mkdir(parents=True, exist_ok=True)
+    dst = out / "documents.parquet"
+    if not dst.exists():
+        src = Path(f"{sf_dir}/documents.parquet")
+        glob = f"{src}/*.parquet" if src.is_dir() else str(src)
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{glob}') "
+            f"WHERE doc_id % {_CAP_MOD} = 0) TO '{dst}' (FORMAT PARQUET)"
+        )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        src = Path(f"{sf_dir}/{t}.parquet")
+        link = out / f"{t}.parquet"
+        if src.exists() and not link.exists():
+            os.symlink(src, link)
+    return str(out)
+
+
+def _register_views(duck, sf_dir: str) -> None:
+    for t in TABLES:
+        p = Path(f"{sf_dir}/{t}.parquet")
+        if p.is_dir():  # directory-parquet (e.g. scale-probe output)
+            duck.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif p.exists():
+            duck.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = build_spark(app_name="driver-sim")
 
     t0 = time.monotonic()
@@ -68,54 +164,86 @@ def main() -> int:
     assert len(rows) > 0
 
     duck = duckdb.connect()
-    for t in TABLES:
-        p = Path(f"{sf_dir}/{t}.parquet")
-        if p.is_dir():  # directory-parquet (e.g. scale-probe output)
-            duck.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-            )
-        elif p.exists():
-            duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # bounded memory + disk spill: a runaway oracle degrades to slow, not
+    # to a 100 GB RAM thrash (the r4 10x-sweep failure mode)
+    duck.execute("SET memory_limit='24GB'")
+    duck.execute("SET temp_directory='/tmp/ocs_duckdb_spill'")
+    _register_views(duck, sf_dir)
+
+    cap_dir = None
+    if _doc_count(sf_dir) > _CAP_THRESHOLD:
+        cap_dir = _build_capped_dir(sf_dir)
+        duck_cap = duckdb.connect()
+        duck_cap.execute("SET memory_limit='24GB'")
+        duck_cap.execute("SET temp_directory='/tmp/ocs_duckdb_spill'")
+        _register_views(duck_cap, cap_dir)
+        print(f"CAPPED corpus for {sorted(_CAPPED_QUERIES)} -> {cap_dir}")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        report[name] = rec
+        q_dir, q_duck = sf_dir, duck
+        if cap_dir and name in _CAPPED_QUERIES:
+            q_dir, q_duck = cap_dir, duck_cap
         t0 = time.monotonic()
         try:
-            got = fn(spark, sf_dir).toPandas()
+            got = fn(spark, q_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            rec["err"] = f"spark: {ex}"
             n_fail += 1
             continue
         dt = time.monotonic() - t0
+        rec["spark_rows"] = len(got)
+        rec["secs"] = round(dt, 2)
         if name not in oracles:
             print(f"ROWS  {name}: {len(got)} rows ({dt:.1f}s) [no oracle]")
+            rec["err"] = "no_oracle"
             n_pass += 1
             continue
         try:
-            want = duck.execute(oracles[name]).fetchdf()
+            want = q_duck.execute(oracles[name]).fetchdf()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {ex}")
+            rec["err"] = f"oracle: {ex}"
             n_fail += 1
             continue
-        if sorted(got.columns) != sorted(want.columns):
+        rec["oracle_rows"] = len(want)
+        rec["rows_match"] = len(got) == len(want)
+        rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
+        if not rec["schema_match"]:
             print(f"FAIL  {name}: columns spark={sorted(got.columns)}"
                   f" oracle={sorted(want.columns)}")
+            rec["hash_match"] = False
             n_fail += 1
-        elif len(got) != len(want):
+        elif not rec["rows_match"]:
             print(f"FAIL  {name}: rows spark={len(got)} oracle={len(want)}")
-            n_fail += 1
-        elif canon(got) != canon(want):
-            g, w = canon(got), canon(want)
-            diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch {diff}")
+            rec["hash_match"] = False
             n_fail += 1
         else:
-            print(f"OK    {name}: {len(got)} rows match oracle ({dt:.1f}s)")
-            n_pass += 1
+            ht = time.monotonic()
+            rec["hash_match"] = canon_hash(got) == canon_hash(want)
+            rec["secs_hash"] = round(time.monotonic() - ht, 2)
+            if rec["hash_match"]:
+                print(f"OK    {name}: {len(got)} rows match oracle ({dt:.1f}s)")
+                n_pass += 1
+            else:
+                diff = ""
+                if len(got) <= 100_000:
+                    g, w = canon(got), canon(want)
+                    diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+                print(f"FAIL  {name}: value mismatch {diff}")
+                n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=2) + "\n")
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

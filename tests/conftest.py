@@ -18,6 +18,21 @@ from ocs_duckdb_runner_spark.session import build_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-sweep",
+        action="store_true",
+        default=False,
+        help="run the full 182-query oracle sweep (tests/test_full_sweep.py)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "sweep: full driver-style oracle sweep (opt-in, ~10 min)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = build_spark(

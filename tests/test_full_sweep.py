@@ -1,0 +1,50 @@
+"""The full-coverage oracle sweep as a pytest entry point, so the sweep
+evidence can't silently go stale (the r4 verdict: 95/182 queries' driver
+evidence predated a fixture migration that had broken 13 of them).
+
+Runs scripts/driver_sim.py — every registered query vs its DuckDB oracle
+at sf0.01 — in a subprocess (own SparkSession, like the driver). Opt-in
+because it takes ~10 minutes:
+
+    python -m pytest tests/test_full_sweep.py --run-sweep -q
+
+The default `pytest tests/` run skips it; CI/round hygiene is to run it
+once per round and commit the JSON artifact (CORRECTNESS_LOCAL_r*.json).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def pytest_addoption_checker(config):  # pragma: no cover - doc helper
+    return config.getoption("--run-sweep", default=False)
+
+
+@pytest.mark.sweep
+def test_full_oracle_sweep(request, tmp_path):
+    if not request.config.getoption("--run-sweep"):
+        pytest.skip("full sweep is opt-in: pass --run-sweep (~10 min)")
+    out = tmp_path / "sweep.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/driver_sim.py",
+            "--json",
+            str(out),
+            "/root/testdata/sf0.01",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-20:])
+    assert proc.returncode == 0, f"sweep failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert out.exists()

@@ -261,18 +261,25 @@ def test_pagerank_edge_aggregation_broadcasts_dims(spark):
 
 
 def test_triangle_count_joins_on_vertex_keys_only(spark):
-    """Wedge-close joins must shuffle vertex-id pairs, never wider rows."""
+    """Wedge-close joins must shuffle vertex-id pairs, never wider rows,
+    and the orientation must be DEGREE-based (compact-forward): the wedge
+    join's spoke-ordering filter compares the carried degree-rank columns
+    (dv/dw), which bounds oriented out-degree by O(sqrt(m)) on power-law
+    graphs where id-orientation explodes at hubs."""
     from ocs_duckdb_runner_spark.operators.graph import _triangle_build
 
-    out, edges = _triangle_build(spark, SF_DIR)
+    out, persisted = _triangle_build(spark, SF_DIR)
     plan = _raw_plan(spark, out)
-    edges.unpersist()
+    for df in persisted:
+        df.unpersist()
     exchange_args = [
         ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
     ]
     assert exchange_args
     for ln in exchange_args:
         assert "l_quantity" not in ln and "text" not in ln
+    # degree-rank columns flow through the wedge join (orientation shape)
+    assert "dv" in plan and "dw" in plan and "ddst" in plan
 
 
 def test_chunk_documents_is_shuffle_free_lateral(spark):
