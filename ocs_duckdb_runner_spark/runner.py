@@ -97,15 +97,19 @@ def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
     would be wrong — re-collecting one Dataset reuses its computed shuffle
     output and the re-run would skip the scan entirely (0 bytes read: a
     result cache masquerading as a query run). mtime+size in the key
-    invalidates on file replacement; remote objects (s3a) can't be stat'd
-    locally and bypass the cache; any reflection failure falls back to
+    invalidates on file replacement; remote objects (s3a://, hdfs://) are
+    stat'd through the Hadoop FS API instead (one metadata round trip,
+    same invalidation contract); any reflection failure falls back to
     plain spark.sql. Bounded FIFO, 1024 entries."""
     try:
         st = os.stat(path)
-    except OSError:  # remote object (s3a) — no local stat, no cache
-        return spark.sql(to_sql(path))
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:  # remote object — stat via the Hadoop FS API
+        sig = _remote_sig(spark, path)
+        if sig is None:
+            return spark.sql(to_sql(path))
     with _PLAN_CACHE_LOCK:
-        key = (path, st.st_mtime_ns, st.st_size, _session_uid(spark))
+        key = (path, sig, _session_uid(spark))
         plan = _PLAN_CACHE.get(key)
     if plan is None:
         df = spark.sql(to_sql(path))
@@ -128,6 +132,23 @@ def flagship_on_file(spark: SparkSession, path: str) -> DataFrame:
         return DataFrame(jds, spark)
     except Exception:  # API drift — correctness over the fast path
         return spark.sql(to_sql(path))
+
+
+def _remote_sig(spark: SparkSession, path: str) -> tuple | None:
+    """(mtime, length) of a remote object via the Hadoop FileSystem API —
+    the plan-cache invalidation signature for s3a://-style paths (one
+    HEAD-equivalent metadata call; the reference pays the same probe as
+    part of every DuckDB open)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        st = fs.getFileStatus(hpath)
+        return (st.getModificationTime(), st.getLen())
+    except Exception:  # noqa: BLE001  (no FS for scheme / object missing)
+        return None
 
 
 def _fs_read_ops(spark: SparkSession) -> int:
@@ -445,24 +466,40 @@ def main(argv: list[str] | None = None) -> int:
             access_key_id=args.i,
             secret_access_key=args.k,
         )
+    # sources BEFORE the session: s3a needs its FileSystem impl on the
+    # driver classpath, which is fixed at JVM start
+    sources: list[str] = []
+    if not args.split_sf_dir:
+        sources = [normalize_source(line) for line in sys.stdin if line.strip()]
+        if not sources:
+            print("no sources on stdin", file=sys.stderr)
+            return 2
+    extra_conf = {
+        "spark.scheduler.mode": "FAIR",
+        "spark.ui.enabled": "true",  # REST metrics source (R11)
+    }
+    if any(src.startswith("s3a://") for src in sources):
+        from ocs_duckdb_runner_spark.sources import loopback_s3
+
+        if not loopback_s3.hadoop_aws_available():
+            # no hadoop-aws on the classpath: wire s3a:// to the compiled
+            # loopback FS (HTTP ranged reads against -a/-p) so the
+            # reference's object-store protocol still runs end-to-end
+            extra_conf.update(loopback_s3.loopback_conf(loopback_s3.ensure_jar()))
+            print(
+                "== s3a via loopback FS (hadoop-aws jars not present)",
+                file=sys.stderr,
+            )
     spark = build_spark(
         app_name="ocs-duckdb-runner-spark-fanout",
         s3=s3,
-        extra_conf={
-            "spark.scheduler.mode": "FAIR",
-            "spark.ui.enabled": "true",  # REST metrics source (R11)
-        },
+        extra_conf=extra_conf,
     )
     if args.split_sf_dir:
         objdir = split_objects(spark, args.split_sf_dir, args.split_n)
         sources = sorted(
             f"{objdir}/{f}" for f in os.listdir(objdir) if f.endswith(".parquet")
         )
-    else:
-        sources = [normalize_source(line) for line in sys.stdin if line.strip()]
-    if not sources:
-        print("no sources on stdin", file=sys.stderr)
-        return 2
     rep = FanoutRunner(spark, threads=args.j, print_rows=args.print_rows).run(sources)
     return 0 if rep["failures"] == 0 else 1
 
