@@ -294,6 +294,27 @@ class FanoutRunner:
         per_file: dict[str, int] = {}
         t0 = time.monotonic()
         try:
+            # Analysis wave: populate the analyzed-plan cache for every
+            # source concurrently BEFORE queueing executions. Analysis is
+            # driver-side Catalyst work (footer read + resolution,
+            # ~90 ms/object, GIL-released in the JVM); inside the
+            # j-limited pool it serializes into the execution critical
+            # path, so a cold run pays (analysis+exec) per wave. As one
+            # wide wave the cold wall is max(analysis) + exec waves — the
+            # reference pays the same per-object open+parse inside its
+            # pool tasks (runner.cc:197-218), so this wave stays inside
+            # the timed window: a scheduling change, not a measurement
+            # change. Width is bounded: analysis is cheap but not free.
+            wave = min(len(sources), max(self.threads, 16))
+
+            def _preanalyze(p: str) -> None:
+                try:
+                    flagship_on_file(self.spark, p)
+                except Exception:  # noqa: BLE001 — R14: the execution
+                    pass  # task rediscovers and isolates the failure
+
+            with ThreadPoolExecutor(max_workers=wave) as prepool:
+                list(prepool.map(_preanalyze, sources))
             with ThreadPoolExecutor(max_workers=self.threads) as pool:
                 for fut in [
                     pool.submit(self._run_one, (i, p))

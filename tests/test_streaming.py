@@ -92,6 +92,90 @@ def test_custom_state_totals_match_batch(spark):
     assert got == want
 
 
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch_twin(spark):
+    """stream_tumbling_wm ≡ event_tumbling on the same fixture slice —
+    the streaming query's only semantics lock (rows-only at the driver)."""
+    from ocs_duckdb_runner_spark.registry import get_query
+
+    cols = ["window_start", "event_type", "n", "sum_value_c"]
+    got = _rows(get_query("stream_tumbling_wm").fn(spark, SF_DIR), cols)
+    want = _rows(get_query("event_tumbling").fn(spark, SF_DIR), cols)
+    assert got == want and len(want) > 0
+
+
+def test_stream_sessionize_matches_batch_twin(spark):
+    """stream_sessionize ≡ event_sessionize: session_window under a
+    watermark produces the same sessions the batch operator derives."""
+    from ocs_duckdb_runner_spark.registry import get_query
+
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    got = _rows(get_query("stream_sessionize").fn(spark, SF_DIR), cols)
+    want = _rows(get_query("event_sessionize").fn(spark, SF_DIR), cols)
+    assert got == want and len(want) > 0
+
+
+def test_stream_dedup_matches_batch_twin(spark):
+    """stream_dedup_wm ≡ batch dropDuplicates on event_id over the same
+    fixture (one row per event_id, identical payload columns)."""
+    from ocs_duckdb_runner_spark.registry import get_query, load_table
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    got = _rows(get_query("stream_dedup_wm").fn(spark, SF_DIR), cols)
+    want = _rows(
+        load_table(spark, SF_DIR, "events")
+        .dropDuplicates(["event_id"])
+        .select(*cols),
+        cols,
+    )
+    assert got == want and len(want) > 0
+
+
+def test_stream_static_join_matches_batch_twin(spark):
+    """stream_static_join ≡ the same enrichment+aggregate run fully in
+    batch (per-tier counts and exact cents sums)."""
+    from ocs_duckdb_runner_spark.exactness import fx_sum
+    from ocs_duckdb_runner_spark.registry import get_query, load_table
+
+    cols = ["tier", "n", "sum_value_c"]
+    got = _rows(get_query("stream_static_join").fn(spark, SF_DIR), cols)
+    e = load_table(spark, SF_DIR, "events")
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    want = _rows(
+        e.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")),
+        cols,
+    )
+    assert got == want and len(want) > 0
+
+
+def test_stream_foreach_batch_matches_batch_twin(spark):
+    """stream_foreach_batch's sink contents ≡ the per-type aggregate in
+    batch (single availableNow micro-batch ⇒ one batch_id)."""
+    from ocs_duckdb_runner_spark.exactness import fx_sum
+    from ocs_duckdb_runner_spark.registry import get_query, load_table
+
+    cols = ["event_type", "n", "sum_value_c"]
+    out = get_query("stream_foreach_batch").fn(spark, SF_DIR)
+    got = _rows(out, cols)
+    want = _rows(
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")),
+        cols,
+    )
+    assert got == want and len(want) > 0
+    assert {r.batch_id for r in out.collect()} == {0}
+
+
 def test_stream_stream_join_matches_batch_twin(spark):
     """The streaming interval join must produce exactly the rows its batch
     twin produces on the same bounded input (stream-batch unification is
