@@ -515,3 +515,50 @@ def corpus_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_langs", F.col("tot").alias("n_docs"))
         .agg(F.round(-F.sum(p * F.log(p)), 12).alias("lang_entropy"))
     )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang),
+    mn AS (SELECT CAST(min(n) AS BIGINT) AS n_min FROM counts),
+    rates AS (
+      SELECT lang,
+             CAST(round(1e6 * sqrt(CAST(n_min AS DOUBLE) / n)) AS BIGINT)
+               AS rate_micro
+      FROM counts, mn)
+    SELECT d.doc_id, d.lang, r.rate_micro
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_micro
+    """,
+    tags=("llm", "curation", "sampling", "mixture"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (the mT5/XLM-R recipe,
+    alpha = 0.5): per-language keep-rate (n_min / n_lang)^(1-alpha) =
+    sqrt(n_min/n), so the rarest language keeps 100% and dominant
+    languages are down-sampled toward a flatter mixture. Selection is a
+    DETERMINISTIC per-document hash gate ((doc_id * Knuth) mod 1e6 <
+    rate_micro) — reproducible corpus builds, no RNG state, and exactly
+    the same membership in both engines. sqrt is IEEE-correctly-rounded,
+    so the micro-unit rate is bit-identical cross-engine.
+
+    Plan: language histogram (key-only shuffle on lang, partial agg), the
+    tiny rate table broadcasts back, the gate is map-side — one scan of
+    the corpus plus a vocabulary-sized exchange at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.round(1e6 * F.sqrt(F.col("n_min").cast("double") / F.col("n")))
+        .cast("long")
+        .alias("rate_micro"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter((F.col("doc_id") * F.lit(2654435761)) % 1000000 < F.col("rate_micro"))
+        .select("doc_id", "lang", "rate_micro")
+    )

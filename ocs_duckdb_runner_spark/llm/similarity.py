@@ -590,3 +590,150 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_csv"),
         err.alias("err_e12"),
     )
+
+
+# ---- Matryoshka prefix-dimension retrieval ----
+
+MDIM = 16  # retrieval prefix: first 16 of the 64 trained dims
+
+
+@query(
+    "embed_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT list_slice({_SQL_FP.format(v='embedding')}, 1, {MDIM})
+                      AS qv
+               FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    fp AS (SELECT vec_id, label,
+                  list_slice({_SQL_FP.format(v='embedding')}, 1, {MDIM}) AS ev
+           FROM embeddings)
+    SELECT vec_id, label,
+           CAST(CAST(list_sum(list_transform(generate_series(1, {MDIM}),
+                i -> ev[i] * qv[i])) AS BIGINT) AS DOUBLE) / 1e12
+             / sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, {MDIM}),
+                i -> ev[i] * ev[i])) AS BIGINT) AS DOUBLE) / 1e12)
+             / sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, {MDIM}),
+                i -> qv[i] * qv[i])) AS BIGINT) AS DOUBLE) / 1e12)
+           AS cos_sim
+    FROM fp, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "matryoshka"),
+)
+def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-dimension retrieval: cosine top-10 using
+    only the FIRST 16 of 64 dims — the production memory/latency lever for
+    embedding search (truncate the stored vectors 4x, re-rank the short
+    list with full vectors if needed). Same exactness scheme as
+    sim_cosine_topk (integer nano-unit dot products), same plan shape
+    (broadcast query + map-side fold + TakeOrderedAndProject); the scan
+    ships 4x fewer bytes per vector at 100 TB, which is the point."""
+    e = load_table(spark, sf_dir, "embeddings")
+    trunc = lambda c: F.slice(fp_vec(c), 1, MDIM)  # noqa: E731
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(trunc(F.col("embedding")).alias("qv"))
+    )
+    fp = e.select("vec_id", "label", trunc(F.col("embedding")).alias("ev"))
+    return (
+        fp.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("ev"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# ---- product quantization (the PQ in IVF-PQ) ----
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # centroids per subspace (3-bit codes)
+_PQ_SUB = DIM // PQ_M  # dims per subspace
+
+
+def _sql_pq_d2(sub: int) -> str:
+    off = sub * _PQ_SUB
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+        f" i -> (v[i + {off}] - c[i + {off}]) * (v[i + {off}] - c[i + {off}])"
+        f")) AS BIGINT)"
+    )
+
+
+def _pq_oracle() -> str:
+    fp = _SQL_FP.format(v="embedding")
+    d2s = ", ".join(f"{_sql_pq_d2(s)} AS d{s}" for s in range(PQ_M))
+    mins = ", ".join(
+        f"min({{'d': d{s}, 'cid': cid}}) AS m{s}" for s in range(PQ_M)
+    )
+    codes = ", ".join(f"CAST((m{s}).cid AS BIGINT) AS code{s}" for s in range(PQ_M))
+    err = " + ".join(f"(m{s}).d" for s in range(PQ_M))
+    return f"""
+    WITH vecs AS (SELECT vec_id, {fp} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {PQ_K}),
+    pairs AS (SELECT vec_id, cid, {d2s} FROM vecs CROSS JOIN cents),
+    assign AS (SELECT vec_id, {mins} FROM pairs GROUP BY vec_id)
+    SELECT vec_id, {codes}, CAST({err} AS BIGINT) AS err_fp
+    FROM assign
+    """
+
+
+@query(
+    "embed_pq_codes",
+    oracle=_pq_oracle(),
+    tags=("llm", "similarity", "quantization"),
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the 64-dim vector split into 4 subspaces of
+    16 dims, each subvector assigned to its nearest of 8 per-subspace
+    centroids (deterministic init: the first 8 vectors, mirroring
+    kmeans_embeddings) — 4 small codes + reconstruction error per vector.
+    This is the PQ half of IVF-PQ, the standard way a 100 TB embedding
+    corpus fits an ANN index in memory (64 floats -> 4 x 3-bit codes here;
+    real systems use 8-bit codebooks, same machinery).
+
+    Plan: the K=8 centroid frame broadcasts; assignment is one map-side
+    pass computing 4 x 8 exact integer subdistances per vector and a
+    grouped min(struct) per subspace — one key-only shuffle on vec_id.
+    Integer nano-unit arithmetic keeps every distance and tie-break
+    bit-identical to the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", fp_vec(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def d2_sub(s: int):
+        off = s * _PQ_SUB
+        va = F.slice(F.col("v"), off + 1, _PQ_SUB)
+        ca = F.slice(F.col("c"), off + 1, _PQ_SUB)
+        return F.aggregate(
+            F.zip_with(va, ca, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        *[d2_sub(s).alias(f"d{s}") for s in range(PQ_M)],
+    )
+    assign = pairs.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("cid")))
+            .alias(f"m{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    err = sum(F.col(f"m{s}.d") for s in range(PQ_M))
+    return assign.select(
+        "vec_id",
+        *[
+            F.col(f"m{s}.cid").cast("long").alias(f"code{s}")
+            for s in range(PQ_M)
+        ],
+        err.cast("long").alias("err_fp"),
+    )

@@ -672,3 +672,56 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg.unpersist()
     return out
+
+
+@query(
+    "text_zipf_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, token)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 12)
+             AS type_token_ratio,
+           (max({'n': n, 't': token})).t AS top_token
+    FROM tf GROUP BY source
+    """,
+    tags=("llm", "text", "vocabulary"),
+)
+def text_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary shape — the Zipf-tail diagnostics used to
+    screen corpora before training: token/type counts, hapax legomena
+    (once-only types, the long tail that drives vocab growth), type-token
+    ratio, and the modal token. A machine-generated or template-heavy
+    source shows an abnormally low hapax share and TTR; a natural-language
+    source follows Zipf. All counts are integers and the single ratio is
+    one rounded double division, so the oracle matches exactly; the modal
+    token ties break on the larger token string in BOTH engines
+    (max over (n, token) structs, byte-order strings).
+
+    Plan: tokenize+explode is map-side Generate; (source, token)
+    frequencies partial-aggregate before one key-only shuffle; the final
+    per-source rollup shuffles vocabulary-sized rows, never documents."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("n").cast("double"), 12
+        ).alias("type_token_ratio"),
+        F.max(F.struct(F.col("n"), F.col("token").alias("t")))["t"].alias(
+            "top_token"
+        ),
+    )

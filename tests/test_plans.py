@@ -344,3 +344,43 @@ def test_join_dpp_inserts_dynamic_pruning_subquery(spark):
     the fact scan reads every partition and the layout bought nothing."""
     plan = plan_of(spark, "join_dpp_partitioned")
     assert "dynamicpruning" in plan, plan.split("PartitionFilters")[0][-500:]
+
+
+def test_matryoshka_topk_is_heap_based_no_shuffle(spark):
+    """Prefix-dim retrieval keeps the brute-force plan: broadcast query,
+    map-side fold, TakeOrderedAndProject — no sort shuffle of the corpus."""
+    plan = plan_of(spark, "embed_matryoshka_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_codes_broadcasts_codebook(spark):
+    """PQ assignment must broadcast the 8-row codebook and aggregate codes
+    with a single vec_id exchange — never shuffle (vector, centroid)
+    pairs."""
+    plan = plan_of(spark, "embed_pq_codes")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert all("vec_id" in ln for ln in exchanges)
+
+
+def test_sample_temperature_broadcasts_rate_table(spark):
+    """The per-lang rate table must broadcast back to the corpus scan; the
+    gate itself is map-side (no shuffle of documents)."""
+    plan = plan_of(spark, "sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    for ln in plan.splitlines():
+        if "Arguments: hashpartitioning" in ln:
+            assert "text" not in ln  # only lang-keyed count shuffles
+
+
+def test_text_zipf_stats_shuffles_vocab_not_text(spark):
+    """Token frequencies partial-aggregate before the (source, token)
+    exchange; no exchange may carry the text column."""
+    plan = plan_of(spark, "text_zipf_stats")
+    assert "HashAggregate" in plan
+    for ln in plan.splitlines():
+        if "Arguments: hashpartitioning" in ln:
+            assert "text" not in ln
