@@ -76,3 +76,56 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tok_est_pd(F.col("n_chars")).alias("tok_est"),
         "delta_chars",
     )
+
+
+@F.pandas_udf(T.LongType())
+def _sum_sq_udaf(n_chars: pd.Series) -> int:  # type: ignore[misc]
+    """GROUPED_AGG pandas UDF — a true UDAF: the whole group's column
+    arrives as one Arrow batch, one scalar returns. Integer math, exact."""
+    return int((n_chars.astype("int64") ** 2).sum())
+
+
+@F.pandas_udf(T.DoubleType())
+def _median_udaf(n_chars: pd.Series) -> float:  # type: ignore[misc]
+    """UDAF #2: median (numpy interpolated-midpoint == DuckDB median())."""
+    return float(n_chars.median())
+
+
+@F.pandas_udf(T.LongType())
+def _count_udaf(n_chars: pd.Series) -> int:  # type: ignore[misc]
+    """UDAF #3: count — Spark disallows mixing GROUPED_AGG pandas UDFs
+    with built-in aggregates in one .agg(), so the count rides along as a
+    UDAF too."""
+    return int(len(n_chars))
+
+
+@query(
+    "udaf_surface",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq_chars,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("llm", "udf", "udaf"),
+)
+def udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE functions via GROUPED_AGG pandas UDFs — the
+    fourth Python extension point (udf_surface covers scalar/pandas/
+    grouped-map): each language group's column ships to Python as one
+    Arrow batch and reduces to a scalar, composed in the same .agg() as a
+    built-in count. Checked against pure-SQL twins: an exact integer
+    sum-of-squares and an interpolated median (numpy's midpoint rule ==
+    DuckDB's median()). Production note: a UDAF has NO partial-aggregate
+    (map-side combine) path — the full group's values shuffle to one
+    reducer, so at 100 TB it is the right tool only for group-bounded
+    cardinalities; unbounded reductions belong in built-ins or
+    applyInPandasWithState."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return d.groupBy("lang").agg(
+        _count_udaf(F.col("n_chars")).alias("n_docs"),
+        _sum_sq_udaf(F.col("n_chars")).alias("sum_sq_chars"),
+        _median_udaf(F.col("n_chars")).alias("median_chars"),
+    )

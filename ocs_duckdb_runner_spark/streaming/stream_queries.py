@@ -137,7 +137,14 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (custom sessionizers, CEP, online aggregates). State is per-key and
     store-backed, so it scales with distinct users, not events. The
     update-mode totals here are cross-checked against the batch aggregate
-    by tests/test_streaming.py."""
+    by tests/test_streaming.py.
+
+    Spark 4's successor API (transformWithStateInPandas: typed value/list/
+    map state, timers, TTL) was probed and is env-gated here: its state
+    server requires google.protobuf, which this container lacks — the
+    operator contract (per-key state + per-batch Arrow rows → output rows)
+    is identical, so this query ports to it by swapping the decorator
+    surface when the dependency exists."""
     from pyspark.sql.types import (
         LongType,
         StructField,
