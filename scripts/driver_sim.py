@@ -21,6 +21,16 @@ thrash (>100 GB). For corpora above _CAP_THRESHOLD docs, BOTH engines
 run those two queries over the same deterministically capped documents
 table (doc_id-hash sample materialized next to the probe fixtures), so
 the check stays an honest same-input comparison while staying bounded.
+
+`graph_triangle_count` gets the same treatment on LINEITEM, for a
+different reason: the probe synthesizes 10x data by striking the fact
+table verbatim under disjoint order keys, which multiplies every
+co-purchase pair's support by the copy count — duplicated facts are the
+same data counted twice, not more data — so the support>=2 association
+cut stops filtering and the wedge join explodes quadratically ON BOTH
+ENGINES (measured: >50 GB spill, unbounded runtime). The cap restores
+the first copy (l_orderkey < the probe's key stride), i.e. the query's
+natural-data behavior at probe scale, which SCALING.md measures directly.
 """
 
 from __future__ import annotations
@@ -44,9 +54,14 @@ from ocs_duckdb_runner_spark.registry import TABLES  # noqa: E402
 from ocs_duckdb_runner_spark.session import build_spark  # noqa: E402
 
 # queries whose OUTPUT is quadratic in duplicate multiplicity by design
-_CAPPED_QUERIES = {"dedup_ngram_jaccard", "dedup_containment"}
+_CAPPED_QUERIES = {
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "graph_triangle_count",
+}
 _CAP_THRESHOLD = 20_000  # docs; sf0.1 has 5k — cap only kicks in at probes
 _CAP_MOD = 7  # keep doc_id % 7 == 0 → ~1/7 of the corpus
+_CAP_KEY_STRIDE = 100_000_000  # scale_probe.KEY_STRIDE: first-copy cut
 
 
 def canon_val(v):
@@ -113,16 +128,21 @@ def _build_capped_dir(sf_dir: str) -> str:
 
     out = Path("/tmp/ocs_driver_sim_capped") / Path(sf_dir).name
     out.mkdir(parents=True, exist_ok=True)
-    dst = out / "documents.parquet"
-    if not dst.exists():
-        src = Path(f"{sf_dir}/documents.parquet")
-        glob = f"{src}/*.parquet" if src.is_dir() else str(src)
-        duckdb.sql(
-            f"COPY (SELECT * FROM read_parquet('{glob}') "
-            f"WHERE doc_id % {_CAP_MOD} = 0) TO '{dst}' (FORMAT PARQUET)"
-        )
+    caps = {
+        "documents": f"doc_id % {_CAP_MOD} = 0",
+        "lineitem": f"l_orderkey < {_CAP_KEY_STRIDE}",
+    }
+    for t, pred in caps.items():
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            src = Path(f"{sf_dir}/{t}.parquet")
+            glob = f"{src}/*.parquet" if src.is_dir() else str(src)
+            duckdb.sql(
+                f"COPY (SELECT * FROM read_parquet('{glob}') "
+                f"WHERE {pred}) TO '{dst}' (FORMAT PARQUET)"
+            )
     for t in TABLES:
-        if t == "documents":
+        if t in caps:
             continue
         src = Path(f"{sf_dir}/{t}.parquet")
         link = out / f"{t}.parquet"
