@@ -12,6 +12,12 @@ knobs that matter at 100 TB: AQE on (runtime partition coalescing, skew-join
 splitting, broadcast demotion), shuffle partitions sized to cores instead of
 the 200 default, UTC session timezone so timestamp semantics match the
 DuckDB oracle, and Arrow enabled for any pandas exchange.
+
+API note: registry.load_table also re-pins spark.sql.session.timeZone=UTC
+on EVERY call — a deliberate session-wide side effect, because oracle
+parity is only defined under UTC timestamp semantics and must hold even on
+externally built sessions (the driver's own). Callers that need another
+zone must set it after loading, not before.
 """
 
 from __future__ import annotations
