@@ -28,7 +28,7 @@ from ocs_duckdb_runner_spark.registry import load_table, query
 # join lineitem to itself on the order key — the bipartite
 # order-contains-part projection collapsed to part-part edges
 _SQL_COPURCHASE = """
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
         FROM lineitem l1 JOIN lineitem l2
           ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
@@ -93,7 +93,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps only structured associations; the support-filtered graph stays
 # ~3.7k edges at BOTH sf0.01 and sf0.1 because noise pairs never repeat.
 _SQL_ASSOC = """
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT l1.l_partkey AS a, l2.l_partkey AS b
         FROM lineitem l1 JOIN lineitem l2
           ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
@@ -222,7 +222,7 @@ def _pr_round_sql(prev: str) -> str:
 @query(
     "graph_pagerank",
     oracle=f"""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
         SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
                CAST(count(*) AS BIGINT) AS w
         FROM orders o
@@ -230,7 +230,7 @@ def _pr_round_sql(prev: str) -> str:
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         GROUP BY c.c_nationkey, s.s_nationkey
-    ), edges AS (SELECT * FROM flows WHERE src <> dst),
+    ), edges AS MATERIALIZED (SELECT * FROM flows WHERE src <> dst),
     nodes AS (
         SELECT DISTINCT node FROM (
             SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
