@@ -188,6 +188,7 @@ def main() -> int:
     # to a 100 GB RAM thrash (the r4 10x-sweep failure mode)
     duck.execute("SET memory_limit='24GB'")
     duck.execute("SET temp_directory='/tmp/ocs_duckdb_spill'")
+    duck.execute("SET max_temp_directory_size='40GB'")
     _register_views(duck, sf_dir)
 
     cap_dir = None
@@ -196,6 +197,7 @@ def main() -> int:
         duck_cap = duckdb.connect()
         duck_cap.execute("SET memory_limit='24GB'")
         duck_cap.execute("SET temp_directory='/tmp/ocs_duckdb_spill'")
+        duck_cap.execute("SET max_temp_directory_size='40GB'")
         _register_views(duck_cap, cap_dir)
         print(f"CAPPED corpus for {sorted(_CAPPED_QUERIES)} -> {cap_dir}")
 
