@@ -175,42 +175,23 @@ def _fs_read_ops(spark: SparkSession) -> int:
         return 0
 
 
-def _rest_input_metrics(spark: SparkSession) -> tuple[int, int, int] | None:
-    """(bytesRead, recordsRead, scanTasks) across all completed stages,
-    from the monitoring REST API — Spark's equivalent of the reference's
-    MonitoredFileSystem totals (runner.cc:147-161). scanTasks counts
-    completed tasks in input-reading stages: the per-split open that
-    stands in for a ranged read when the filesystem itself doesn't count
-    ops. Returns None when the UI is disabled — a zero here would read as
-    a *measurement* ("0 bytes read"), which is a lie; absence must be
-    visibly absence (ADVICE r2)."""
-    if spark.sparkContext.uiWebUrl is None:
-        return None
-    try:
-        base = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5) as r:
-            stages = json.load(r)
-        return (
-            sum(s.get("inputBytes", 0) for s in stages),
-            sum(s.get("inputRecords", 0) for s in stages),
-            sum(
-                s.get("numCompleteTasks", 0)
-                for s in stages
-                if s.get("inputBytes", 0) > 0
-            ),
-        )
-    except Exception:  # noqa: BLE001  (endpoint unavailable)
-        return None
+def _rest_group_metrics(
+    spark: SparkSession, token: str
+) -> dict[str, tuple[int, int, int]] | None:
+    """jobGroup → (inputBytes, inputRecords, scanTasks) summed over each
+    job's completed stages, for job groups of THIS run (prefix `token`),
+    from the monitoring REST API. The per-file analog of the reference's
+    per-handle ReadStats (runner.cc:49-54): each fan-out file runs under
+    its own job group, so grouping stage input metrics by job group
+    recovers a per-source split.
 
-
-def _rest_job_group_bytes(spark: SparkSession) -> dict[str, int] | None:
-    """jobGroup → inputBytes summed over each job's stages, from the
-    monitoring REST API. The per-file analog of the reference's per-handle
-    ReadStats (runner.cc:49-54): each fan-out file runs under its own job
-    group, so grouping stage input metrics by job group recovers a
-    per-source byte split. None when the UI is disabled (zeros would
-    masquerade as measurements — ADVICE r2)."""
+    Group-scoped on purpose: cumulative whole-app totals break in
+    long-lived sessions because the UI store EVICTS old stages past
+    spark.ui.retainedStages — a start/end delta then goes negative when
+    eviction outpaces new stages (observed once the test suite grew past
+    ~1000 stages). This run's own groups can't be evicted mid-run.
+    None when the UI is disabled (zeros would masquerade as measurements
+    — ADVICE r2)."""
     if spark.sparkContext.uiWebUrl is None:
         return None
     try:
@@ -224,15 +205,24 @@ def _rest_job_group_bytes(spark: SparkSession) -> dict[str, int] | None:
             f"{base}/api/v1/applications/{app}/jobs", timeout=5
         ) as r:
             jobs = json.load(r)
-        by_stage = {s["stageId"]: s.get("inputBytes", 0) for s in stages}
-        out: dict[str, int] = {}
+        by_stage = {
+            s["stageId"]: (
+                s.get("inputBytes", 0),
+                s.get("inputRecords", 0),
+                s.get("numCompleteTasks", 0) if s.get("inputBytes", 0) > 0 else 0,
+            )
+            for s in stages
+        }
+        out: dict[str, tuple[int, int, int]] = {}
         for j in jobs:
             group = j.get("jobGroup")
-            if group is None:
+            if group is None or not group.startswith(token):
                 continue
-            out[group] = out.get(group, 0) + sum(
-                by_stage.get(sid, 0) for sid in j.get("stageIds", [])
-            )
+            b, rec, t = out.get(group, (0, 0, 0))
+            for sid in j.get("stageIds", []):
+                sb, sr, st = by_stage.get(sid, (0, 0, 0))
+                b, rec, t = b + sb, rec + sr, t + st
+            out[group] = (b, rec, t)
         return out
     except Exception:  # noqa: BLE001  (endpoint unavailable)
         return None
@@ -274,7 +264,6 @@ class FanoutRunner:
         # deterministic load-balancing shuffle, seed 1 (runner.cc:392)
         sources = list(sources)
         random.Random(1).shuffle(sources)
-        m0 = _rest_input_metrics(self.spark)
         ops0 = _fs_read_ops(self.spark)
         # per-object queries are tiny: 32 shuffle partitions would turn each
         # group-by into 32 scheduled tasks of scheduling overhead. One
@@ -336,20 +325,19 @@ class FanoutRunner:
         # missing the final completions (observed under machine load).
         # Poll until two consecutive reads agree (bounded, outside the
         # timed region — `wall` is already captured above).
-        m1 = _rest_input_metrics(self.spark)
+        gm = _rest_group_metrics(self.spark, self._token)
         for _ in range(20):
             time.sleep(0.05)
-            m1b = _rest_input_metrics(self.spark)
-            if m1b == m1:
+            gm2 = _rest_group_metrics(self.spark, self._token)
+            if gm2 == gm:
                 break
-            m1 = m1b
+            gm = gm2
         # filesystem-level ranged-read count when the FS tracks it (s3a —
         # the reference's deployment, runner.cc:89); per-split scan-task
         # count as the local-FS approximation (RawLocalFileSystem never
         # increments readOps)
         fs_ops = _fs_read_ops(self.spark) - ops0
-        group_bytes = _rest_job_group_bytes(self.spark)
-        if m0 is None or m1 is None or group_bytes is None:
+        if gm is None:
             # UI off → the REST metrics source doesn't exist. Report the
             # absence as null, never as 0 (ADVICE r2: zeros read as
             # measurements), and say so once on stderr.
@@ -361,13 +349,12 @@ class FanoutRunner:
             read_bytes = read_records = per_file_bytes = None
             read_ops = fs_ops if fs_ops > 0 else None
         else:
-            b0, r0, t0_scan = m0
-            b1, r1, t1_scan = m1
-            read_bytes = b1 - b0
-            read_records = r1 - r0
-            read_ops = fs_ops if fs_ops > 0 else t1_scan - t0_scan
+            read_bytes = sum(b for b, _, _ in gm.values())
+            read_records = sum(r for _, r, _ in gm.values())
+            scan_tasks = sum(t for _, _, t in gm.values())
+            read_ops = fs_ops if fs_ops > 0 else scan_tasks
             per_file_bytes = {
-                p: group_bytes.get(f"{self._token}:{i}", 0)
+                p: gm.get(f"{self._token}:{i}", (0, 0, 0))[0]
                 for i, p in enumerate(sources)
             }
         report = {
