@@ -737,3 +737,88 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         err.cast("long").alias("err_fp"),
     )
+
+
+# ---- SemDeDup: semantic dedup inside coarse clusters ----
+
+SEM_K = 8  # coarse clusters (candidate buckets)
+SEM_TAU = 0.8  # intra-cluster cosine duplicate threshold
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS v
+                  FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {SEM_K}),
+    assign AS MATERIALIZED (
+        SELECT vec_id, v, (m).cid AS cluster FROM (
+            SELECT vec_id, v,
+                   min({{'d2': {_SQL_D2.format(dim=DIM, a='v', b='c')},
+                        'cid': cid}}) AS m
+            FROM vecs CROSS JOIN cents
+            GROUP BY vec_id, v)
+    ),
+    dups AS (
+        SELECT b.vec_id, CAST(min(a.vec_id) AS BIGINT) AS dup_of
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.v', 'b.v')} >= {SEM_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster, d.dup_of,
+           d.dup_of IS NOT NULL AS is_dup
+    FROM assign s LEFT JOIN dups d USING (vec_id)
+    """,
+    tags=("llm", "similarity", "dedup", "semantic"),
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the corpus
+    (one broadcast-centroid argmin pass, deterministic init like
+    kmeans_embeddings), then find near-duplicate pairs ONLY within each
+    cluster (cosine ≥ {SEM_TAU}), keeping the lowest id as the canonical
+    copy. The clusters play the role LSH buckets play in dedup_minhash:
+    they bound the candidate-pair space to intra-cluster pairs, so the
+    quadratic term is (N/K)² per cluster, not N² — the published SemDeDup
+    recipe (cluster with k-means, dedup within clusters) and the standard
+    way semantic dedup reaches web-corpus scale; K grows with N to hold
+    cluster size constant. Exactness: integer nano-unit assignment
+    distances AND pair cosines, so cluster membership, the τ gate, and
+    min-id keepers are all bit-identical to the oracle.
+
+    Plan: one broadcast of K centroids + map-side argmin (no corpus
+    shuffle), one hash-partitioned self-join on the cluster id, one
+    key-only min aggregate, one left join back."""
+    out, assign = _semantic_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    assign.unpersist()
+    return out
+
+
+def _semantic_build(spark: SparkSession, sf_dir: str):
+    """Pre-checkpoint SemDeDup plan + the persisted assignment frame (the
+    query checkpoints before unpersisting; plan tests inspect this form)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", fp_vec(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assign = _kmeans_assign(vecs, cents).select(
+        "vec_id", "v", F.col("cid").alias("cluster")
+    ).persist()
+    a = assign.toDF("a_id", "a_v", "cluster")
+    b = assign.toDF("vec_id", "b_v", "cluster")
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(cosine(F.col("a_v"), F.col("b_v")) >= SEM_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    out = assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+    return out, assign

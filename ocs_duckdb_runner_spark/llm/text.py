@@ -725,3 +725,53 @@ def text_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token"
         ),
     )
+
+
+BPE_TOP = 20  # merge candidates to emit
+
+
+@query(
+    "bpe_pair_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    pairs AS (
+      SELECT substr(tok, CAST(i AS INT), 2) AS pair
+      FROM toks, unnest(generate_series(1, len(tok) - 1)) AS t(i)
+      WHERE len(tok) >= 2)
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP}
+    """,
+    tags=("llm", "text", "tokenizer", "bpe"),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide counts of
+    adjacent character pairs inside tokens — the statistic that picks the
+    next merge rule. (Real BPE iterates merge→recount; the recount is this
+    same query over the partially-merged vocab, so the scale shape is
+    identical per iteration.) Top-{BPE_TOP} pairs, count-desc with a
+    deterministic lexicographic tie-break.
+
+    Plan: tokenize + pair expansion are map-side Generates (zero shuffle);
+    the pair count partial-aggregates before one exchange whose key space
+    is the character-bigram alphabet (tiny); TakeOrderedAndProject for the
+    top-k. At 100 TB the only moving data is (pair, partial-count)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    pairs = toks.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP)
+    )

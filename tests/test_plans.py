@@ -384,3 +384,25 @@ def test_text_zipf_stats_shuffles_vocab_not_text(spark):
     for ln in plan.splitlines():
         if "Arguments: hashpartitioning" in ln:
             assert "text" not in ln
+
+
+def test_semantic_dedup_joins_on_cluster_key(spark):
+    """SemDeDup's pair search must be a cluster-keyed hash join (the
+    bucket-bounded candidate space), never a corpus cross product."""
+    from ocs_duckdb_runner_spark.llm.similarity import _semantic_build
+
+    out, assign = _semantic_build(spark, SF_DIR)
+    plan = _raw_plan(spark, out)
+    assign.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # K centroids broadcast
+
+
+def test_bpe_pair_stats_is_heap_based(spark):
+    """Pair expansion is map-side Generate; top-k must not globally sort."""
+    plan = plan_of(spark, "bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" in plan
+    for ln in plan.splitlines():
+        if "Arguments: hashpartitioning" in ln:
+            assert "text" not in ln
