@@ -79,6 +79,14 @@ HEADLINE = [
     "graph_triangle_count",
     "mm_audio_stats",
     "pipeline_pretrain_end2end",
+    # round-5 additions
+    "embed_matryoshka_topk",
+    "embed_pq_codes",
+    "sample_temperature",
+    "text_zipf_stats",
+    "udaf_surface",
+    "dedup_semantic_cluster",
+    "bpe_pair_stats",
 ]
 
 
