@@ -518,3 +518,122 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("price_c").alias("wmedian_price_c"))
     )
+
+
+# Count-min sketch geometry: D independent hash rows x W buckets.
+_CMS_D = 3
+_CMS_W = 256
+_CMS_P = 1_000_000_007
+_CMS_A = (982_451_653, 472_882_027, 715_827_883)
+_CMS_B = (514_229, 1_299_709, 15_485_863)
+_CMS_PROBES = (1, 2, 3)  # part keys whose frequency is estimated
+
+
+def _cms_bucket_sql(j: int, key: str) -> str:
+    # CAST: DuckDB would otherwise multiply INT32×INT32 and overflow
+    return (
+        f"((CAST({_CMS_A[j]} AS BIGINT) * {key} + {_CMS_B[j]})"
+        f" % {_CMS_P}) % {_CMS_W}"
+    )
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT j, {" ".join("")}CASE j
+            {" ".join(f"WHEN {j} THEN {_cms_bucket_sql(j, 'l_partkey')}" for j in range(_CMS_D))}
+        END AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem, unnest(generate_series(0, {_CMS_D - 1})) AS t(j)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT k, j,
+               CASE j
+                   {" ".join(f"WHEN {j} THEN {_cms_bucket_sql(j, 'k')}" for j in range(_CMS_D))}
+               END AS bucket
+        FROM unnest([{", ".join(str(k) for k in _CMS_PROBES)}]) AS p(k),
+             unnest(generate_series(0, {_CMS_D - 1})) AS t(j)
+    ),
+    est AS (
+        SELECT p.k, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_n
+        FROM probes p LEFT JOIN cells c USING (j, bucket)
+        GROUP BY p.k
+    ),
+    truth AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS true_n
+        FROM lineitem WHERE l_partkey IN ({", ".join(str(k) for k in _CMS_PROBES)})
+        GROUP BY 1
+    )
+    SELECT e.k AS probe_key, e.est_n, coalesce(t.true_n, 0) AS true_n
+    FROM est e LEFT JOIN truth t USING (k)
+    """,
+    tags=("agg", "sketch", "countmin"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch from first principles, EXACTLY oracle-checked:
+    {_CMS_D} universal-hash rows ((a·k + b) mod p mod {_CMS_W}, integer
+    arithmetic identical in both engines) × {_CMS_W} buckets of counts —
+    the mergeable frequency sketch behind heavy-hitter detection and
+    skew pre-detection at 100 TB (the sketch is a {_CMS_D}×{_CMS_W}
+    integer table regardless of input size; partial sketches from any
+    partitioning merge by cell-wise addition, which the partial/final
+    hash aggregate IS). Point estimates = min over rows of the probed
+    cell, the classic CM upper bound; output compares estimate vs truth
+    for fixed probe keys, so the overestimate-only property is visible
+    and hash-checked.
+
+    Plan: one scan, a {_CMS_D}× map-side Generate, partial aggregation
+    into ≤{_CMS_D * _CMS_W} cells before one tiny exchange; probes join
+    against the broadcast-sized sketch."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def bucket(j: int, key: Column) -> Column:
+        return ((F.lit(_CMS_A[j]) * key + F.lit(_CMS_B[j])) % _CMS_P) % _CMS_W
+
+    cells = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("l_partkey")).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.j", "c.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # probe cells computed driver-side: D·|probes| constant rows
+    probes = spark.createDataFrame(
+        [
+            (k, j, ((_CMS_A[j] * k + _CMS_B[j]) % _CMS_P) % _CMS_W)
+            for k in _CMS_PROBES
+            for j in range(_CMS_D)
+        ],
+        "k long, j int, bucket long",
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )
+    truth = (
+        li.filter(F.col("l_partkey").isin(*_CMS_PROBES))
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return (
+        est.join(truth, "k", "left")
+        .select(
+            F.col("k").alias("probe_key"),
+            "est_n",
+            F.coalesce(F.col("true_n"), F.lit(0)).alias("true_n"),
+        )
+    )

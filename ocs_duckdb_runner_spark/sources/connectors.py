@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
 from ocs_duckdb_runner_spark.registry import load_table, query
 
 _CACHE_ROOT = "/tmp/ocs_source_cache"
@@ -441,4 +442,44 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_price_c"
             ),
         )
+    )
+
+
+@query(
+    "sink_compaction",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_fx_sum('l_quantity')} AS sum_qty_c,
+           {sql_fx_sum('l_extendedprice')} AS sum_price_c,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    """,
+    tags=("sink", "compaction"),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every 100 TB
+    parquet lake runs continuously (streaming ingest and fine-grained
+    partitioning produce KB-scale files; each costs an open + footer parse
+    + task schedule, and a million of them DDoSes the driver's listing).
+    Stage a deliberately fragmented copy of lineitem (64 shards), compact
+    with coalesce() — which merges splits WITHOUT a shuffle, the correct
+    plan for compaction since row placement is irrelevant — and return
+    exact content proofs (row count, fixed-point sums, distinct keys)
+    from the COMPACTED output. The oracle computes the same proofs from
+    the original table, so a pass certifies the compaction lost and
+    duplicated nothing; the before/after file counts are pinned by
+    tests/test_zorder.py::test_compaction_reduces_files."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = _roundtrip_dir(sf_dir, "frag64")
+    if not os.path.exists(f"{frag}/_SUCCESS"):
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+    out = _roundtrip_dir(sf_dir, "compacted")
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(out)
+    c = spark.read.parquet(out)
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        fx_sum("l_quantity").alias("sum_qty_c"),
+        fx_sum("l_extendedprice").alias("sum_price_c"),
+        F.countDistinct("l_partkey").alias("n_parts"),
     )

@@ -71,3 +71,20 @@ def test_zorder_files_have_narrow_dimension_spans(spark):
                 narrow += 1
                 break
     assert narrow >= len(files) // 2, f"only {narrow}/{len(files)} files narrow"
+
+
+def test_compaction_reduces_files(spark):
+    """sink_compaction's physical contract: 64 staged shards compact to
+    <= 4 files (content equality is the driver-checked half)."""
+    import os
+
+    from ocs_duckdb_runner_spark.registry import get_query
+    from ocs_duckdb_runner_spark.sources.connectors import _roundtrip_dir
+    from tests.conftest import SF_DIR
+
+    get_query("sink_compaction").fn(spark, SF_DIR).collect()
+    count_parquet = lambda d: sum(  # noqa: E731
+        1 for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert count_parquet(_roundtrip_dir(SF_DIR, "frag64")) == 64
+    assert count_parquet(_roundtrip_dir(SF_DIR, "compacted")) <= 4
