@@ -494,3 +494,105 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         right, left.grp.eqNullSafe(right.rgrp)
     ).select("o_orderkey", "tag")
+
+
+# ---- runtime Bloom-filter join (semi-join reduction before the shuffle) ----
+
+_BLOOM_M = 1 << 18  # 256k bits -> 4k 64-bit words (~32 KB broadcast)
+_BLOOM_K = 3
+
+
+def _bloom_position(key: F.Column, i: int) -> F.Column:
+    """Bit position for hash function i: xxhash64 seeded by i, mod M."""
+    return F.pmod(F.xxhash64(F.lit(i), key), F.lit(_BLOOM_M))
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join: build a Bloom bitmap from the FILTERED
+    dim side's join keys (customer ∩ BUILDING), broadcast the ~32 KB
+    bitmap, and drop fact rows map-side BEFORE the join shuffle. This is
+    the semi-join reduction that makes a 100 TB fact ⋈ too-big-to-broadcast
+    dim affordable: the dim itself may need a shuffle join, but its Bloom
+    always fits in a broadcast, and every fact row that cannot match dies
+    at the scan. Spark's own `runtime.bloomFilter` optimization plans the
+    same shape; building it explicitly keeps the reduction observable and
+    engine-portable.
+
+    Exactness: Bloom filters have NO false negatives and the real join
+    runs after the prefilter, removing any false positives — so the result
+    is bit-identical to the plain join and the oracle needs no Bloom model
+    at all (the sketch is semantically transparent, unlike
+    `agg_bloom_filter` which reports the sketch itself and is rows-only).
+
+    Plan: bitmap build = one bit_or aggregate over ≤4k words on the small
+    side; probe = 3 broadcast-hash word lookups + a bitwise test, all
+    map-side on the fact (zero fact shuffle added); then the exact join +
+    a fixed-point revenue aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+
+    members = dim.select(
+        F.explode(
+            F.array(*[_bloom_position(F.col("c_custkey"), i)
+                      for i in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    bitmap = (
+        members.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+    probe = o
+    for i in range(_BLOOM_K):
+        probe = (
+            probe.withColumn(f"pos{i}", _bloom_position(F.col("o_custkey"), i))
+            .withColumn(f"w{i}", (F.col(f"pos{i}") / 64).cast("long"))
+            .withColumn(
+                f"b{i}",
+                F.expr(f"shiftleft(1L, CAST(pos{i} % 64 AS INT))"),
+            )
+            .join(
+                F.broadcast(
+                    bitmap.select(
+                        F.col("word").alias(f"word{i}"),
+                        F.col("bits").alias(f"bits{i}"),
+                    )
+                ),
+                F.col(f"w{i}") == F.col(f"word{i}"),
+                "left",
+            )
+            .filter(
+                F.coalesce(F.col(f"bits{i}"), F.lit(0)).bitwiseAND(
+                    F.col(f"b{i}")
+                ) != 0
+            )
+        )
+
+    survivors = probe.select("o_orderkey", "o_custkey", "o_orderpriority",
+                             "o_totalprice")
+    joined = survivors.join(dim, survivors.o_custkey == dim.c_custkey, "inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -406,3 +406,40 @@ def test_bpe_pair_stats_is_heap_based(spark):
     for ln in plan.splitlines():
         if "Arguments: hashpartitioning" in ln:
             assert "text" not in ln
+
+
+def test_bloom_prefilter_probes_are_broadcast_and_semantics_exact(spark):
+    # The three word-lookup probes must be broadcast-hash joins (the fact
+    # side never shuffles for the Bloom test), and the prefiltered join
+    # must return exactly the plain-join result (no false negatives;
+    # false positives removed by the real join).
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    got = (
+        get_query("join_bloom_prefilter")
+        .fn(spark, SF_DIR)
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    want = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
