@@ -822,3 +822,249 @@ def _semantic_build(spark: SparkSession, sf_dir: str):
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
     return out, assign
+
+
+# ---- IVF-PQ: coarse cells + PQ asymmetric-distance scan composed ----
+
+IVFPQ_TOPK = 10
+
+
+def _ivfpq_oracle() -> str:
+    fp = _SQL_FP.format(v="embedding")
+    # d2 between 16-dim subspace s.i of vector v and codebook centroid c
+    sub_d2 = (
+        f"CAST(list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+        f" i -> (v[i + s.i * {_PQ_SUB}] - c[i + s.i * {_PQ_SUB}])"
+        f"    * (v[i + s.i * {_PQ_SUB}] - c[i + s.i * {_PQ_SUB}])))"
+        f" AS BIGINT)"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {fp} AS v FROM embeddings),
+    book AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {PQ_K}),
+    coarse AS (SELECT vec_id AS kid, v AS k FROM vecs
+               WHERE vec_id IN {CENTROID_IDS}),
+    cells AS (SELECT vec_id, kid AS cell FROM (
+                SELECT vecs.vec_id, coarse.kid,
+                       row_number() OVER (
+                         PARTITION BY vecs.vec_id
+                         ORDER BY {_sql_cosine('vecs.v', 'coarse.k')} DESC,
+                                  coarse.kid
+                       ) AS rn
+                FROM vecs CROSS JOIN coarse)
+              WHERE rn = 1),
+    pairs AS MATERIALIZED (
+        SELECT vec_id, cid, s.i AS s, {sub_d2} AS d2
+        FROM vecs CROSS JOIN book CROSS JOIN range(0, {PQ_M}) s(i)),
+    codes AS (SELECT vec_id, s, (min({{'d': d2, 'cid': cid}})).cid AS cid
+              FROM pairs GROUP BY vec_id, s),
+    lut AS (SELECT cid, s, d2 FROM pairs WHERE vec_id = {QUERY_VEC_ID}),
+    adc AS (SELECT codes.vec_id, CAST(sum(lut.d2) AS BIGINT) AS adc_fp
+            FROM codes JOIN lut ON codes.cid = lut.cid AND codes.s = lut.s
+            GROUP BY codes.vec_id)
+    SELECT a.vec_id, CAST(cl.cell AS BIGINT) AS cell, a.adc_fp
+    FROM adc a
+    JOIN cells cl ON a.vec_id = cl.vec_id
+    WHERE cl.cell = (SELECT cell FROM cells WHERE vec_id = {QUERY_VEC_ID})
+    ORDER BY a.adc_fp, a.vec_id
+    LIMIT {IVFPQ_TOPK}
+    """
+
+
+@query(
+    "embed_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("llm", "similarity", "ivf", "quantization"),
+)
+def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval — the two halves composed into the index structure
+    that actually serves billion-vector ANN: the coarse quantizer
+    (sim_ivf_topk's 4 deterministic cells) prunes the corpus to one cell,
+    and inside it distances come from PQ codes via an asymmetric-distance
+    lookup table (ADC): dist(q, x) ≈ Σ_s lut[s][code_s(x)] where
+    lut[s][j] = d2(q_sub_s, centroid_j_sub_s). The scan never touches the
+    original vectors — 4 small codes + a 4×8 LUT replace 64 floats per
+    candidate, which is why a 100 TB embedding corpus fits an in-memory
+    index.
+
+    Plan: codebook (8) and coarse centroids (4) broadcast; per-vector
+    subspace distances are map-side folds; codes = one (vec_id, s) min-
+    struct aggregate; the LUT is the SAME pairs frame filtered to the
+    query (broadcast, 32 rows); ADC = broadcast LUT join + one key-only
+    sum on vec_id. Integer nano-unit math end-to-end, so codes, cells,
+    ADC distances, and the top-k boundary are all oracle-exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", fp_vec(F.col("embedding")).alias("v")).persist()
+    book = vecs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    coarse = vecs.filter(F.col("vec_id").isin(*CENTROID_IDS)).select(
+        F.col("vec_id").alias("kid"), F.col("v").alias("k")
+    )
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("kid"))
+    cells = (
+        vecs.crossJoin(F.broadcast(coarse))
+        .withColumn("ccos", cosine(F.col("v"), F.col("k")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("kid").alias("cell"))
+    )
+
+    def sub_d2(s: int):
+        va = F.slice(F.col("v"), s * _PQ_SUB + 1, _PQ_SUB)
+        ca = F.slice(F.col("c"), s * _PQ_SUB + 1, _PQ_SUB)
+        return F.aggregate(
+            F.zip_with(va, ca, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        vecs.crossJoin(F.broadcast(book))
+        .select(
+            "vec_id",
+            "cid",
+            F.posexplode(F.array(*[sub_d2(s) for s in range(PQ_M)]))
+            .alias("s", "d2"),
+        )
+    )
+    codes = pairs.groupBy("vec_id", "s").agg(
+        F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("cid")))[
+            "cid"
+        ].alias("cid")
+    )
+    lut = pairs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "cid", "s", F.col("d2").alias("qd2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cid", "s"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("long").alias("adc_fp"))
+    )
+    qcell = cells.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cell").alias("qcell")
+    )
+    out = (
+        adc.join(cells, "vec_id")
+        .join(F.broadcast(qcell), F.col("cell") == F.col("qcell"))
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "adc_fp")
+        .orderBy(F.col("adc_fp"), F.col("vec_id"))
+        .limit(IVFPQ_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    vecs.unpersist()
+    return out
+
+
+# ---- reciprocal-rank fusion of two retrieval rankings ----
+
+RRF_K = 60  # the standard RRF damping constant
+RRF_CAND = 50  # candidate-list depth per ranking
+RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    fp = _SQL_FP.format(v="embedding")
+    full_cos = _sql_cosine("ev", "qv")
+    mrl = f"list_slice({fp}, 1, {MDIM})"
+    mrl_dot = (
+        f"CAST(CAST(list_sum(list_transform(generate_series(1, {MDIM}),"
+        f" i -> {{a}}[i] * {{b}}[i])) AS BIGINT) AS DOUBLE) / 1e12"
+    )
+    mrl_cos = (
+        f"{mrl_dot.format(a='mv', b='mq')}"
+        f" / sqrt({mrl_dot.format(a='mv', b='mv')})"
+        f" / sqrt({mrl_dot.format(a='mq', b='mq')})"
+    )
+    return f"""
+    WITH fpv AS (SELECT vec_id, {fp} AS ev, {mrl} AS mv FROM embeddings),
+    q AS (SELECT ev AS qv, mv AS mq FROM fpv WHERE vec_id = {QUERY_VEC_ID}),
+    rfull AS (SELECT vec_id, rf FROM (
+                SELECT vec_id, row_number() OVER (
+                         ORDER BY {full_cos} DESC, vec_id) AS rf
+                FROM fpv, q) WHERE rf <= {RRF_CAND}),
+    rmrl AS (SELECT vec_id, rm FROM (
+                SELECT vec_id, row_number() OVER (
+                         ORDER BY {mrl_cos} DESC, vec_id) AS rm
+                FROM fpv, q) WHERE rm <= {RRF_CAND})
+    SELECT coalesce(rfull.vec_id, rmrl.vec_id) AS vec_id,
+           CAST(coalesce(rf, 0) AS BIGINT) AS rank_full,
+           CAST(coalesce(rm, 0) AS BIGINT) AS rank_mrl,
+           round(coalesce(1.0 / ({RRF_K} + rf), 0)
+                 + coalesce(1.0 / ({RRF_K} + rm), 0), 12) AS rrf
+    FROM rfull FULL OUTER JOIN rmrl ON rfull.vec_id = rmrl.vec_id
+    ORDER BY rrf DESC, vec_id
+    LIMIT {RRF_TOPK}
+    """
+
+
+@query(
+    "rank_fusion_rrf",
+    oracle=_rrf_oracle(),
+    tags=("llm", "similarity", "retrieval", "fusion"),
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings for
+    the same query — here the full 64-dim cosine ranking fused with the
+    cheap MRL-16 prefix ranking (embed_matryoshka_topk's scan), the
+    standard way hybrid search combines rankers without score
+    calibration: score(d) = Σ_r 1/(k + rank_r(d)) over each ranking's
+    top-50 candidate list, absent → contributes 0.
+
+    Exactness: ranks are integers (cosine order is already oracle-exact
+    via fixed-point dot products; ties broken by vec_id), each reciprocal
+    is one double division of exact integers, and the two terms add in
+    fixed syntactic order — bit-identical across engines.
+
+    Plan: both rankings are global top-50 cuts (rank ≤ 50 windows over a
+    broadcast-query map-side cosine — at scale each would be a
+    TakeOrderedAndProject feeding the window); the fusion joins two
+    50-row frames — negligible. The corpus is scanned ONCE for both
+    rankings (same fpv frame)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fpv = e.select(
+        "vec_id",
+        fp_vec(F.col("embedding")).alias("ev"),
+        F.slice(fp_vec(F.col("embedding")), 1, MDIM).alias("mv"),
+    )
+    q = fpv.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("ev").alias("qv"), F.col("mv").alias("mq")
+    )
+    scored = fpv.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        cosine(F.col("ev"), F.col("qv")).alias("cf"),
+        cosine(F.col("mv"), F.col("mq")).alias("cm"),
+    )
+    rfull = (
+        scored.withColumn(
+            "rf",
+            F.row_number().over(Window.orderBy(F.col("cf").desc(), "vec_id")),
+        )
+        .filter(F.col("rf") <= RRF_CAND)
+        .select("vec_id", "rf")
+    )
+    rmrl = (
+        scored.withColumn(
+            "rm",
+            F.row_number().over(Window.orderBy(F.col("cm").desc(), "vec_id")),
+        )
+        .filter(F.col("rm") <= RRF_CAND)
+        .select(F.col("vec_id").alias("mvec_id"), "rm")
+    )
+    fused = rfull.join(
+        rmrl, rfull.vec_id == rmrl.mvec_id, "full_outer"
+    ).select(
+        F.coalesce(F.col("vec_id"), F.col("mvec_id")).alias("vec_id"),
+        F.coalesce(F.col("rf"), F.lit(0)).cast("long").alias("rank_full"),
+        F.coalesce(F.col("rm"), F.lit(0)).cast("long").alias("rank_mrl"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("rf")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rm")), F.lit(0.0)),
+            12,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "vec_id").limit(RRF_TOPK)

@@ -775,3 +775,113 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(BPE_TOP)
     )
+
+
+# ---- BM25 lexical retrieval ----
+
+BM25_TERMS = ("join", "vector", "stream")  # fixed query; k1=1.2, b=0.75
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    tfs = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(ln(CAST(2 * n + 2 AS DOUBLE) / (2 * df{i} + 1))"
+        f" * (CAST(22 * tf{i} * sumdl AS DOUBLE)"
+        f"    / (10 * tf{i} * sumdl + 3 * sumdl + 9 * dl * n)))"
+        for i in range(len(BM25_TERMS))
+    )
+    anyhit = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tfs} FROM t),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS sumdl, {dfs}
+          FROM d)
+    SELECT doc_id, dl, round({score}, 9) AS bm25
+    FROM d, s
+    WHERE {anyhit} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@query(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("llm", "text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    the keyword half of hybrid search and the standard relevance filter a
+    training-data pipeline runs before semantic rerank.
+
+    Exactness across engines: every BM25 input (tf, df, N, dl, Σdl) is an
+    exact integer, and the tf component is algebraically cleared of
+    fractions — tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl=Σdl/N
+    becomes 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N), ONE double division
+    of two exact integers; idf = ln((2N+2)/(2df+1)) is one division + one
+    libm ln of exact integers; the 3 per-term products add in fixed
+    syntactic order. So both engines execute the identical IEEE op
+    sequence and the top-k boundary is exact (9-digit display rounding).
+
+    Plan: per-doc tf/dl are map-side higher-order filters on the token
+    array (no explode, no shuffle); the corpus stats are ONE 1-row
+    aggregate broadcast back; scoring is whole-stage-codegen arithmetic;
+    TakeOrderedAndProject for the top-k. At 100 TB: one scan + a 1-row
+    exchange — embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            # closure factory, not a default arg: F.filter treats a 2-arg
+            # lambda as (element, index) and would pass the index as t
+            F.size(F.filter(toks, (lambda term: lambda x: x == term)(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    term_score = [
+        F.log(
+            (2 * F.col("n") + 2).cast("double") / (2 * F.col(f"df{i}") + 1)
+        )
+        * (
+            (22 * F.col(f"tf{i}") * F.col("sumdl")).cast("double")
+            / (
+                10 * F.col(f"tf{i}") * F.col("sumdl")
+                + 3 * F.col("sumdl")
+                + 9 * F.col("dl") * F.col("n")
+            )
+        )
+        for i in range(len(BM25_TERMS))
+    ]
+    total = term_score[0]
+    for ts in term_score[1:]:
+        total = total + ts
+    anyhit = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
+    return (
+        scored.filter(anyhit > 0)
+        .select("doc_id", "dl", F.round(total, 9).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

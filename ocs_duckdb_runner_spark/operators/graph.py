@@ -329,3 +329,71 @@ def _pagerank_build(spark: SparkSession, sf_dir: str):
         F.col("node").alias("nationkey"), F.col("pr").alias("pr_micro")
     ).orderBy(F.col("pr_micro").desc(), "nationkey")
     return out, (graph, edges)
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_SQL_ASSOC},
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY a),
+    cn AS (SELECT s1.a AS x, s2.a AS y, CAST(count(*) AS BIGINT) AS cn
+           FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+           GROUP BY s1.a, s2.a)
+    SELECT e.a, e.b, cn.cn,
+           round(CAST(cn.cn AS DOUBLE) / (da.d + db.d - cn.cn), 9) AS jaccard
+    FROM edges e
+    JOIN cn ON cn.x = e.a AND cn.y = e.b
+    JOIN deg da ON da.node = e.a
+    JOIN deg db ON db.node = e.b
+    ORDER BY jaccard DESC, e.a, e.b
+    LIMIT 20
+    """,
+    tags=("graph", "similarity"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard over the association graph — the classic
+    link-prediction / edge-strength score: for each existing edge (a,b),
+    cn = |N(a)∩N(b)| common neighbors and jaccard = cn/(|N(a)|+|N(b)|−cn)
+    (the union size, since a∉N(a)). Top-20 strongest ties.
+
+    Plan: the common-neighbor count is the SAME oriented wedge join
+    triangle counting uses (bounded by the support-≥2 cut that keeps the
+    graph ~3.7k edges at any measured sf — see _SQL_ASSOC); degrees are
+    one key-only aggregate; the existing-edge join prunes wedges to edge
+    pairs before scoring. Integer cn/degrees → one double division, so
+    the ranking is oracle-exact."""
+    edges = _assoc_edges(spark, sf_dir).persist()
+    sym = edges.unionAll(edges.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    s1 = sym.toDF("x", "n1")
+    s2 = sym.toDF("y", "n2")
+    cn = (
+        s1.join(s2, (s1.n1 == s2.n2) & (s1.x < s2.y))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    da = deg.toDF("node_a", "da")
+    db = deg.toDF("node_b", "db")
+    out = (
+        edges.join(cn, (edges.a == cn.x) & (edges.b == cn.y))
+        .join(da, edges.a == da.node_a)
+        .join(db, edges.b == db.node_b)
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out

@@ -119,3 +119,43 @@ def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "o_orderkey")
         .limit(100)
     )
+
+
+SAMPLE_K_PER_GROUP = 5
+
+
+@query(
+    "sample_k_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+    WHERE rk <= {SAMPLE_K_PER_GROUP}
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling (k=5 docs per language) — the
+    balanced-subset primitive behind eval-set construction and per-domain
+    inspection samples: every group contributes min(k, n) rows, chosen by
+    md5 order so the pick is a pure function of the data (same rows on any
+    cluster/partitioning — see module docstring).
+
+    Plan: one window over (lang) with the rank ≤ k predicate pushed into
+    the sort as a WindowGroupLimit — each partition keeps a k-row heap
+    per group instead of fully sorting, so at 100 TB the exchange carries
+    only ~k rows per group per map partition."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_K_PER_GROUP)
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
