@@ -504,3 +504,53 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---- deterministic training-order shuffle ----
+
+SHUFFLE_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(h, 1, 2)) AS INTEGER)
+                % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(h, 1, 2)) AS INTEGER)
+                          % {SHUFFLE_SHARDS}
+             ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    tags=("llm", "export", "shuffle"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    (shard, pos) coordinate — shard from its md5 prefix, position from the
+    md5 order WITHIN the shard. Reading shards 0..S-1 each in pos order
+    yields a fixed pseudorandom permutation of the corpus: reproducible
+    across runs/clusters (pure function of doc_id), resumable (a checkpoint
+    is a (shard, pos) pair), and append-stable within untouched shards.
+    This is how a 100 TB corpus gets 'shuffled' for training without a
+    global sort: S independent per-shard sorts (one exchange keyed by
+    shard; each reducer sorts only corpus/S), not one N-row total order —
+    the same WindowGroupLimit-style decomposition export_shards uses."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % SHUFFLE_SHARDS
+    )
+    keyed = d.select("doc_id", h.alias("h"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -637,3 +637,37 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("true_n"), F.lit(0)).alias("true_n"),
         )
     )
+
+
+@query("agg_hll_partitioned_merge", oracle=None, tags=("agg", "sketch", "hll"))
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches via the Datasketches aggregates
+    (hll_sketch_agg / hll_union_agg) — the property that makes
+    approx-distinct work at 100 TB: per-partition sketches (here one per
+    (lang, source) slice, standing in for per-executor partials) merge
+    into EXACTLY the sketch of the union, so cardinality estimation
+    never re-shuffles raw values — only kilobyte sketches move.
+    Output per lang: the direct sketch estimate, the merged-partials
+    estimate (must equal the direct one — pinned in
+    tests/test_sampling_analytics.py), and the exact distinct token
+    count for error context. Sketch bytes are engine-specific ⇒
+    rows-only driver check, like agg_approx_distinct."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    direct = toks.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_direct"),
+        F.countDistinct("tok").alias("exact_n"),
+    )
+    partials = toks.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("tok").alias("sk")
+    )
+    merged = partials.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    return (
+        direct.join(merged, "lang")
+        .select("lang", "est_direct", "est_merged", "exact_n")
+        .orderBy("lang")
+    )

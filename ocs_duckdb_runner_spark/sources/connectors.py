@@ -483,3 +483,79 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx_sum("l_extendedprice").alias("sum_price_c"),
         F.countDistinct("l_partkey").alias("n_parts"),
     )
+
+
+# ---- versioned snapshots (transaction-log time travel) ----
+
+
+@query(
+    "sink_versioned_snapshot",
+    oracle="""
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    """,
+    tags=("sink", "versioned", "time-travel"),
+)
+def sink_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table with time travel — the transaction-log
+    mechanism at the core of every lakehouse format (Delta/Iceberg),
+    built on plain parquet + a JSON manifest per version: v0 writes the
+    open orders as data files and records their paths; v1 APPENDS the
+    'F' orders as NEW files and records v0's files + the new ones.
+    Readers resolve a version's manifest to its exact file list, so
+    (a) appends never rewrite existing data, (b) a reader pinned to v0
+    is isolated from v1's commit, and (c) time travel is just reading
+    an older manifest. At 100 TB this is why table formats win over
+    directory listings: the manifest IS the scan's file list — no
+    eventually-consistent listing, O(1) commits.
+
+    Both snapshot reads go through the manifests (spark.read.parquet on
+    the resolved file lists); the oracle states the equivalent logical
+    content per version, so the manifest resolution itself is what is
+    being checked."""
+    import glob
+    import json as _json
+
+    base = _roundtrip_dir(sf_dir, "versioned")
+    data, logd = f"{base}/data", f"{base}/_log"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(f"{logd}/v1.json"):
+        os.makedirs(logd, exist_ok=True)
+        o.filter(F.col("o_orderstatus") == "O").write.mode("overwrite").parquet(
+            f"{data}/batch0"
+        )
+        v0_files = sorted(glob.glob(f"{data}/batch0/*.parquet"))
+        with open(f"{logd}/v0.json", "w") as fh:
+            _json.dump({"version": 0, "files": v0_files}, fh)
+        o.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").parquet(
+            f"{data}/batch1"
+        )
+        v1_files = v0_files + sorted(glob.glob(f"{data}/batch1/*.parquet"))
+        with open(f"{logd}/v1.json", "w") as fh:
+            _json.dump({"version": 1, "files": v1_files}, fh)
+
+    def snapshot(version: int) -> DataFrame:
+        with open(f"{logd}/v{version}.json") as fh:
+            manifest = _json.load(fh)
+        df = spark.read.parquet(*manifest["files"])
+        return df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_c"),
+        ).select("version", "n", "n_keys", "sum_price_c")
+
+    return snapshot(0).unionAll(snapshot(1))

@@ -100,3 +100,14 @@ def test_bloom_filter_no_false_negatives(spark):
     assert present > 0 and absent > 0
     # false-positive rate stays near the configured budget
     assert absent_pass / absent < 0.05
+
+
+def test_hll_merged_partials_equal_direct_sketch(spark):
+    """The mergeability contract: union of per-(lang,source) partial
+    sketches must estimate exactly what the direct per-lang sketch does,
+    and both must be within 5% of the exact distinct count."""
+    rows = get_query("agg_hll_partitioned_merge").fn(spark, SF_DIR).collect()
+    assert rows, "no output"
+    for r in rows:
+        assert r.est_direct == r.est_merged, r
+        assert abs(r.est_direct - r.exact_n) <= 0.05 * r.exact_n, r

@@ -88,3 +88,25 @@ def test_compaction_reduces_files(spark):
     )
     assert count_parquet(_roundtrip_dir(SF_DIR, "frag64")) == 64
     assert count_parquet(_roundtrip_dir(SF_DIR, "compacted")) <= 4
+
+
+def test_versioned_snapshot_isolation(spark):
+    """v0's manifest must keep resolving to the SAME content after v1's
+    append commit (snapshot isolation), and v1 = v0 + the appended batch."""
+    import json
+
+    from ocs_duckdb_runner_spark.registry import get_query
+    from ocs_duckdb_runner_spark.sources.connectors import _roundtrip_dir
+
+    out = {
+        r.version: r
+        for r in get_query("sink_versioned_snapshot").fn(spark, SF_DIR).collect()
+    }
+    logd = f"{_roundtrip_dir(SF_DIR, 'versioned')}/_log"
+    v0 = json.load(open(f"{logd}/v0.json"))
+    v1 = json.load(open(f"{logd}/v1.json"))
+    assert set(v0["files"]) < set(v1["files"])  # append-only: strict subset
+    # re-resolve v0 AFTER v1 exists: content identical to the first read
+    again = spark.read.parquet(*v0["files"])
+    assert again.count() == out[0].n
+    assert out[1].n > out[0].n
