@@ -231,3 +231,40 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
     )
+
+
+@query(
+    "fn_json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS miss_int,
+           json_type(json(props)) AS top_type
+    FROM events
+    WHERE event_id % 100 = 0
+    """,
+    tags=("function", "json", "variant"),
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VariantType semi-structured path (Spark 4): parse_json once
+    into a binary variant, then typed variant_get extractions — unlike
+    fn_json's per-path get_json_object string re-parses, the variant is
+    decoded ONCE per row and every field access is a typed offset lookup,
+    which is the whole point at 100 TB (Parquet variant shredding pushes
+    the decode into the scan). try_variant_get returns NULL for absent
+    paths; schema_of_variant exposes the inferred top-level type.
+    DuckDB's json_extract family is the oracle equivalent."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("miss_int"),
+        # top-level kind only: Spark spells the full struct schema
+        # (OBJECT<k: BIGINT>), DuckDB's json_type just the kind (OBJECT)
+        F.regexp_extract(F.schema_of_variant(v), "^[A-Z]+", 0).alias("top_type"),
+    )

@@ -116,3 +116,139 @@ def text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("pos", "component")
     )
+
+
+# ---- end-to-end RAG index build: chunk -> hash-embed -> LSH bucket ----
+
+import random as _random
+
+from pyspark.sql import functions as F
+
+RAG_PLANES_N = 4  # 16 index buckets
+_rag_rng = _random.Random(11)
+RAG_PLANES: list[list[int]] = [
+    [_rag_rng.choice((-1, 1)) for _ in range(EMBED_BUCKETS)]
+    for _ in range(RAG_PLANES_N)
+]
+
+
+def _rag_oracle() -> str:
+    from ocs_duckdb_runner_spark.llm.curation import CHUNK_S, CHUNK_W
+
+    hexval = "strpos('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1"
+    b = hexval.format(pos=1)
+    sgn = f"CASE WHEN ({hexval.format(pos=2)}) % 2 = 0 THEN 1 ELSE -1 END"
+    raws = ",\n             ".join(
+        f"CAST(sum(CASE WHEN ({b}) % {EMBED_BUCKETS} = {d} "
+        f"THEN {sgn} ELSE 0 END) AS BIGINT) AS r{d}"
+        for d in range(EMBED_BUCKETS)
+    )
+    bits = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(
+            f"r{d} * ({RAG_PLANES[i][d]})" for d in range(EMBED_BUCKETS)
+        )
+        + f") > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(RAG_PLANES_N)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    grid AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+                 (greatest(n - {CHUNK_W}, 0) + {CHUNK_S} - 1) // {CHUNK_S}
+             )) AS chunk_idx
+      FROM tok),
+    ctok AS (
+      SELECT doc_id, chunk_idx,
+             unnest(toks[chunk_idx * {CHUNK_S} + 1 :
+                         least(n, chunk_idx * {CHUNK_S} + {CHUNK_W})]) AS t
+      FROM grid),
+    vec AS (
+      SELECT doc_id, chunk_idx,
+             {raws}
+      FROM ctok GROUP BY doc_id, chunk_idx),
+    idx AS (
+      SELECT doc_id, chunk_idx, ({bits}) AS bucket FROM vec)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(min(doc_id * 1000 + chunk_idx) AS BIGINT) AS min_chunk_key
+    FROM idx GROUP BY bucket
+    """
+
+
+@query(
+    "pipeline_rag_index",
+    oracle=_rag_oracle(),
+    tags=("llm", "pipeline", "embedding", "lsh"),
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG index construction in ONE query — the retrieval-side sibling of
+    pipeline_pretrain_end2end: sliding-window chunking (chunk_documents'
+    64/48 grid) → feature-hash chunk embeddings (text_embedding's signed
+    md5 buckets, kept as exact integer vectors — normalization cancels in
+    sign-projection LSH so it is skipped) → SRP-LSH bucketing (4 fixed ±1
+    planes over the 8 integer dims) → per-bucket index report. At serve
+    time a query embeds + buckets the same way and probes one bucket.
+
+    Plan shape at 100 TB: chunking is a map-side Generate; token→(chunk,
+    bucket-count) is ONE word-count-shaped aggregate keyed by chunk (the
+    only data-sized shuffle); plane projection + bucket id are whole-stage
+    codegen arithmetic; the final report aggregates into ≤16 buckets.
+    Every value is integer, so the full pipeline — grid, signed counts,
+    projections, bucket boundaries — is oracle-exact."""
+    from ocs_duckdb_runner_spark.llm.curation import CHUNK_S, CHUNK_W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grid = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.greatest(n - CHUNK_W, F.lit(0)) + (CHUNK_S - 1))
+                    / CHUNK_S
+                ).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    ctok = grid.select(
+        "doc_id",
+        "chunk_idx",
+        F.explode(
+            F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_S + 1, CHUNK_W)
+        ).alias("t"),
+    )
+    hx = lambda pos: F.conv(F.substring(F.md5("t"), pos, 1), 16, 10).cast("int")  # noqa: E731
+    bkt = hx(1) % EMBED_BUCKETS
+    sgn = F.when(hx(2) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    vec = ctok.groupBy("doc_id", "chunk_idx").agg(
+        *[
+            F.sum(F.when(bkt == dd, sgn).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"r{dd}")
+            for dd in range(EMBED_BUCKETS)
+        ]
+    )
+    bucket = None
+    for i in range(RAG_PLANES_N):
+        dot = sum(
+            F.col(f"r{dd}") * F.lit(RAG_PLANES[i][dd])
+            for dd in range(EMBED_BUCKETS)
+        )
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    idx = vec.select("doc_id", "chunk_idx", bucket.alias("bucket"))
+    return idx.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.min(F.col("doc_id") * 1000 + F.col("chunk_idx"))
+        .cast("long")
+        .alias("min_chunk_key"),
+    ).select(F.col("bucket").cast("long").alias("bucket"), "n_chunks",
+             "min_chunk_key")
