@@ -461,3 +461,56 @@ def event_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(pv, ignorenulls=True).over(w).alias("last_purchase_c"),
     )
+
+
+@query(
+    "event_ewma",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               array_agg(value) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(list_reduce(vals, (a, b) -> (a + b) / 2), 9) AS ewma
+    FROM w
+    WHERE user_id % 20 = 0
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (α=½, 8-event
+    horizon) — the denoised activity feature behind rate limiting and
+    anomaly baselines. α=½ is chosen deliberately: the recurrence
+    s←(s+x)/2 is a power-of-two scaling, so every step is EXACT IEEE
+    arithmetic and both engines fold the identical value sequence to the
+    identical double — a recursive statistic made oracle-exact without
+    fixed-point tricks. The recurrence is seeded with the window's oldest
+    value (reduce semantics, mirrored on both sides).
+
+    Plan: one (user_id) window exchange; the 8-row trailing frame rides
+    the same sort; the fold is a codegen higher-order aggregate over an
+    8-element array — O(1) per row, no second shuffle. The user_id%20
+    output gate keeps the checked result compact without changing the
+    window math (it filters AFTER the frame builds)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    frame = e.select("user_id", "event_id", vals.alias("vals"))
+    # reduce == seed with head, fold tail: aggregate(tail, head, step)
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: (acc + x) / 2,
+    )
+    return (
+        frame.filter(F.col("user_id") % 20 == 0)
+        .select("user_id", "event_id", F.round(ewma, 9).alias("ewma"))
+    )

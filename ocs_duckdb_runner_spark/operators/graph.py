@@ -161,7 +161,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _triangle_build(spark: SparkSession, sf_dir: str):
     """Pre-checkpoint triangle plan + the persisted frames (the query
     checkpoints before unpersisting; plan tests inspect this form)."""
-    edges = _assoc_edges(spark, sf_dir).persist()
+    # repartition(8), NOT coalesce(8): the support cut leaves ~4k edges
+    # spread over the full shuffle width, so downstream stages schedule
+    # 32-64 near-empty tasks; narrowing fixes that, but coalesce would
+    # propagate the narrow width UP into the expensive lineitem self-join
+    # (measured 5.7s -> 19s). repartition pays one trivial 4k-row exchange
+    # and keeps the build at full parallelism.
+    edges = _assoc_edges(spark, sf_dir).repartition(8).persist()
     sym = edges.select(F.col("a").alias("node")).unionAll(
         edges.select(F.col("b").alias("node"))
     )
@@ -176,7 +182,7 @@ def _triangle_build(spark: SparkSession, sf_dir: str):
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-    ).persist()
+    ).repartition(8).persist()
     o1 = oriented.toDF("u", "v", "dv")
     o2 = oriented.toDF("u", "w", "dw")
     # each unordered out-pair once: spoke v ranks strictly below spoke w
@@ -364,7 +370,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     one key-only aggregate; the existing-edge join prunes wedges to edge
     pairs before scoring. Integer cn/degrees → one double division, so
     the ranking is oracle-exact."""
-    edges = _assoc_edges(spark, sf_dir).persist()
+    edges = _assoc_edges(spark, sf_dir).repartition(8).persist()
     sym = edges.unionAll(edges.select(F.col("b").alias("a"),
                                       F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))

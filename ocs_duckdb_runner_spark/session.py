@@ -80,14 +80,14 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Persisted frames otherwise pin their pre-AQE shuffle width: a
-        # support-filtered 4k-row edge frame cached at 64 partitions drags
-        # 64-task stages through every downstream join (measured 5.7s -> 3.0s
-        # on graph_triangle_count at sf0.1). Letting AQE re-partition cached
-        # plan output is semantically neutral and sizes those stages to data.
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-        )
+        # NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning.
+        # A/B-measured both ways at sf0.1: letting AQE re-partition cached
+        # plan output by BYTES trims tiny-frame graph pipelines (~-0.5s on
+        # graph_triangle_count) but byte-sizing misjudges compute-dense
+        # cached frames — dedup_semantic_cluster's 64-dim vector frame
+        # coalesced to ONE partition and serialized its cluster self-join
+        # (1.9s -> 7.2s). Tiny persisted frames coalesce explicitly at the
+        # operator instead (graph.py).
         # Oracle parity: DuckDB timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every Python<->JVM batch exchange (pandas UDFs, toPandas).
