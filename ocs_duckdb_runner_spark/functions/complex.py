@@ -418,3 +418,54 @@ def fn_string_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.substr(F.length(sc) - 4, F.lit(5)).alias("r5"),
         F.split_part(sc, F.lit(" "), F.lit(2)).alias("word2"),
     )
+
+
+@query(
+    "fn_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_back,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c_back,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS date_back
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    tags=("function", "xml"),
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface as a lossless round-trip (the src_csv_roundtrip recipe
+    applied to the remaining wire format): each order serializes to an
+    XML fragment JVM-side, then BOTH from_xml (schema-based parse into a
+    struct) and xpath_string (path query on the raw string) extract the
+    fields back; the oracle states the identity, so any parse/escape
+    drift breaks the hash. DuckDB has no XML type — the round trip making
+    the check engine-neutral is the point (same policy as the binary
+    codecs in llm/multimodal.py).
+
+    Plan: serialization and both parses are per-row JVM expressions in
+    one whole-stage-codegen projection — no shuffle, no Python."""
+    e = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</price><date>"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+        F.lit("</date></order>"),
+    )
+    doc = e.select("o_orderkey", xml.alias("xml"))
+    return doc.select(
+        F.from_xml(
+            F.col("xml"),
+            "STRUCT<key: BIGINT, status: STRING, price: BIGINT, date: STRING>",
+        ).alias("p"),
+        F.xpath_string(F.col("xml"), F.lit("/order/date")).alias("xp_date"),
+    ).select(
+        F.col("p.key").alias("o_orderkey"),
+        F.col("p.status").alias("status_back"),
+        F.col("p.price").alias("price_c_back"),
+        F.col("xp_date").alias("date_back"),
+    )

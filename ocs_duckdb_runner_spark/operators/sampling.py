@@ -159,3 +159,56 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SAMPLE_K_PER_GROUP)
         .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
     )
+
+
+SAMPLE_WEIGHTED_K = 20
+
+
+@query(
+    "sample_weighted_k",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(ln(u) / n_chars, 12) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {SAMPLE_WEIGHTED_K}
+    """,
+    tags=("sampling", "llm", "weighted"),
+)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, exactly-k (Efraimidis–
+    Spirakis A-ES): each row draws u∈(0,1) and ranks by u^(1/w) —
+    equivalently ln(u)/w, monotone and overflow-free — so the top-k is a
+    weighted-without-replacement sample (here weight = n_chars: longer
+    docs proportionally likelier). The uniform is DERIVED, not drawn:
+    u = (first 12 md5 hex chars + ½)/16^12, a pure function of doc_id —
+    the deterministic-randomness policy of this module, which is what
+    makes a 'random' weighted sample reproducible across engines,
+    partitionings, and reruns, and lets the oracle check it EXACTLY
+    (same integer, same division, same libm ln on both sides).
+
+    Plan: map-side key computation + TakeOrderedAndProject — at 100 TB
+    each partition keeps a k-row heap; no shuffle of non-winners. The
+    classic distributed-reservoir merge (per-partition top-k then global
+    top-k) is exactly what Spark's physical operator does."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (v.cast("double") + 0.5) / F.lit(float(1 << 48))
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(es_key, 12).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(SAMPLE_WEIGHTED_K)
+    )
