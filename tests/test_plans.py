@@ -443,3 +443,26 @@ def test_bloom_prefilter_probes_are_broadcast_and_semantics_exact(spark):
         .collect()
     )
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_bm25_and_weighted_sample_heap_topk(spark):
+    # retrieval/sampling top-k must be per-partition heaps, never a
+    # global sort
+    for name in ("text_bm25_topk", "sample_weighted_k", "embed_matryoshka_topk"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name), name
+
+
+def test_event_ewma_single_exchange(spark):
+    # one (user_id) window exchange; the trailing-frame fold adds no more
+    # (formatted plans print each node twice: tree line + detail header)
+    plan = plan_of(spark, "event_ewma")
+    assert plan.count("Exchange") <= 2
+
+
+def test_rag_index_one_data_shuffle(spark):
+    # chunk+tokenize are Generates; the only data-sized exchange is the
+    # (doc, chunk) signed-count aggregate; the 16-bucket report reuses it
+    # (each exchange prints twice in formatted plans: 2 exchanges = 4)
+    plan = plan_of(spark, "pipeline_rag_index")
+    assert plan.count("Exchange") <= 4
+    assert "Generate" in plan
