@@ -268,3 +268,36 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (OBJECT<k: BIGINT>), DuckDB's json_type just the kind (OBJECT)
         F.regexp_extract(F.schema_of_variant(v), "^[A-Z]+", 0).alias("top_type"),
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS due_month,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 45 DAY AS due_45d,
+           CAST(date_diff('month', DATE '1995-01-01',
+                          CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+             AS months_since_95,
+           CAST(last_day(CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP)
+             AS month_end
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("function", "date", "interval"),
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic — the date surface fn_date leaves
+    out: month-interval addition (calendar-aware: Jan 31 + 1 month
+    clamps), day-interval addition, whole-month differences, and
+    month-end snapping. All calendar logic, no epoch math, so both
+    engines must agree on the same civil-calendar rules."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("due_month"),
+        F.date_add(F.col("o_orderdate"), 45).cast("timestamp").alias("due_45d"),
+        F.floor(
+            F.months_between(F.col("o_orderdate"), F.lit("1995-01-01"))
+        ).cast("long").alias("months_since_95"),
+        F.last_day(F.col("o_orderdate")).cast("timestamp").alias("month_end"),
+    )

@@ -129,3 +129,56 @@ def udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sum_sq_udaf(F.col("n_chars")).alias("sum_sq_chars"),
         _median_udaf(F.col("n_chars")).alias("median_chars"),
     )
+
+
+UDTF_CHUNK = 1000  # span width for the range-splitting table function
+
+
+@query(
+    "udtf_surface",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(s.i * {UDTF_CHUNK} AS BIGINT) AS start,
+           CAST(least({UDTF_CHUNK}, d.n_chars - s.i * {UDTF_CHUNK}) AS BIGINT)
+             AS length
+    FROM documents d,
+         unnest(generate_series(0, (d.n_chars - 1) // {UDTF_CHUNK})) AS s(i)
+    WHERE d.n_chars > 0 AND d.doc_id % 10 = 0
+    """,
+    tags=("llm", "udf", "udtf"),
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 @udtf) — the fifth
+    Python extension point (after udf_surface's scalar/pandas/grouped-map
+    and udaf_surface's grouped-agg): a per-row generator yielding a
+    variable number of output rows, consumed via a LATERAL join. The
+    UDTF splits each document's char range into fixed spans — the shape
+    a real pipeline uses for byte-range chunking of blobs too big for
+    one task. Deliberately SQL-replicable (generate_series arithmetic)
+    so the lateral expansion is oracle-exact; like udf_surface, it
+    proves the extension point, not the fast path — chunk_documents is
+    the production JVM-side equivalent."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start: bigint, length: bigint")
+    class SplitSpans:
+        def eval(self, n_chars: int):
+            if n_chars is None or n_chars <= 0:
+                return
+            s = 0
+            while s < n_chars:
+                yield s, min(UDTF_CHUNK, n_chars - s)
+                s += UDTF_CHUNK
+
+    spark.udtf.register("ocs_split_spans", SplitSpans)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") > 0) & (F.col("doc_id") % 10 == 0)
+    )
+    d.createOrReplaceTempView("udtf_surface_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.start, s.length
+        FROM udtf_surface_docs d,
+             LATERAL ocs_split_spans(CAST(d.n_chars AS INT)) s
+        """
+    )
