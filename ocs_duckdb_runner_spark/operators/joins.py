@@ -596,3 +596,95 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+PIT_STALENESS_DAYS = 90
+
+
+@query(
+    "join_pit_staleness",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS TIMESTAMP) AS odate,
+               max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, CAST(o_orderdate AS TIMESTAMP)
+    ), m AS (
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               o.o_orderkey, o.odate
+        FROM (SELECT * FROM events WHERE user_id % 20 = 0) e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.odate
+    )
+    SELECT event_id, user_id,
+           CASE WHEN odate >= ts - INTERVAL {PIT_STALENESS_DAYS} DAY
+                THEN o_orderkey END AS feat_orderkey,
+           CASE WHEN odate >= ts - INTERVAL {PIT_STALENESS_DAYS} DAY
+                THEN CAST(date_diff('day', odate, ts) AS BIGINT) END
+             AS feat_age_days
+    FROM m
+    """,
+    tags=("join", "asof", "feature-store"),
+)
+def join_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join with a staleness bound — the
+    training-set construction rule of every feature store: each event
+    (the label row) is enriched with the most recent order feature AS OF
+    its timestamp (no leakage from the future), but only if that feature
+    is fresher than {PIT_STALENESS_DAYS} days (stale features are worse
+    than missing ones). join_asof's scalable union + last(ignorenulls)
+    window carries the matched feature's own timestamp alongside, so the
+    staleness gate is one map-side comparison after the window — still
+    exactly one (key) shuffle, no range-join blowup. The oracle is
+    DuckDB's native ASOF LEFT JOIN + the same gate: two different
+    algorithms, identical rows."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(1).alias("is_event"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("odate"),
+        F.lit(0).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", F.coalesce("o_orderkey", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionAll(od).select(
+        "k",
+        "t",
+        "event_id",
+        "is_event",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("m_orderkey"),
+        F.last("odate", ignorenulls=True).over(w).alias("m_odate"),
+    )
+    fresh = F.col("m_odate") >= (
+        F.col("t") - F.expr(f"INTERVAL {PIT_STALENESS_DAYS} DAY")
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(fresh, F.col("m_orderkey")).alias("feat_orderkey"),
+        F.when(
+            fresh, F.datediff(F.col("t").cast("date"), F.col("m_odate").cast("date"))
+        ).cast("long").alias("feat_age_days"),
+    )
