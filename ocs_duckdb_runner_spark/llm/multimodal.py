@@ -571,3 +571,84 @@ def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dispatch_decode,
         schema="doc_id long, modality string, n_units long, mean_val double",
     )
+
+
+def _resize_pnm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched nearest-neighbor 2x downscale of P5 payloads: decode,
+    reshape (h, w), stride [::2, ::2] — the numpy idiom a real image
+    pipeline uses before feature extraction."""
+    for pdf in it:
+        rows = {
+            "doc_id": pdf["doc_id"], "out_w": [], "out_h": [],
+            "n_out": [], "sum_px": [], "mean_px": [],
+        }
+        for b in pdf["payload"]:
+            buf = bytes(b)
+            m = _PNM_HEADER.match(buf)
+            if not m or m.group(1) != b"P5":
+                raise ValueError("resize expects a P5 payload")
+            w, h = int(m.group(2)), int(m.group(3))
+            px = np.frombuffer(buf, dtype=np.uint8, offset=m.end())[: w * h]
+            small = px.reshape(h, w)[::2, ::2]
+            rows["out_w"].append(small.shape[1])
+            rows["out_h"].append(small.shape[0])
+            rows["n_out"].append(int(small.size))
+            rows["sum_px"].append(int(small.astype(np.int64).sum()))
+            rows["mean_px"].append(round(float(small.mean()), 9))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_image_resize",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS blen,
+             4 + doc_id % 8 AS w
+      FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % {_CORRUPT_EVERY} <> 0),
+    q AS (SELECT *, greatest(1, CAST(floor(blen / w) AS BIGINT)) AS h FROM p),
+    px AS (
+      SELECT q.doc_id, q.w, q.h, t.i,
+             ((t.i - 1) // q.w) AS r, ((t.i - 1) % q.w) AS c,
+             (strpos('0123456789ABCDEF',
+                     substring(q.hx, CAST(2 * t.i - 1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF',
+                      substring(q.hx, CAST(2 * t.i AS INT), 1)) - 1 AS v
+      FROM q, unnest(generate_series(1, q.w * q.h)) AS t(i)),
+    kept AS (SELECT * FROM px WHERE r % 2 = 0 AND c % 2 = 0)
+    SELECT doc_id,
+           CAST((any_value(w) + 1) // 2 AS BIGINT) AS out_w,
+           CAST((any_value(h) + 1) // 2 AS BIGINT) AS out_h,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS mean_px
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "codec", "resize"),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as a real pixel transform (not just stats): P5
+    grayscale payloads decode to an (h, w) numpy grid and downscale 2x by
+    nearest-neighbor striding — the cheap pre-filter step every vision
+    ingestion pipeline runs before feature extraction (Pillow/opencv
+    would slot into the same mapInPandas contract with interpolating
+    kernels). Corrupt/truncated containers are excluded upstream by the
+    same parity/corrupt gates the encoder uses, so the pixel plane is
+    always full. The oracle recomputes the kept-pixel set (even row, even
+    col) byte-true from the hex dump — output dims, count, integer pixel
+    sum, and mean must all match exactly.
+
+    Plan: encode + gate are JVM expressions; the resize is one Arrow
+    mapInPandas pass (per-payload numpy, no per-byte Python); no shuffle
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % _CORRUPT_EVERY != 0)
+    )
+    payload = _with_pnm_payload(d).select("doc_id", "payload")
+    out = payload.mapInPandas(
+        _resize_pnm_batches,
+        "doc_id long, out_w long, out_h long, n_out long, sum_px long,"
+        " mean_px double",
+    )
+    return out
