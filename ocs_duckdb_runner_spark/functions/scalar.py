@@ -301,3 +301,47 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("months_since_95"),
         F.last_day(F.col("o_orderdate")).cast("timestamp").alias("month_end"),
     )
+
+
+@query(
+    "fn_collation_ci",
+    oracle="""
+    SELECT lower(c_mktsegment) AS seg_ci,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c_name) AS first_name
+    FROM (SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                      WHEN c_custkey % 3 = 1 THEN upper(c_mktsegment)
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 c_name, c_custkey
+          FROM customer)
+    GROUP BY lower(c_mktsegment)
+    """,
+    tags=("function", "collation"),
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): the segment column is
+    deliberately case-mangled, then grouped under the UTF8_LCASE collation
+    — equality/grouping ignore case WITHOUT rewriting the data, the way a
+    collation (not a lower() scrub) handles it. The emitted group key is
+    normalized to lower() so both engines print the same representative;
+    the grouping itself runs on the collated value (DuckDB mirrors with a
+    lower() group, the portable equivalent)."""
+    c = load_table(spark, sf_dir, "customer")
+    mangled = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.upper("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    d = c.select(mangled.alias("seg"), "c_name")
+    return (
+        d.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("seg_coll"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_name").alias("first_name"),
+        )
+        .select(
+            F.lower(F.col("seg_coll")).cast("string").alias("seg_ci"),
+            "n",
+            "first_name",
+        )
+    )

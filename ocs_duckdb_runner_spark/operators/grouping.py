@@ -671,3 +671,52 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "est_direct", "est_merged", "exact_n")
         .orderBy("lang")
     )
+
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salted"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation — the skew treatment for hot GROUP BY
+    keys (the aggregation analog of join_skew_salted): phase 1 groups by
+    (key, salt) where salt spreads each key's rows over 16
+    reducers, phase 2 re-combines the per-salt partials. l_returnflag has
+    only 3 values, so an unsalted final aggregate lands 6M rows on 3
+    reducers at sf1 — at 100 TB that's 3 straggler tasks doing all the
+    work; salting bounds any reducer at rows/16 per key. count/sum/max
+    are algebraic (partials combine losslessly: sum-of-counts,
+    sum-of-sums, max-of-maxes), so the result is EXACTLY the plain
+    aggregate, which is the oracle. (Spark's own partial aggregation
+    usually absorbs this map-side; explicit salting is the pattern for
+    when it can't — high-cardinality-payload aggs like collect_list or
+    exact distinct.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_BUCKETS))
+    p1 = (
+        li.withColumn("salt", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "psum"
+            ),
+            F.max("l_quantity").alias("pmax"),
+        )
+    )
+    return p1.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum("psum").cast("long").alias("revenue_cents"),
+        F.max("pmax").cast("double").alias("max_qty"),
+    )
