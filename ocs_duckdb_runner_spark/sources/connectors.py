@@ -559,3 +559,81 @@ def sink_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n", "n_keys", "sum_price_c")
 
     return snapshot(0).unionAll(snapshot(1))
+
+
+_MANIFEST_SHARDS = 8
+
+
+@query(
+    "sink_stats_manifest",
+    oracle=f"""
+    SELECT CAST(o_orderkey % {_MANIFEST_SHARDS} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_price_c,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_price_c,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("sink", "stats", "data-skipping"),
+)
+def sink_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping stats manifest built from REAL parquet footers: the
+    table is written in {_MANIFEST_SHARDS} hash shards (one file each),
+    then the manifest rows come from each file's parquet row-group
+    METADATA (pyarrow footer statistics — min/max/count), not from
+    re-scanning data. This is the zone-map/skipping index every lake
+    format maintains (Iceberg manifests, Delta stats, the min/max pruning
+    sink_zorder_scan exploits): a scan planner consults these rows to
+    skip whole files. The oracle recomputes the same stats relationally —
+    footer stats must agree with the data EXACTLY or pruning would be
+    wrong.
+
+    Plan: one repartition-by-shard write (the shuffle pays for the
+    layout, as any clustering write does); the manifest build touches
+    ONLY footers (KB per file at any scale)."""
+    import pyarrow.parquet as _pq
+
+    out = _roundtrip_dir(sf_dir, "stats_manifest")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % _MANIFEST_SHARDS).alias("shard"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        (
+            o.repartition(_MANIFEST_SHARDS, "shard")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out)
+        )
+    import glob as _glob
+
+    rows = []
+    for shard_dir in sorted(_glob.glob(f"{out}/shard=*")):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        n, mn_p, mx_p, mn_k, mx_k = 0, None, None, None, None
+        for f in sorted(_glob.glob(f"{shard_dir}/*.parquet")):
+            md = _pq.ParquetFile(f).metadata
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                n += g.num_rows
+                sp = g.column(cols["price_c"]).statistics
+                sk = g.column(cols["o_orderkey"]).statistics
+                mn_p = sp.min if mn_p is None else min(mn_p, sp.min)
+                mx_p = sp.max if mx_p is None else max(mx_p, sp.max)
+                mn_k = sk.min if mn_k is None else min(mn_k, sk.min)
+                mx_k = sk.max if mx_k is None else max(mx_k, sk.max)
+        rows.append((shard, n, mn_p, mx_p, mn_k, mx_k))
+    return spark.createDataFrame(
+        rows,
+        "shard long, n_rows long, min_price_c long, max_price_c long,"
+        " min_key long, max_key long",
+    )
