@@ -87,6 +87,18 @@ HEADLINE = [
     "udaf_surface",
     "dedup_semantic_cluster",
     "bpe_pair_stats",
+    "join_bloom_prefilter",
+    "embed_ivfpq_topk",
+    "text_bm25_topk",
+    "rank_fusion_rrf",
+    "graph_common_neighbors",
+    "pipeline_rag_index",
+    "event_ewma",
+    "sample_weighted_k",
+    "mv_incremental_refresh",
+    "agg_skew_salted",
+    "join_pit_staleness",
+    "mm_image_resize",
 ]
 
 
