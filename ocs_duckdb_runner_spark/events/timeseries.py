@@ -514,3 +514,70 @@ def event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame.filter(F.col("user_id") % 20 == 0)
         .select("user_id", "event_id", F.round(ewma, 9).alias("ewma"))
     )
+
+
+@query(
+    "event_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT user_id, median(value) AS m
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, e.value, med.m,
+               abs(e.value - med.m) AS ad
+        FROM events e JOIN med USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, median(ad) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id,
+           round(d.value, 9) AS value,
+           round(d.m, 9) AS user_median,
+           round(m2.mad, 9) AS user_mad,
+           (m2.mad > 0 AND abs(d.value - d.m) > 5 * m2.mad) AS is_outlier
+    FROM dev d JOIN mad m2 USING (user_id)
+    WHERE d.user_id % 50 = 0
+    """,
+    tags=("events", "robust-stats", "outlier"),
+)
+def event_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    anomaly gate that survives heavy-tailed value distributions where
+    event_anomaly_zscore's mean/stddev get dragged by the outliers they
+    should catch: flag |x − median| > 5·MAD per user. Exact medians on
+    both engines (Spark percentile(0.5) and DuckDB median both average
+    the two middle values); 9-digit rounding absorbs the interpolation's
+    last-ulp.
+
+    Plan: two grouped exact medians (each one key-only exchange on
+    user_id, second over the deviations) + broadcast-sized joins back.
+    At 100 TB exact per-group medians are the honest cost of robust
+    stats; approx_percentile drops the second shuffle when tolerance
+    allows."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(med, "user_id").select(
+        "user_id", "event_id", "value", "m",
+        F.abs(F.col("value") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 9).alias("value"),
+            F.round("m", 9).alias("user_median"),
+            F.round("mad", 9).alias("user_mad"),
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col("value") - F.col("m")) > 5 * F.col("mad"))
+            ).alias("is_outlier"),
+        )
+    )

@@ -1068,3 +1068,61 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "vec_id").limit(RRF_TOPK)
+
+
+# ---- kNN-graph construction (the ANN-index / SemDeDup precursor) ----
+
+KNN_K = 3
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp),
+    pairs AS (
+        SELECT a.vec_id AS src, x.vec_id AS dst,
+               {_sql_cosine('a.ev', 'x.ev')} AS cos_sim
+        FROM b a JOIN b x
+          ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+    ranked AS (
+        SELECT src, dst, cos_sim,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos_sim DESC, dst) AS rk
+        FROM pairs)
+    SELECT src, dst, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {KNN_K} AND src % 10 = 0
+    """,
+    tags=("llm", "similarity", "knn-graph"),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction: each vector's top-{KNN_K} neighbors WITHIN
+    its LSH bucket — the batch-built neighborhood graph that seeds
+    graph-ANN indexes (HNSW/NSG layers), SemDeDup's neighbor lists, and
+    diversity-sampling walks. Never all-pairs: the SRP buckets bound the
+    candidate set to ~N/2^planes per vector, the same blocking contract
+    every dedup operator here uses; per-source top-k is a
+    WindowGroupLimit, so only k edges per vector survive the exchange.
+    Fixed-point cosine keeps every edge and rank oracle-exact; the
+    src%10 gate bounds the CHECKED output, not the computation."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"))).persist()
+    a, x = b.toDF("src", "aev", "abucket"), b.toDF("dst", "xev", "xbucket")
+    pairs = a.join(
+        x, (F.col("abucket") == F.col("xbucket")) & (F.col("src") != F.col("dst"))
+    ).select(
+        "src", "dst", cosine(F.col("aev"), F.col("xev")).alias("cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    out = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= KNN_K) & (F.col("src") % 10 == 0))
+        .select("src", "dst", F.col("rk").cast("long").alias("rk"))
+        .localCheckpoint(eager=True)
+    )
+    b.unpersist()
+    return out
