@@ -1046,3 +1046,164 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sz") - 1).alias("docs_removed"),
         )
     )
+
+
+# ---- oracle-EXACT MinHash: md5 slots, estimate vs true Jaccard ----
+
+MHX_H = 8  # hash slots (bands of 1 row => candidate if ANY slot agrees)
+MHX_MIN_AGREE = 3  # report pairs with >= 3/8 slots equal
+
+
+def _mhx_slot_sql(i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{i}|' || shingle), 1, 12)) AS BIGINT)"
+    )
+
+
+def _mhx_oracle() -> str:
+    hs = ", ".join(f"{_mhx_slot_sql(i)} AS h{i}" for i in range(MHX_H))
+    mins = ", ".join(f"min(h{i}) AS s{i}" for i in range(MHX_H))
+    slot_case = " ".join(f"WHEN {i} THEN s{i}" for i in range(MHX_H))
+    agree = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(MHX_H)
+    )
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    uniq AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    hv AS (SELECT sh.doc_id, sh.shingle, {hs}
+           FROM sh JOIN uniq ON sh.doc_id = uniq.doc_id),
+    sig AS (SELECT doc_id, {mins}, CAST(count(*) AS BIGINT) AS n_sh
+            FROM hv GROUP BY doc_id),
+    slots AS (SELECT doc_id, t.i,
+                     CASE t.i {slot_case} END AS v
+              FROM sig, unnest(generate_series(0, {MHX_H - 1})) AS t(i)),
+    cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             FROM slots x JOIN slots y
+               ON x.i = y.i AND x.v = y.v AND x.doc_id < y.doc_id),
+    scored AS (SELECT c.da, c.db, ({agree}) AS n_agree,
+                      a.n_sh AS na, b.n_sh AS nb
+               FROM cand c
+               JOIN sig a ON a.doc_id = c.da
+               JOIN sig b ON b.doc_id = c.db),
+    inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS it
+              FROM cand c
+              JOIN hv x ON x.doc_id = c.da
+              JOIN hv y ON y.doc_id = c.db AND y.shingle = x.shingle
+              GROUP BY c.da, c.db)
+    SELECT s.da AS doc_a, s.db AS doc_b,
+           round(s.n_agree / {MHX_H}.0, 6) AS mh_est,
+           round(CAST(coalesce(i.it, 0) AS DOUBLE)
+                 / (s.na + s.nb - coalesce(i.it, 0)), 9) AS jaccard
+    FROM scored s LEFT JOIN inter i ON i.da = s.da AND i.db = s.db
+    WHERE s.n_agree >= {MHX_MIN_AGREE}
+    """
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=_mhx_oracle(),
+    tags=("llm", "dedup", "minhash"),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash made oracle-EXACT: md5-derived hash slots (engine-neutral,
+    unlike the xxhash64 signatures that force dedup_minhash to a
+    rows-only check) let the driver verify the WHOLE estimator — each
+    pair reports its signature-agreement estimate (n_equal_slots/8)
+    NEXT TO the true shingle Jaccard, the estimator-vs-truth comparison
+    a pipeline runs when tuning band/row geometry. Candidates via
+    1-row-band LSH (any slot equal) over exact-unique docs, so pair
+    count is collision-bounded, never all-pairs.
+
+    Plan: shingles are map-side Generates; signatures are {MHX_H} min
+    aggregates under ONE (doc_id) exchange; the slot unpivot is 8 rows
+    per doc; intersection counts ride the same inverted-index join the
+    Jaccard operators use. All md5/integer arithmetic ⇒ estimates AND
+    truth hash-match the oracle exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    uniq = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    toks = F.split(F.col("text"), " ")
+    sh = uniq.select(
+        "doc_id", F.explode(shingles(toks)).alias("shingle")
+    ).persist()
+    hv = sh.select(
+        "doc_id",
+        "shingle",
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 12
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(MHX_H)
+        ],
+    )
+    sig = hv.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"s{i}") for i in range(MHX_H)],
+        F.count(F.lit(1)).alias("n_sh"),
+    ).persist()
+    slots = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(MHX_H)])).alias(
+            "i", "v"
+        ),
+    )
+    sx = slots.toDF("da", "i", "v")
+    sy = slots.toDF("db", "i2", "v2")
+    cand = (
+        sx.join(sy, (sx.i == sy.i2) & (sx.v == sy.v2) & (sx.da < sy.db))
+        .select("da", "db")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(MHX_H)],
+        F.col("n_sh").alias("na"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(MHX_H)],
+        F.col("n_sh").alias("nb"),
+    )
+    agree = sum(
+        F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+        for i in range(MHX_H)
+    )
+    scored = (
+        cand.join(a, "da").join(b, "db")
+        .select("da", "db", agree.alias("n_agree"), "na", "nb")
+        .filter(F.col("n_agree") >= MHX_MIN_AGREE)
+    )
+    shx = sh.toDF("da", "shingle")
+    shy = sh.toDF("db2", "shingle2")
+    inter = (
+        scored.select("da", "db")
+        .join(shx, "da")
+        .join(
+            shy,
+            (F.col("db") == F.col("db2"))
+            & (F.col("shingle") == F.col("shingle2")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    out = (
+        scored.join(inter, ["da", "db"], "left")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(F.col("n_agree") / MHX_H, 6).alias("mh_est"),
+            F.round(
+                F.coalesce(F.col("it"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("it"), F.lit(0))),
+                9,
+            ).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    sig.unpersist()
+    return out

@@ -720,3 +720,40 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psum").cast("long").alias("revenue_cents"),
         F.max("pmax").cast("double").alias("max_qty"),
     )
+
+
+@query(
+    "agg_distinct_bitmap",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitmap", "distinct"),
+)
+def agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation — the
+    roaring-bitmap trick for dense integer key domains: distinct part
+    keys per flag = popcount of the bit_or-merged bitmap, computed as
+    (word = key/64, bit = 1<<(key%64)) → bit_or per (group, word) →
+    Σ popcount. Unlike count(DISTINCT), whose expand-dedup shuffles one
+    row PER DISTINCT VALUE OBSERVATION, the bitmap shuffles at most
+    (groups × domain/64) fixed-width words regardless of row count, and
+    partial bitmaps OR-merge losslessly — the exact-distinct analog of
+    agg_hll_partitioned_merge's sketch story, with no error. The oracle
+    is plain count(DISTINCT): both must agree exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    words = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_partkey") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(l_partkey % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("l_returnflag", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return (
+        words.select("l_returnflag", F.bit_count("bits").alias("pc"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("pc").cast("long").alias("n_parts"))
+    )
