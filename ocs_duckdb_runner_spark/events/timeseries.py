@@ -581,3 +581,132 @@ def event_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_outlier"),
         )
     )
+
+
+_LTTB_BUCKETS = 10
+
+
+@query(
+    "event_downsample_lttb",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    bounds AS (
+        SELECT user_id, min(x) AS mn, max(x) AS mx FROM e GROUP BY user_id
+    ),
+    pts AS (
+        SELECT e.user_id, e.event_id, (e.x - b.mn) // 1000000 AS xs, e.y,
+               CAST(least({_LTTB_BUCKETS - 1},
+                    ((e.x - b.mn) * {_LTTB_BUCKETS}) // (b.mx - b.mn + 1))
+                 AS BIGINT) AS bkt
+        FROM e JOIN bounds b USING (user_id)
+    ),
+    bm AS (
+        SELECT user_id, bkt, CAST(sum(xs) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY user_id, bkt
+    ),
+    ctx AS (
+        SELECT user_id, bkt, sx, sy, n,
+               lag(sx) OVER w AS sxp, lag(sy) OVER w AS syp,
+               lag(n) OVER w AS np,
+               lead(sx) OVER w AS sxn, lead(sy) OVER w AS syn,
+               lead(n) OVER w AS nn
+        FROM bm WINDOW w AS (PARTITION BY user_id ORDER BY bkt)
+    ),
+    area AS (
+        SELECT p.user_id, p.bkt, p.event_id,
+               abs(CAST(c.sxp * c.nn - c.sxn * c.np AS DOUBLE)
+                     * CAST(p.y * c.np - c.syp AS DOUBLE)
+                   - CAST(c.sxp - p.xs * c.np AS DOUBLE)
+                     * CAST(c.syn * c.np - c.syp * c.nn AS DOUBLE)) AS a
+        FROM pts p JOIN ctx c ON p.user_id = c.user_id AND p.bkt = c.bkt
+        WHERE c.np IS NOT NULL AND c.nn IS NOT NULL
+    )
+    SELECT user_id, CAST(bkt AS BIGINT) AS bkt, event_id,
+           round(a, 3) AS area
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+                                       ORDER BY a DESC, event_id) AS rk
+          FROM area)
+    WHERE rk = 1 AND user_id % 25 = 0
+    """,
+    tags=("events", "timeseries", "downsample"),
+)
+def event_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style time-series downsampling (largest-triangle, bucket-mean
+    anchors): each user's series splits into {_LTTB_BUCKETS} time buckets
+    and each interior bucket keeps the ONE point maximizing the triangle
+    area against the previous and next buckets' mean points — the
+    shape-preserving decimation dashboards and cold-storage rollups use
+    (vs naive avg/first, which flattens peaks; classic LTTB chains the
+    previously SELECTED point — a sequential dependency — so the standard
+    parallel variant anchors on bucket means, as here). Exactness: time
+    is integer seconds-from-user-start, values integer cents, bucket
+    means kept as exact (sum, n) pairs with denominators CLEARED from the
+    area formula — each area is products/differences of exact sub-2^53
+    integers in fixed order, so the float argmax is deterministic and
+    both engines pick the same point.
+
+    Plan: bounds + bucket means are two key-only aggregates; the
+    prev/next context is a lag/lead window over ≤{_LTTB_BUCKETS} rows per
+    user; argmax is one WindowGroupLimit-able rank over (user, bucket) —
+    everything shuffles on user_id only."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    pts = e.join(bounds, "user_id").select(
+        "user_id",
+        "event_id",
+        F.expr("(x - mn) div 1000000").alias("xs"),
+        "y",
+        # `div`, not floor(/): float division + floor can flip at an
+        # exactly-representable integer quotient; div is true int division
+        F.least(
+            F.lit(_LTTB_BUCKETS - 1),
+            F.expr(f"((x - mn) * {_LTTB_BUCKETS}) div (mx - mn + 1)"),
+        ).cast("long").alias("bkt"),
+    )
+    bm = pts.groupBy("user_id", "bkt").agg(
+        F.sum("xs").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bkt")
+    ctx = bm.select(
+        "user_id",
+        "bkt",
+        F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lag("n").over(wb).alias("np"),
+        F.lead("sx").over(wb).alias("sxn"),
+        F.lead("sy").over(wb).alias("syn"),
+        F.lead("n").over(wb).alias("nn"),
+    )
+    j = pts.join(ctx, ["user_id", "bkt"]).filter(
+        F.col("np").isNotNull() & F.col("nn").isNotNull()
+    )
+    area = F.abs(
+        (F.col("sxp") * F.col("nn") - F.col("sxn") * F.col("np")).cast("double")
+        * (F.col("y") * F.col("np") - F.col("syp")).cast("double")
+        - (F.col("sxp") - F.col("xs") * F.col("np")).cast("double")
+        * (F.col("syn") * F.col("np") - F.col("syp") * F.col("nn")).cast("double")
+    )
+    wr = Window.partitionBy("user_id", "bkt").orderBy(
+        F.col("a").desc(), "event_id"
+    )
+    return (
+        j.select("user_id", "bkt", "event_id", area.alias("a"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter((F.col("rk") == 1) & (F.col("user_id") % 25 == 0))
+        .select("user_id", "bkt", "event_id", F.round("a", 3).alias("area"))
+    )
