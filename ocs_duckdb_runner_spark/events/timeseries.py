@@ -710,3 +710,88 @@ def event_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") == 1) & (F.col("user_id") % 25 == 0))
         .select("user_id", "bkt", "event_id", F.round("a", 3).alias("area"))
     )
+
+
+@query(
+    "event_trend_regression",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS xus,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    b AS (SELECT user_id, min(xus) AS mn FROM e GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, (e.xus - b.mn) // 1000000 AS x, e.y
+        FROM e JOIN b USING (user_id)
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM p GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 12) AS slope_c_per_s,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx) * sx) / n, 9) AS intercept_c
+    FROM m
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND user_id % 10 = 0
+    """,
+    tags=("events", "timeseries", "regression"),
+)
+def event_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (OLS slope/intercept of value over time) —
+    the drift detector behind engagement decay and metric forecasting.
+    Computed from INTEGER moments, not the builtin regr_slope: Σx, Σy,
+    Σxy, Σx² over (seconds-from-user-start, cents) are exact BIGINTs at
+    any partitioning/order (sub-2^63: x≤3e7 s, x²≤9e14, ×1e4 rows ≈
+    1e19-safe at the declared scales via the per-user origin shift), and
+    slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) is then a single double division
+    of exact integers — so the regression is oracle-exact, where the
+    builtin's internal running double sums are order-dependent.
+
+    Plan: one origin-shift join (key-only aggregate + broadcast-scale
+    join back) + ONE partial-aggregated moments exchange on user_id —
+    the same shape at 100 TB."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("xus"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    b = e.groupBy("user_id").agg(F.min("xus").alias("mn"))
+    p = e.join(b, "user_id").select(
+        "user_id",
+        F.expr("(xus - mn) div 1000000").alias("x"),
+        "y",
+    )
+    m = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return (
+        m.filter(
+            (F.col("n") >= 2) & (den > 0) & (F.col("user_id") % 10 == 0)
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 12).alias("slope_c_per_s"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"),
+                9,
+            ).alias("intercept_c"),
+        )
+    )

@@ -311,3 +311,56 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as soon as both sides arrive; the watermark governs state eviction,
     # not emission, for inner joins)
     return spark.table(_run_to_memory(pairs, "append"))
+
+
+@query("stream_incremental_mv", oracle=None, tags=("streaming", "mv", "sink"))
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance — the streaming
+    leg of mv_incremental_refresh: each micro-batch's per-event-type
+    partials MERGE into a persistent MV state via the algebraic rule
+    (sum-of-counts, sum-of-sums) inside foreachBatch, exactly-once per
+    epoch. After the stream drains, the MV must equal the batch aggregate
+    over all events — asserted against the batch twin in
+    tests/test_streaming.py (rows-only at the driver, like all stream_*
+    queries). This is the production pattern for keeping a dashboard
+    aggregate fresh without ever rescanning the table: state size is the
+    GROUP-KEY space, not the stream."""
+    import uuid
+
+    base = f"/tmp/ocs_stream_sink/mv_{uuid.uuid4().hex}"
+    state_dir = f"{base}/state"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
+        )
+        try:
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            prev = None
+        merged = part if prev is None else (
+            prev.unionAll(part)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_value_c").cast("long").alias("sum_value_c"),
+            )
+        )
+        # write-then-swap: parquet can't overwrite its own input in place
+        tmp = f"{state_dir}_next_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(tmp, state_dir)
+
+    events = read_events_stream(spark, sf_dir)
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).orderBy("event_type")

@@ -208,3 +208,22 @@ def test_stream_stream_join_matches_batch_twin(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_incremental_mv_matches_batch_twin(spark):
+    """After the stream drains through multi-batch foreachBatch merges
+    (maxFilesPerTrigger=1 forces >=1 merge per source file), the MV state
+    must equal the one-shot batch aggregate — the IVM contract, same as
+    mv_incremental_refresh's oracle."""
+    from ocs_duckdb_runner_spark.exactness import fx_sum
+    from ocs_duckdb_runner_spark.registry import get_query, load_table
+
+    cols = ["event_type", "n", "sum_value_c"]
+    got = _rows(get_query("stream_incremental_mv").fn(spark, SF_DIR), cols)
+    want = _rows(
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")),
+        cols,
+    )
+    assert got == want and len(want) > 0
