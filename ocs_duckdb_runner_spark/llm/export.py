@@ -554,3 +554,105 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---- preference-pair construction (DPO/RLHF dataset shape) ----
+
+DPO_BUCKETS = 20
+
+
+@query(
+    "pipeline_dpo_pairs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % {DPO_BUCKETS} AS bucket,
+               CAST(n_chars AS BIGINT) * 1000000
+                 + CAST(len(list_distinct(string_split(text, ' ')))
+                        AS BIGINT) AS q
+        FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT source, bucket, doc_id, q,
+               row_number() OVER (PARTITION BY source, bucket
+                                  ORDER BY q DESC, doc_id) AS rhi,
+               row_number() OVER (PARTITION BY source, bucket
+                                  ORDER BY q ASC, doc_id) AS rlo
+        FROM scored
+    )
+    SELECT hi.source, CAST(hi.bucket AS BIGINT) AS bucket,
+           hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
+           CAST(hi.q - lo.q AS BIGINT) AS margin
+    FROM (SELECT * FROM ranked WHERE rhi = 1) hi
+    JOIN (SELECT * FROM ranked WHERE rlo = 1) lo
+      ON hi.source = lo.source AND hi.bucket = lo.bucket
+    WHERE hi.doc_id <> lo.doc_id
+    """,
+    tags=("llm", "export", "preference"),
+)
+def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF dataset shape: within
+    each (source, hash-bucket) cohort, pair the highest-quality document
+    (chosen) with the lowest (rejected), with the quality margin carried
+    for filtering/weighting. The quality score is a deterministic integer
+    composite (n_chars-dominant, vocab tiebreak) so ranks and margins are
+    oracle-exact; the hash bucket bounds cohort size so pairing stays
+    1-vs-1 per cohort rather than quadratic.
+
+    Plan: one (source, bucket) exchange serves BOTH rank directions
+    (Spark computes the two windows on the same sort where orders align,
+    else re-sorts within the partition — no second shuffle); the hi/lo
+    join is cohort-keyed and tiny."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.split(F.col("text"), " ")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % DPO_BUCKETS
+    )
+    q = (
+        F.col("n_chars").cast("long") * 1_000_000
+        + F.size(F.array_distinct(toks)).cast("long")
+    )
+    scored = d.select(
+        "doc_id", "source", bucket.alias("bucket"), q.alias("q")
+    )
+    whi = Window.partitionBy("source", "bucket").orderBy(
+        F.col("q").desc(), "doc_id"
+    )
+    wlo = Window.partitionBy("source", "bucket").orderBy(
+        F.col("q").asc(), "doc_id"
+    )
+    ranked = scored.select(
+        "source",
+        "bucket",
+        "doc_id",
+        "q",
+        F.row_number().over(whi).alias("rhi"),
+        F.row_number().over(wlo).alias("rlo"),
+    )
+    hi = ranked.filter(F.col("rhi") == 1).select(
+        "source", "bucket", F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("qhi"),
+    )
+    lo = ranked.filter(F.col("rlo") == 1).select(
+        F.col("source").alias("source2"), F.col("bucket").alias("bucket2"),
+        F.col("doc_id").alias("rejected_id"), F.col("q").alias("qlo"),
+    )
+    return (
+        hi.join(
+            lo,
+            (F.col("source") == F.col("source2"))
+            & (F.col("bucket") == F.col("bucket2")),
+        )
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source",
+            "bucket",
+            "chosen_id",
+            "rejected_id",
+            (F.col("qhi") - F.col("qlo")).cast("long").alias("margin"),
+        )
+    )

@@ -1126,3 +1126,104 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b.unpersist()
     return out
+
+
+# ---- index-quality evaluation: LSH-ANN recall@k vs brute force ----
+
+RECALL_K = 5
+RECALL_QUERIES = 10
+
+
+@query(
+    "eval_ann_recall",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp),
+    q AS (SELECT vec_id AS qid, ev AS qv, bucket AS qbucket FROM b
+          WHERE vec_id < {RECALL_QUERIES}),
+    exact AS (
+        SELECT qid, vec_id, rk FROM (
+            SELECT q.qid, b.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY {_sql_cosine('b.ev', 'q.qv')} DESC, b.vec_id
+                   ) AS rk
+            FROM b CROSS JOIN q WHERE b.vec_id <> q.qid)
+        WHERE rk <= {RECALL_K}),
+    ann AS (
+        SELECT qid, vec_id, rk FROM (
+            SELECT q.qid, b.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY {_sql_cosine('b.ev', 'q.qv')} DESC, b.vec_id
+                   ) AS rk
+            FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid)
+        WHERE rk <= {RECALL_K})
+    SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           round(count(a.vec_id) / {RECALL_K}.0, 6) AS recall_at_{RECALL_K}
+    FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+    tags=("llm", "similarity", "evaluation"),
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@{RECALL_K} of the one-bucket
+    SRP-LSH probe against exact brute force, per query — the measurement
+    every ANN deployment runs before trusting an index (the recall/probe
+    trade IS the tuning knob: more probes → higher recall → more scan).
+    Both rankings use the same fixed-point cosine, so recall fractions
+    are oracle-exact, not approximately compared.
+
+    Plan: ONE corpus scan feeds both rankings (exact = broadcast query
+    cross, ANN = bucket-pruned join); per-query top-k are
+    WindowGroupLimit cuts; the overlap join is {RECALL_QUERIES}×
+    {RECALL_K} rows. At 100 TB you'd sample queries exactly like this —
+    the eval cost is one extra scan, not an index rebuild."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"))).persist()
+    q = b.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("ev").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "bucket", "qbucket",
+            cosine(F.col("ev"), F.col("qv")).alias("cs"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    ann = (
+        scored.filter(F.col("bucket") == F.col("qbucket"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select(F.col("qid").alias("aqid"), F.col("vec_id").alias("avec"))
+    )
+    out = (
+        exact.join(
+            ann,
+            (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avec")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("avec").cast("long").alias("n_hit"),
+            F.round(F.count("avec") / RECALL_K, 6).alias(f"recall_at_{RECALL_K}"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b.unpersist()
+    scored.unpersist()
+    return out
