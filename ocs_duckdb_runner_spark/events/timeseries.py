@@ -795,3 +795,43 @@ def event_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept_c"),
         )
     )
+
+
+@query(
+    "event_running_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 9) AS med8
+    FROM events
+    WHERE user_id % 20 = 0
+    """,
+    tags=("events", "timeseries", "window", "robust-stats"),
+)
+def event_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing running median (8-event frame per user) — event_ewma's
+    robust sibling: the smoother that ignores spikes entirely instead of
+    exponentially discounting them, the standard baseline for
+    rate-limiting and health dashboards. Exact percentile over the
+    window frame on both engines (both average the two middle values;
+    9-digit rounding absorbs the interpolation's last-ulp).
+
+    Plan: one (user_id) window exchange; the frame median re-sorts only
+    8 values per row — O(k log k) per row with NO second shuffle. The
+    user_id gate bounds checked output, not the window math."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    return (
+        e.filter(F.col("user_id") % 20 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 9).alias("med8"),
+        )
+    )
