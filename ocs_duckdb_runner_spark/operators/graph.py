@@ -403,3 +403,89 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+@query(
+    "assoc_rules_lift",
+    oracle=f"""
+    WITH n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    item AS (
+        SELECT l_partkey AS item,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS sup
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pair_sup AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+               CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS sup_ab
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2
+    )
+    SELECT p.a AS antecedent, p.b AS consequent, p.sup_ab,
+           round(CAST(p.sup_ab AS DOUBLE) / ia.sup, 9) AS confidence,
+           round(CAST(p.sup_ab AS DOUBLE) * n.n / (ia.sup * ib.sup), 9)
+             AS lift
+    FROM pair_sup p
+    JOIN item ia ON ia.item = p.a
+    JOIN item ib ON ib.item = p.b
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    tags=("graph", "mining", "association"),
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (a ⇒ b) with support, confidence
+    = sup(ab)/sup(a) and lift = sup(ab)·N/(sup(a)·sup(b)) — the
+    frequent-itemset mining statistic behind recommendations, scored on
+    the same support-≥2 co-purchase pairs the graph operators use. Every
+    metric is one double division of exact DISTINCT-order counts, so the
+    ranking is oracle-exact; top-20 by lift.
+
+    Plan: item supports are one key-only distinct-count aggregate; pair
+    supports are the bounded support-cut self-join; the rule join
+    touches only surviving pairs; TakeOrderedAndProject for the cut. At
+    100 TB the support threshold is the knob that keeps pair count
+    linear-ish — the same property SCALING.md measures for the
+    association graph."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("sup")
+    )
+    l1 = li.toDF("okey", "a")
+    l2 = li.toDF("okey", "b")
+    pair = (
+        l1.join(l2, "okey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("okey").cast("long").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= 2)
+    )
+    ia = item.toDF("ia_item", "sup_a")
+    ib = item.toDF("ib_item", "sup_b")
+    return (
+        pair.join(ia, pair.a == ia.ia_item)
+        .join(ib, pair.b == ib.ib_item)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "sup_ab",
+            F.round(F.col("sup_ab").cast("double") / F.col("sup_a"), 9).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("sup_ab").cast("double") * F.col("n")
+                / (F.col("sup_a") * F.col("sup_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
