@@ -266,3 +266,49 @@ def event_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "event_recency_features",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS BIGINT)
+             AS us_since_prev,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(
+                CAST(ts AS TIMESTAMP))) OVER wt AS BIGINT)
+             AS us_since_prev_same_type,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS n_prior
+    FROM events
+    WHERE user_id % 20 = 0
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id),
+           wt AS (PARTITION BY user_id, event_type
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    tags=("events", "window", "features"),
+)
+def event_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency feature engineering — the lag-based features every
+    behavioral model consumes: time since the user's previous event,
+    time since their previous event OF THE SAME TYPE, and the running
+    prior-event count. Exact integer microsecond gaps, NULL for firsts
+    (no sentinel fabrication).
+
+    Plan: two windows over the same user_id-rooted exchange (the
+    same-type window sub-partitions it); all O(1)-per-row frame state.
+    This is the batch twin of what a feature store materializes
+    incrementally — join_pit_staleness consumes exactly such features
+    point-in-time."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (us - F.lag(us).over(w)).cast("long").alias("us_since_prev"),
+        (us - F.lag(us).over(wt)).cast("long").alias("us_since_prev_same_type"),
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior"),
+    )

@@ -656,3 +656,59 @@ def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qhi") - F.col("qlo")).cast("long").alias("margin"),
         )
     )
+
+
+@query(
+    "pipeline_rfm_features",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now FROM events)
+    SELECT e.user_id,
+           CAST((epoch_us(any_value(mx.now))
+                 - epoch_us(max(CAST(e.ts AS TIMESTAMP)))) // 1000000
+                AS BIGINT) AS recency_s,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CASE WHEN e.event_type = 'purchase'
+                         THEN CAST(round(e.value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS monetary_c,
+           CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+    FROM events e CROSS JOIN mx
+    GROUP BY e.user_id
+    HAVING count(*) >= 5
+    """,
+    tags=("llm", "pipeline", "features"),
+)
+def pipeline_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature materialization — the canonical per-entity feature
+    snapshot (Recency: seconds since last activity at corpus horizon;
+    Frequency: event count; Monetary: exact purchase cents; plus type
+    breadth), the table a feature store serves and join_pit_staleness
+    trains against. Recency anchors on the corpus max timestamp so the
+    snapshot is a pure function of the data (reproducible — no
+    wall-clock in the query).
+
+    Plan: the 1-row horizon aggregate broadcasts; features are ONE
+    partial-aggregated exchange on user_id; min-activity gate applies
+    post-aggregate. At 100 TB this is one fact scan + a key-only
+    shuffle — the cheapest possible feature snapshot."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            # integer div, not floor(/): see event_downsample_lttb
+            F.expr(
+                "(unix_micros(max(now)) - unix_micros(max(ts))) div 1000000"
+            ).cast("long").alias("recency_s"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("monetary_c"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .filter(F.col("frequency") >= 5)
+        .select("user_id", "recency_s", "frequency", "monetary_c", "n_types")
+    )
