@@ -99,6 +99,14 @@ HEADLINE = [
     "agg_skew_salted",
     "join_pit_staleness",
     "mm_image_resize",
+    "dedup_minhash_estimate",
+    "eval_ann_recall",
+    "event_downsample_lttb",
+    "event_trend_regression",
+    "assoc_rules_lift",
+    "pipeline_rfm_features",
+    "agg_distinct_bitmap",
+    "sim_knn_graph",
 ]
 
 
