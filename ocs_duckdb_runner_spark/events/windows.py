@@ -312,3 +312,90 @@ def event_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (us - F.lag(us).over(wt)).cast("long").alias("us_since_prev_same_type"),
         (F.row_number().over(w) - 1).cast("long").alias("n_prior"),
     )
+
+
+_CONC_HALF_WIN_US = 3_600_000_000  # ±1 h activity interval per event
+
+
+@query(
+    "event_concurrency_sweepline",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) - {_CONC_HALF_WIN_US} AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + {_CONC_HALF_WIN_US} AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT user_id, e AS t, -1 AS d FROM iv
+    ),
+    sweep AS (
+        SELECT user_id, t, d,
+               sum(d) OVER (PARTITION BY user_id
+                            ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT user_id,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(min(t) FILTER (conc = (SELECT max(s2.conc) FROM sweep s2
+                                       WHERE s2.user_id = sweep.user_id))
+                AS BIGINT) AS peak_at_us
+    FROM sweep
+    GROUP BY user_id
+    HAVING max(conc) >= 2 AND user_id % 10 = 0
+    """,
+    tags=("events", "sweepline", "intervals"),
+)
+def event_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via the SWEEP-LINE pattern — the
+    O(n log n) treatment for 'how many activity windows overlap at
+    once' (±1 h here) (capacity planning, rate-limit sizing, concurrent-session
+    caps) that replaces the quadratic self-join a naive overlap count
+    would do: each ±5 min activity interval emits a +1 at its start and
+    a −1 at its end, and the per-user running sum over time IS the
+    concurrency curve; +1 sorts before −1 at equal timestamps so
+    touching intervals count as overlapping. Reported per user: the
+    curve's peak and the earliest time it is reached — exact integers
+    end-to-end.
+
+    Plan: one Generate (2 points per event), ONE (user_id) window
+    exchange for the running sum, one grouped max — shuffled data is
+    2 rows per event of 3 ints, at any scale. The self-join-free shape
+    is the whole point."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = e.select(
+        "user_id",
+        (us - _CONC_HALF_WIN_US).alias("s"),
+        (us + _CONC_HALF_WIN_US).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.select("user_id", "t", F.sum("d").over(w).alias("conc"))
+    peak = sweep.groupBy("user_id").agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )
+    at = (
+        sweep.join(peak, "user_id")
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("user_id")
+        .agg(F.min("t").cast("long").alias("peak_at_us"))
+    )
+    return (
+        peak.join(at, "user_id")
+        .filter(
+            (F.col("peak_concurrency") >= 2) & (F.col("user_id") % 10 == 0)
+        )
+        .select("user_id", "peak_concurrency", "peak_at_us")
+    )
