@@ -637,3 +637,48 @@ def sink_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard long, n_rows long, min_price_c long, max_price_c long,"
         " min_key long, max_key long",
     )
+
+
+@query(
+    "table_cdf_diff",
+    oracle="""
+    SELECT o_orderkey, 'insert' AS op,
+           o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 20 = 0
+    """,
+    tags=("sink", "versioned", "cdc"),
+)
+def table_cdf_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between snapshots — the lakehouse CDF read
+    (Delta's table_changes / Iceberg's incremental scan) on top of
+    sink_versioned_snapshot's manifests: the diff of v1 vs v0 is
+    computed from the MANIFESTS (files in v1 but not v0 contain exactly
+    the appended rows — append-only commits make the file-set diff the
+    row-set diff, no data comparison needed), emitted as op-tagged
+    change rows. A downstream consumer applies this delta instead of
+    re-reading the table — the incremental-consumption contract that
+    pairs with mv_incremental_refresh/stream_incremental_mv.
+
+    Plan: manifest set-difference is metadata-only; the change scan
+    reads ONLY the new files. The oracle states the expected change set
+    relationally (the 'F' batch appended at v1)."""
+    import json as _json
+
+    base = _roundtrip_dir(sf_dir, "versioned")
+    logd = f"{base}/_log"
+    if not os.path.exists(f"{logd}/v1.json"):
+        # build the versioned table + manifests (idempotent)
+        sink_versioned_snapshot(spark, sf_dir).collect()
+    with open(f"{logd}/v0.json") as fh:
+        v0 = set(_json.load(fh)["files"])
+    with open(f"{logd}/v1.json") as fh:
+        v1 = _json.load(fh)["files"]
+    new_files = [f for f in v1 if f not in v0]
+    changes = spark.read.parquet(*new_files)
+    return changes.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.lit("insert").alias("op"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
