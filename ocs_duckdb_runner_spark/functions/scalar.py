@@ -345,3 +345,41 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_name",
         )
     )
+
+
+@query(
+    "fn_ansi_try_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - l_quantity) END
+             AS div_by_zero,
+           round(l_extendedprice / nullif(l_quantity, 0), 6) AS unit_price,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_num,
+           TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tags=("function", "ansi", "error-handling"),
+)
+def fn_ansi_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling surface: try_divide (NULL on zero
+    divisor, never a runtime error or an Inf that poisons an aggregate),
+    nullif-guarded division, and try_cast for lossy casts (non-numeric
+    string → NULL, numeric round-trip → value). This is the semantics a
+    pipeline wants under ANSI mode — a bad row yields NULL and flows to
+    a quarantine filter instead of killing a 100 TB job."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),
+        F.round(
+            F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)), 6
+        ).alias("unit_price"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("long").alias(
+            "flag_as_num"
+        ),
+        F.col("l_orderkey").cast("string").try_cast("long").alias("key_roundtrip"),
+    )

@@ -682,3 +682,54 @@ def table_cdf_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
     )
+
+
+@query(
+    "src_nested_json",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(o_orderkey % 5 AS BIGINT) + 0 AS tag0,
+           CAST(o_orderkey % 7 AS BIGINT) * 10 AS tag1
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    tags=("source", "json", "nested"),
+)
+def src_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON source round-trip: each order serializes to a document
+    with a nested struct (`meta{status, price_c}`) and an array field
+    (`tags[2]`), lands as JSON lines, and is read back with SCHEMA
+    INFERENCE (no schema given to the reader) — the semi-structured
+    ingestion path crawl/API data arrives through. The check flattens
+    the nested fields back to scalars, so inference fidelity (struct
+    nesting, array element types, int widths) is what the oracle
+    verifies; fn_json/fn_json_variant cover in-row JSON, this covers
+    JSON as a TABLE FORMAT.
+
+    Plan: write once (struct/array construction is codegen), inferred
+    read samples the files once, then flattening is pure projection —
+    no shuffle anywhere."""
+    out = _roundtrip_dir(sf_dir, "nested_json")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    doc = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        ).alias("meta"),
+        F.array(
+            (F.col("o_orderkey") % 5).cast("long"),
+            (F.col("o_orderkey") % 7).cast("long"),
+        ).alias("tags"),
+    )
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        doc.write.mode("overwrite").json(out)
+    back = spark.read.json(out)  # schema inferred
+    return back.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.price_c").cast("long").alias("price_c"),
+        (F.element_at("tags", 1) + 0).cast("long").alias("tag0"),
+        (F.element_at("tags", 2) * 10).cast("long").alias("tag1"),
+    )
