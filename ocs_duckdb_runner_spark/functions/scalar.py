@@ -354,7 +354,9 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_quantity - l_quantity = 0 THEN NULL
                 ELSE l_extendedprice / (l_quantity - l_quantity) END
              AS div_by_zero,
-           round(l_extendedprice / nullif(l_quantity, 0), 6) AS unit_price,
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+                // nullif(CAST(l_quantity AS BIGINT), 0) AS BIGINT)
+             AS unit_price_uc,
            TRY_CAST(l_returnflag AS BIGINT) AS flag_as_num,
            TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
     FROM lineitem WHERE l_orderkey % 100 = 0
@@ -375,9 +377,13 @@ def fn_ansi_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
         ).alias("div_by_zero"),
-        F.round(
-            F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)), 6
-        ).alias("unit_price"),
+        # exact integer micro-cents, not round(/, 6): a quotient landing
+        # exactly on a half (…1875) rounds HALF_UP in Spark vs nearest in
+        # DuckDB — integer division sidesteps the tie entirely
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * 10000"
+            " div nullif(CAST(l_quantity AS BIGINT), 0)"
+        ).alias("unit_price_uc"),
         F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("long").alias(
             "flag_as_num"
         ),
