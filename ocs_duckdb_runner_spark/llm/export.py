@@ -712,3 +712,74 @@ def pipeline_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("frequency") >= 5)
         .select("user_id", "recency_s", "frequency", "monetary_c", "n_types")
     )
+
+
+BAL_SHARDS = 8
+
+
+@query(
+    "export_balanced_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tok,
+               row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+        FROM toks
+    ),
+    assigned AS (
+        -- serpentine round-robin over the length-sorted order: rank pass
+        -- p = (rk-1)//S alternates direction, so each pass pairs the
+        -- largest remainder with the smallest-loaded shard
+        SELECT doc_id, n_tok,
+               CASE WHEN ((rk - 1) // {BAL_SHARDS}) % 2 = 0
+                    THEN (rk - 1) % {BAL_SHARDS}
+                    ELSE {BAL_SHARDS - 1} - (rk - 1) % {BAL_SHARDS} END
+                 AS shard
+        FROM ranked
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens
+    FROM assigned GROUP BY shard
+    """,
+    tags=("llm", "export", "sharding"),
+)
+def export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BALANCED shard packing — export_shards hashes documents to
+    shards (uniform in COUNT, lumpy in tokens); training wants shards
+    balanced in TOKENS so data-parallel ranks finish together. The
+    deterministic serpentine scheme (sort by length desc, snake the
+    round-robin direction each pass — the longest-processing-time
+    heuristic's static cousin) lands within a pass-width of optimal and
+    is a pure function of the data. The report (docs + exact token
+    totals per shard) is the balance audit.
+
+    Plan: token counts are map-side; the global length rank is the one
+    scale caveat (a total order — at 100 TB you'd rank within
+    length-buckets exactly like corpus_shuffle_order shards its sort);
+    assignment arithmetic is codegen; totals are a {BAL_SHARDS}-key
+    aggregate."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("n_tok").desc(), "doc_id"))
+    ranked = toks.select("doc_id", "n_tok", rk.alias("rk"))
+    p = F.expr(f"(rk - 1) div {BAL_SHARDS}")
+    pos = (F.col("rk") - 1) % BAL_SHARDS
+    shard = F.when(p % 2 == 0, pos).otherwise(F.lit(BAL_SHARDS - 1) - pos)
+    return (
+        ranked.select("doc_id", "n_tok", shard.cast("long").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )

@@ -757,3 +757,134 @@ def agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.sum("pc").cast("long").alias("n_parts"))
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rk,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(c) AS BIGINT) AS sum_kept_c,
+           round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS trimmed_mean_c
+    FROM r
+    WHERE rk > n // 10 AND rk <= n - n // 10
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "robust-stats"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean per group — the robust location estimate that
+    survives fat tails and data bugs (a misplaced 1e9 price moves a mean
+    arbitrarily, a trimmed mean not at all): rank within group, drop the
+    bottom and top n/10 rows (deterministic tie-break on the full key),
+    average the exact integer cents of the rest. The kept-count and
+    kept-sum are exact; the mean is one double division.
+
+    Plan: one (group) window exchange for rank + count, then the gate
+    and re-aggregate ride the same partitioning — two stages, one
+    shuffle. At 100 TB the honest alternative is approx_percentile
+    gates; this is the exact form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rk") > F.expr("n div 10"))
+        & (F.col("rk") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("c").cast("long").alias("sum_kept_c"),
+        F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias(
+            "trimmed_mean_c"
+        ),
+    )
+
+
+@query(
+    "agg_ab_welch_t",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(round(value) AS BIGINT)
+                        * CAST(round(value) AS BIGINT)) AS BIGINT) AS ss
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY event_type
+    )
+    SELECT a.event_type AS cohort_a, b.event_type AS cohort_b,
+           a.n AS n_a, b.n AS n_b,
+           round((CAST(a.s AS DOUBLE) / a.n) - (CAST(b.s AS DOUBLE) / b.n), 9)
+             AS mean_diff,
+           round(((CAST(a.s AS DOUBLE) / a.n) - (CAST(b.s AS DOUBLE) / b.n))
+                 / sqrt(
+                     (CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+                      / a.n / a.n / (a.n - 1))
+                   + (CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+                      / b.n / b.n / (b.n - 1))), 9) AS welch_t
+    FROM m a JOIN m b
+      ON a.event_type = 'purchase' AND b.event_type = 'click'
+    """,
+    tags=("agg", "stats", "ab-test"),
+)
+def agg_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic between two cohorts — the A/B-testing
+    primitive (unequal variances, unequal sizes) computed from INTEGER
+    moments: n, Σx, Σx² per cohort are exact at any partitioning
+    (values rounded to whole units map-side), sample variance is
+    (nΣx²−(Σx)²)/(n²(n−1)) — a fixed IEEE op sequence on exact integers
+    — and t = Δmean/√(v₁/n₁+v₂/n₂). Same exactness recipe as
+    event_trend_regression, so a STATISTICAL TEST hash-matches across
+    engines.
+
+    Plan: one partial-aggregated moments pass over the filtered scan;
+    the 'join' is two 1-row frames. At 100 TB: one scan, one tiny
+    exchange."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    v = F.round(F.col("value")).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("ss"),
+    )
+    a = m.filter(F.col("event_type") == "purchase").toDF("cohort_a", "n_a", "s_a", "ss_a")
+    b = m.filter(F.col("event_type") == "click").toDF("cohort_b", "n_b", "s_b", "ss_b")
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (
+        (F.col("n_a") * F.col("ss_a") - F.col("s_a") * F.col("s_a")).cast("double")
+        / F.col("n_a") / F.col("n_a") / (F.col("n_a") - 1)
+    )
+    var_b = (
+        (F.col("n_b") * F.col("ss_b") - F.col("s_b") * F.col("s_b")).cast("double")
+        / F.col("n_b") / F.col("n_b") / (F.col("n_b") - 1)
+    )
+    return a.crossJoin(b).select(
+        "cohort_a",
+        "cohort_b",
+        "n_a",
+        "n_b",
+        F.round(mean_a - mean_b, 9).alias("mean_diff"),
+        # var_a/var_b above are already s²/n (the /n is folded into the
+        # n²(n−1) denominator), so the t denominator adds them directly
+        F.round((mean_a - mean_b) / F.sqrt(var_a + var_b), 9).alias("welch_t"),
+    )
