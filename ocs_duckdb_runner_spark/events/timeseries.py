@@ -835,3 +835,68 @@ def event_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.5)").over(w), 9).alias("med8"),
         )
     )
+
+
+@query(
+    "event_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, month, n, rev_c,
+           CAST(n - lag(n) OVER w AS BIGINT) AS n_delta,
+           round((CAST(n AS DOUBLE) / lag(n) OVER w - 1) * 100, 9)
+             AS n_growth_pct,
+           round((CAST(rev_c AS DOUBLE) / nullif(lag(rev_c) OVER w, 0) - 1)
+                 * 100, 9) AS rev_growth_pct
+    FROM m
+    WINDOW w AS (PARTITION BY event_type ORDER BY month)
+    """,
+    tags=("events", "timeseries", "reporting"),
+)
+def event_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth reporting — the period-comparison shape
+    every metrics dashboard runs: per (type, month) counts and exact
+    revenue cents, plus deltas and growth percentages against the
+    previous month (NULL for firsts, NULL-guarded zero denominators).
+    Growth is one double division of exact integers, rounded on both
+    sides.
+
+    Plan: one coarse (type, month) aggregate — partial-aggregated, tiny
+    key space — then a lag window over ≤ months-per-type rows. The 100 TB
+    cost is the first aggregate's map-side collapse; the window is
+    free."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type", F.date_trunc("month", F.col("ts")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "rev_c"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    return m.select(
+        "event_type",
+        "month",
+        "n",
+        "rev_c",
+        (F.col("n") - F.lag("n").over(w)).cast("long").alias("n_delta"),
+        F.round(
+            (F.col("n").cast("double") / F.lag("n").over(w) - 1) * 100, 9
+        ).alias("n_growth_pct"),
+        F.round(
+            (
+                F.col("rev_c").cast("double")
+                / F.nullif(F.lag("rev_c").over(w), F.lit(0))
+                - 1
+            )
+            * 100,
+            9,
+        ).alias("rev_growth_pct"),
+    )

@@ -399,3 +399,81 @@ def event_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "peak_concurrency", "peak_at_us")
     )
+
+
+@query(
+    "event_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS len, min(d) AS streak_start
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           strftime(min(streak_start) FILTER (
+             len = (SELECT max(s2.len) FROM streaks s2
+                    WHERE s2.user_id = streaks.user_id)), '%Y-%m-%d')
+             AS best_start
+    FROM streaks
+    GROUP BY user_id
+    HAVING max(len) >= 3 AND user_id % 10 = 0
+    """,
+    tags=("events", "window", "gaps-islands"),
+)
+def event_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the canonical
+    GAPS-AND-ISLANDS composition (the engagement metric behind streak
+    badges and churn features): distinct active days, then day −
+    row_number is CONSTANT within a consecutive run (the island id), so
+    one grouped count per island yields streak lengths with no
+    self-join and no iteration. Reports longest streak, streak count,
+    and the earliest start among the longest.
+
+    Plan: distinct days collapse map-side; islands need ONE (user_id)
+    window exchange; everything after aggregates on (user, island) —
+    key-only shuffles throughout."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    starts = (
+        streaks.join(best, "user_id")
+        .filter(F.col("len") == F.col("longest_streak"))
+        .groupBy("user_id")
+        .agg(F.min("streak_start").alias("best_start"))
+    )
+    return (
+        best.join(starts, "user_id")
+        .filter((F.col("longest_streak") >= 3) & (F.col("user_id") % 10 == 0))
+        .select(
+            "user_id",
+            "longest_streak",
+            F.col("n_streaks").cast("long").alias("n_streaks"),
+            F.date_format("best_start", "yyyy-MM-dd").alias("best_start"),
+        )
+    )

@@ -562,3 +562,57 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") * F.lit(2654435761)) % 1000000 < F.col("rate_micro"))
         .select("doc_id", "lang", "rate_micro")
     )
+
+
+@query(
+    "corpus_len_gini",
+    oracle="""
+    WITH r AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(any_value(n) AS BIGINT) AS n_docs,
+           CAST(sum(x) AS BIGINT) AS total_chars,
+           round(CAST(2 * sum(i * x) AS DOUBLE)
+                   / (any_value(n) * sum(x))
+                 - CAST(any_value(n) + 1 AS DOUBLE) / any_value(n), 9)
+             AS gini
+    FROM r GROUP BY source
+    """,
+    tags=("llm", "curation", "stats"),
+)
+def corpus_len_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length Gini coefficient per source — the concentration
+    metric for corpus health (G→0: uniform lengths; G→1: a few huge
+    docs dominate the token budget, skewing packing and sampling). Uses
+    the sorted-rank identity G = 2Σ(i·xᵢ)/(nΣx) − (n+1)/n: ranks and
+    both sums are exact integers under a deterministic tie-break, so
+    the only float ops are two divisions — oracle-exact.
+
+    Plan: one (source) window exchange for ranks, re-aggregated on the
+    same key — a single shuffle; Σ(i·x) partial-aggregates map-side."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("total_chars"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x"))).cast("double")
+            / (F.max("n") * F.sum("x"))
+            - (F.max("n") + 1).cast("double") / F.max("n"),
+            9,
+        ).alias("gini"),
+    )
