@@ -885,3 +885,104 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# ---- PMI collocation mining ----
+
+PMI_MIN_SUPPORT = 50
+PMI_TOPK = 15
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT t[i] AS a, t[i+1] AS b
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 2
+    ),
+    uni AS (
+        SELECT a AS tok, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY a
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM big),
+    pair AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM big GROUP BY a, b
+        HAVING count(*) >= {PMI_MIN_SUPPORT}
+    )
+    SELECT p.a, p.b, p.n_ab,
+           round(ln(CAST(p.n_ab AS DOUBLE) * t.n_big
+                    / (ua.n * CAST(ub.n AS DOUBLE))), 9) AS pmi
+    FROM pair p
+    JOIN uni ua ON ua.tok = p.a
+    JOIN uni ub ON ub.tok = p.b
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, p.a, p.b
+    LIMIT {PMI_TOPK}
+    """,
+    tags=("llm", "text", "collocations"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — pointwise mutual information over
+    adjacent token pairs, pmi = ln(n_ab·N / (n_a·n_b)): the statistic
+    that separates REAL collocations from chance co-occurrence of two
+    individually-frequent tokens (raw bigram counts — bpe_pair_stats,
+    text_ngram_stats — rank 'the the' shapes first; PMI demotes them).
+    Tokenizer-vocabulary and phrase-mining pipelines both start here.
+    Exact integer counts + one ln of an integer ratio ⇒ oracle-exact
+    ranking; min-support {PMI_MIN_SUPPORT} kills the unstable low-count
+    tail.
+
+    Plan: bigram expansion is a map-side Generate; unigram/bigram
+    counts are vocabulary-sized key-only shuffles; the scoring join
+    touches only pairs above support. Word-count shapes end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    big = d.filter(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("a"),
+                    F.element_at(t, i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = big.persist()
+    uni = big.groupBy(F.col("a").alias("tok")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = big.agg(F.count(F.lit(1)).alias("n_big"))
+    pair = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
+    )
+    ua = uni.toDF("ua_tok", "n_a")
+    ub = uni.toDF("ub_tok", "n_b")
+    out = (
+        pair.join(F.broadcast(ua), pair.a == ua.ua_tok)
+        .join(F.broadcast(ub), pair.b == ub.ub_tok)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("n_big")
+                    / (F.col("n_a") * F.col("n_b").cast("double"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(PMI_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    big.unpersist()
+    return out

@@ -212,3 +212,91 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(SAMPLE_WEIGHTED_K)
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative), shared literals so both
+# engines bucket the identical uniform into the identical count.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+_BOOT_REPLICATES = 4
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+        SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x, t.r,
+               (CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                                     CAST(d.doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        FROM documents d,
+             unnest(generate_series(0, {_BOOT_REPLICATES - 1})) AS t(r)
+    ),
+    k AS (
+        SELECT r, x,
+               CASE {' '.join(f"WHEN u < {c} THEN {i}" for i, c in enumerate(_POIS_CDF))}
+                    ELSE 6 END AS k
+        FROM reps
+    )
+    SELECT CAST(r AS BIGINT) AS replicate,
+           CAST(sum(k) AS BIGINT) AS n_drawn,
+           CAST(sum(k * x) AS BIGINT) AS total_chars
+    FROM k GROUP BY r
+    """,
+    tags=("sampling", "bootstrap", "stats"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap — THE bootstrap that works at 100 TB: classic
+    resampling draws n items WITH replacement (a global operation), but
+    Poisson(1) replicate counts per row are independent — each row
+    locally draws k_r ~ Poisson(1) per replicate and contributes k_r
+    copies, no coordination, one pass for ALL replicates. Replicate
+    totals' spread then estimates the statistic's sampling variance.
+    The draw is hash-derived (md5 of replicate|doc_id through the shared
+    inverse-CDF thresholds), so every k, and therefore every replicate
+    total, is reproducible and oracle-EXACT — a bootstrap you can
+    hash-verify across engines.
+
+    Plan: the replicate expansion is a map-side Generate ({_BOOT_REPLICATES}
+    rows/doc), partial-aggregated into {_BOOT_REPLICATES} cells before one
+    tiny exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICATES - 1))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("r").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    k = F.lit(6)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        k = F.when(u < float(_POIS_CDF[i]), F.lit(i)).otherwise(k)
+    return (
+        reps.select("r", "x", k.alias("k"))
+        .groupBy(F.col("r").cast("long").alias("replicate"))
+        .agg(
+            F.sum("k").cast("long").alias("n_drawn"),
+            F.sum(F.col("k") * F.col("x")).cast("long").alias("total_chars"),
+        )
+    )
