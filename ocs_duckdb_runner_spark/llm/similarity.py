@@ -1227,3 +1227,79 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b.unpersist()
     scored.unpersist()
     return out
+
+
+# ---- embedding-population drift monitoring ----
+
+
+@query(
+    "monitor_embedding_drift",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, vec_id % 2 AS half,
+                       {_SQL_FP.format(v='embedding')} AS v
+                FROM embeddings),
+    sums AS (
+        SELECT half, t.i AS dim,
+               CAST(sum(v[t.i]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM fp, unnest(generate_series(1, {DIM})) AS t(i)
+        GROUP BY half, t.i
+    ),
+    m AS (
+        SELECT a.dim,
+               CAST(a.s AS DOUBLE) / a.n AS ma,
+               CAST(b.s AS DOUBLE) / b.n AS mb
+        FROM sums a JOIN sums b ON a.dim = b.dim
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           round(max(abs(ma - mb)) / 1e6, 9) AS max_mean_shift,
+           round(sum(round(ma * mb, 6)) /
+                 sqrt(sum(round(ma * ma, 6))) /
+                 sqrt(sum(round(mb * mb, 6))) , 9) AS mean_vec_cosine
+    FROM m
+    """,
+    tags=("llm", "similarity", "monitoring"),
+)
+def monitor_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-population drift monitor — the check a production
+    retrieval/dedup stack runs when the encoder or the data changes:
+    split the corpus into two cohorts (vec_id parity standing in for
+    yesterday/today), compare per-dimension mean vectors — the largest
+    per-dim mean shift and the cosine between the two mean vectors
+    (≈1 ⇒ no directional drift; drops ⇒ re-index / re-threshold).
+    Per-dim sums are exact integers (nano-units), means one division
+    each; cross terms are rounded to a fixed grid before the
+    order-insensitive sums, keeping the statistic hash-exact.
+
+    Plan: the per-(cohort, dim) sum is ONE partial-aggregated exchange
+    of 2·{DIM} cells; everything after is constant-size. One corpus
+    pass at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(fp_vec(F.col("embedding"))).alias("dim0", "x"),
+    )
+    sums = fp.groupBy("half", (F.col("dim0") + 1).alias("dim")).agg(
+        F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "dim", (F.col("s").cast("double") / F.col("n")).alias("ma")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        F.col("dim").alias("dim2"),
+        (F.col("s").cast("double") / F.col("n")).alias("mb"),
+    )
+    m = a.join(b, a.dim == b.dim2)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(F.max(F.abs(F.col("ma") - F.col("mb"))) / 1e6, 9).alias(
+            "max_mean_shift"
+        ),
+        F.round(
+            F.sum(F.round(F.col("ma") * F.col("mb"), 6))
+            / F.sqrt(F.sum(F.round(F.col("ma") * F.col("ma"), 6)))
+            / F.sqrt(F.sum(F.round(F.col("mb") * F.col("mb"), 6))),
+            9,
+        ).alias("mean_vec_cosine"),
+    )

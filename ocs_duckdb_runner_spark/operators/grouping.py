@@ -888,3 +888,63 @@ def agg_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         # n²(n−1) denominator), so the t denominator adds them directly
         F.round((mean_a - mean_b) / F.sqrt(var_a + var_b), 9).alias("welch_t"),
     )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type AS et,
+               CAST(hour(CAST(ts AS TIMESTAMP)) // 6 AS BIGINT) AS slot,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY et),
+    ct AS (SELECT slot, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY slot),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+        SELECT o.et, o.slot, o.o, rt.r, ct.c, n.n,
+               CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+        FROM obs o JOIN rt USING (et) JOIN ct USING (slot) CROSS JOIN n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(any_value(n) AS BIGINT) AS n_events,
+           round(sum(round((o - e) * (o - e) / e, 9)), 6) AS chi2
+    FROM cells
+    """,
+    tags=("agg", "stats", "chi2"),
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (event type × 6-hour slot) — the
+    categorical sibling of agg_ab_welch_t: is activity mix independent of
+    time of day? χ² = Σ(O−E)²/E with E = (row total × column total)/N.
+    All totals are exact integers; each cell's contribution is a fixed
+    IEEE sequence rounded to 9 digits BEFORE the final sum (a 24-term
+    sum of rounded values is exact at 6-digit display), so the statistic
+    hash-matches across engines.
+
+    Plan: one (type, slot) contingency aggregate — a tiny key space
+    partial-aggregated map-side — then broadcast-sized marginal joins.
+    One data-sized pass, at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("hour(ts) div 6").cast("long").alias("slot"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("et").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("slot").agg(F.sum("o").cast("long").alias("c"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        obs.join(rt, "et")
+        .join(ct, "slot")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("r").cast("double") * F.col("c") / F.col("n"))
+    )
+    contrib = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 9
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.sum(contrib), 6).alias("chi2"),
+    )
