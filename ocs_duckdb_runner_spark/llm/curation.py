@@ -616,3 +616,74 @@ def corpus_len_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle="""
+    WITH st AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           za.n AS vocab_a, zb.n AS vocab_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (za.n + zb.n - i.n_common), 9) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.source = i.src_a
+    JOIN sz zb ON zb.source = i.src_b
+    """,
+    tags=("llm", "curation", "diversity"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap matrix (Jaccard of vocab sets)
+    — the corpus-diversity diagnostic behind mixture design: sources
+    with ≈1 overlap are redundant (down-weight one), ≈0 overlap bring
+    novel vocabulary (protect in the mixture). Exact distinct
+    (source, token) sets; intersection via a token-keyed self-join
+    (inverted-index shape, bounded by vocabulary size, never
+    all-doc-pairs); Jaccard one division of exact integers.
+
+    Plan: the distinct set collapses map-side; the self-join and both
+    aggregates shuffle on token/source keys only. Source count is small
+    by construction, so the output matrix is tiny at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct().persist()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = st.toDF("src_a", "tok")
+    b = st.toDF("src_b", "tok2")
+    inter = (
+        a.join(b, (a.tok == b.tok2) & (a.src_a < b.src_b))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = sz.toDF("za_src", "vocab_a")
+    zb = sz.toDF("zb_src", "vocab_b")
+    out = (
+        inter.join(F.broadcast(za), inter.src_a == za.za_src)
+        .join(F.broadcast(zb), inter.src_b == zb.zb_src)
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    st.unpersist()
+    return out

@@ -948,3 +948,58 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_events"),
         F.round(F.sum(contrib), 6).alias("chi2"),
     )
+
+
+@query(
+    "agg_benford_test",
+    oracle="""
+    WITH fd AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM fd GROUP BY d),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.d AS digit, obs.o AS observed,
+           round(n.n * log10(1 + 1.0 / obs.d), 6) AS benford_expected,
+           round((obs.o - n.n * log10(1 + 1.0 / obs.d))
+                 * (obs.o - n.n * log10(1 + 1.0 / obs.d))
+                 / (n.n * log10(1 + 1.0 / obs.d)), 9) AS chi2_term
+    FROM obs CROSS JOIN n
+    ORDER BY digit
+    """,
+    tags=("agg", "stats", "data-quality"),
+)
+def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screening — the forensic data-quality test
+    (natural multi-scale amounts follow P(d)=log₁₀(1+1/d); fabricated
+    or truncated data doesn't): observed first-digit counts of the
+    integer cent amounts vs the Benford expectation, with per-digit χ²
+    terms. First digits come from the exact integer's decimal string
+    (no float log tricks), expectations are one log10+multiply per
+    digit — all hash-exact. TPC-H's uniform synthetic prices should and
+    do FAIL Benford, which is exactly what the test is for.
+
+    Plan: a 9-key aggregate partial-collapsed map-side; one data pass,
+    constant output, at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    exp = F.col("n") * F.log10(1 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("o").cast("long").alias("observed"),
+            F.round(exp, 6).alias("benford_expected"),
+            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 9).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
