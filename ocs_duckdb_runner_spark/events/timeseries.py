@@ -900,3 +900,105 @@ def event_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rev_growth_pct"),
     )
+
+
+@query(
+    "event_survival_km",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS buy_us,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    spells AS (
+        SELECT user_id,
+               CASE WHEN buy_us IS NOT NULL
+                    THEN (buy_us - first_us) // 86400000000
+                    ELSE (last_us - first_us) // 86400000000 END AS t_days,
+               (buy_us IS NOT NULL) AS converted
+        FROM per_user
+    ),
+    agg AS (
+        SELECT t_days,
+               CAST(count(*) FILTER (converted) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM spells GROUP BY t_days
+    ),
+    risk AS (
+        SELECT t_days, d,
+               CAST(sum(leaving) OVER (ORDER BY t_days DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        FROM agg
+    )
+    SELECT t_days, d, n_at_risk,
+           round(exp(sum(round(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk),
+                               12))
+                     OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 9)
+             AS survival
+    FROM risk
+    WHERE d > 0 AND n_at_risk > d
+    ORDER BY t_days
+    """,
+    tags=("events", "stats", "survival"),
+)
+def event_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase WITH
+    censoring — the estimator conversion/churn analytics actually needs
+    (naive conversion rates throw away every user still 'alive'): users
+    who never purchase are censored at their last observed day and
+    leave the risk set without counting as events. S(t) = Π(1 − dᵢ/nᵢ)
+    over event days ≤ t, computed as exp of a running sum of
+    ln((n−d)/n) — each factor is one ln of an exact integer ratio, the
+    cumulative sum runs in the SAME deterministic day order on both
+    engines (12-digit factor rounding pins the grid), so even this
+    product-form estimator hash-matches.
+
+    Plan: per-user spells = one (user_id) aggregate; the day-level risk
+    table is tiny (≤ observation span); both windows order a
+    constant-size frame. One fact pass at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("buy_us"),
+        F.max(us).alias("last_us"),
+    )
+    spells = per_user.select(
+        F.when(
+            F.col("buy_us").isNotNull(),
+            F.expr("(buy_us - first_us) div 86400000000"),
+        )
+        .otherwise(F.expr("(last_us - first_us) div 86400000000"))
+        .alias("t_days"),
+        F.col("buy_us").isNotNull().alias("converted"),
+    )
+    agg = spells.groupBy("t_days").agg(
+        F.sum(F.col("converted").cast("long")).cast("long").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = agg.select(
+        "t_days", "d", F.sum("leaving").over(w_desc).cast("long").alias("n_at_risk")
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_factor = F.round(
+        F.log((F.col("n_at_risk") - F.col("d")).cast("double") / F.col("n_at_risk")),
+        12,
+    )
+    return (
+        risk.select(
+            "t_days",
+            "d",
+            "n_at_risk",
+            F.round(F.exp(F.sum(ln_factor).over(w_asc)), 9).alias("survival"),
+        )
+        .filter((F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")))
+        .orderBy("t_days")
+    )

@@ -212,3 +212,59 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.count(F.lit(1)).over(wc).alias("n_orders"),
     )
+
+
+@query(
+    "window_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+               CAST(o_orderdate AS TIMESTAMP) AS odate
+        FROM orders
+    ),
+    ranked AS (
+        SELECT price_c, odate,
+               max(odate) OVER (ORDER BY price_c DESC, odate DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+        FROM pts
+    )
+    SELECT price_c, odate
+    FROM ranked
+    WHERE prev_max IS NULL OR prev_max < odate
+    ORDER BY price_c DESC
+    """,
+    tags=("window", "skyline"),
+)
+def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-front) operator — the classic DB operator for
+    'best trade-offs': orders not dominated on (price, recency), i.e.
+    no other order is ≥ in both and > in one. The naive formulation is
+    a quadratic NOT EXISTS self-join; the single-sort identity replaces
+    it: after deduping exact ties, sort by (price desc, date desc) —
+    a point is on the front iff its date strictly exceeds the running
+    max date of all prior (higher-or-equal-price) points. One window,
+    O(n log n), exact integers.
+
+    Plan: distinct collapses map-side; ONE global-sort window (at 100 TB
+    you'd pre-prune per partition — each partition's local skyline is a
+    superset filter — then run this on the survivors: the standard
+    two-phase skyline). The front itself is ~log n points."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_orderdate").alias("odate"),
+    ).distinct()
+    w = Window.orderBy(
+        F.col("price_c").desc(), F.col("odate").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = pts.select(
+        "price_c", "odate", F.max("odate").over(w).alias("prev_max")
+    )
+    return (
+        ranked.filter(
+            F.col("prev_max").isNull() | (F.col("prev_max") < F.col("odate"))
+        )
+        .select("price_c", "odate")
+        .orderBy(F.col("price_c").desc())
+    )
