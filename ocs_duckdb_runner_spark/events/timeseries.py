@@ -1002,3 +1002,92 @@ def event_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")))
         .orderBy("t_days")
     )
+
+
+@query(
+    "event_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('week', f.cohort,
+                    date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+                 AS age_w,
+               CAST(sum(CASE WHEN e.event_type = 'purchase'
+                        THEN CAST(round(e.value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS rev_c
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    size_ AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        FROM firsts GROUP BY cohort
+    )
+    SELECT r.cohort, r.age_w, s.n_users,
+           CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort ORDER BY r.age_w
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c,
+           round(CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort
+                      ORDER BY r.age_w ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / s.n_users, 6) AS ltv_per_user_c
+    FROM rev r JOIN size_ s USING (cohort)
+    ORDER BY r.cohort, r.age_w
+    """,
+    tags=("events", "timeseries", "cohort"),
+)
+def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-analytics table behind
+    payback-period decisions: users grouped by first-seen week, revenue
+    accumulated by cohort age (weeks since joining), normalized per
+    cohort user. The running cumulative is exact integer cents; LTV per
+    user is one division, rounded. Complements event_retention_cohort
+    (activity) with the revenue dimension.
+
+    Plan: first-seen = one (user_id) aggregate; revenue re-keys once to
+    (cohort, age) — a tiny space; the cumulative window orders ≤
+    weeks-of-history rows per cohort. Two key-only shuffles total."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    rev = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort").cast("date"),
+                )
+                / 7
+            ).cast("long").alias("age_w"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("rev_c")
+        )
+    )
+    size_ = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.partitionBy("cohort").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.join(size_, "cohort")
+        .select(
+            "cohort",
+            "age_w",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.sum("rev_c").over(w).cast("long").alias("cum_rev_c"),
+            F.round(
+                F.sum("rev_c").over(w).cast("double") / F.col("n_users"), 6
+            ).alias("ltv_per_user_c"),
+        )
+        .orderBy("cohort", "age_w")
+    )
