@@ -1091,3 +1091,75 @@ def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_w")
     )
+
+
+@query(
+    "event_peak_detection",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    ctx AS (
+        SELECT h, n,
+               lag(n) OVER w AS prev_n,
+               lead(n) OVER w AS next_n,
+               avg(n) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                 AS local_avg
+        FROM hourly WINDOW w AS (ORDER BY h)
+    )
+    SELECT h, n, prev_n, next_n,
+           round(CAST(n AS DOUBLE) / local_avg, 9) AS prominence
+    FROM ctx
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+      AND CAST(n AS DOUBLE) / local_avg >= 1.2
+    ORDER BY h
+    """,
+    tags=("events", "timeseries", "peaks"),
+)
+def event_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection over the hourly activity series — strict local
+    maxima (above both neighbors) with a prominence gate (≥1.2× the
+    ±3-hour local mean), the alerting primitive between raw thresholds
+    (noisy) and z-scores (need a distribution): a point is a peak
+    because of its SHAPE. Prominence is one division of an exact count
+    by a 7-term exact-integer mean — deterministic on both engines.
+
+    Plan: the hourly rollup partial-aggregates map-side into a tiny
+    series; lag/lead/centered-frame ride ONE ordered window over it.
+    The series length is hours-of-history, not events — constant-ish at
+    any data scale."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("h")
+    wavg = Window.orderBy("h").rowsBetween(-3, 3)
+    ctx = hourly.select(
+        "h",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+        F.avg("n").over(wavg).alias("local_avg"),
+    )
+    return (
+        ctx.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+            & (F.col("n").cast("double") / F.col("local_avg") >= 1.2)
+        )
+        .select(
+            "h",
+            "n",
+            "prev_n",
+            "next_n",
+            F.round(F.col("n").cast("double") / F.col("local_avg"), 9).alias(
+                "prominence"
+            ),
+        )
+        .orderBy("h")
+    )

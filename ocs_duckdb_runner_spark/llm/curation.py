@@ -687,3 +687,83 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st.unpersist()
     return out
+
+
+_FLAG_TOKENS = ("the", "a", "of", "and", "to")  # stand-in for PII hits
+
+
+@query(
+    "chunk_annotation_propagate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    hits AS (
+        SELECT doc_id, n, s.i AS p
+        FROM tok, unnest(generate_series(1, n)) AS s(i)
+        WHERE toks[s.i] IN ({", ".join(f"'{t}'" for t in _FLAG_TOKENS)})
+    ),
+    spans AS (
+        SELECT doc_id, p,
+               greatest(0, (p - {CHUNK_W - CHUNK_S + 1}) // {CHUNK_S}) AS lo,
+               least((greatest(n - {CHUNK_W}, 0) + {CHUNK_S - 1})
+                       // {CHUNK_S},
+                     (p - 1) // {CHUNK_S}) AS hi
+        FROM hits
+    ),
+    expanded AS (
+        SELECT doc_id, c.c AS chunk_idx
+        FROM spans, unnest(generate_series(lo, hi)) AS c(c)
+        WHERE hi >= lo
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_flagged
+    FROM expanded GROUP BY doc_id, chunk_idx
+    """,
+    tags=("llm", "curation", "annotation"),
+)
+def chunk_annotation_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation propagation through OVERLAPPING chunking — the step a
+    redaction/safety pipeline runs after span detection: a token-level
+    flag (stopwords standing in for PII spans) must reach EVERY chunk
+    whose 64/48 window covers its position, because overlapping windows
+    mean one span lands in up to ⌈W/S⌉ chunks — dropping it from the
+    overlap region is how redacted text leaks into training data. The
+    chunk range per hit is pure integer interval arithmetic against
+    chunk_documents' exact grid (truncating vs flooring division
+    reconciled by clamping at 0 — the divergence only occurs below the
+    clamp).
+
+    Plan: position explode + range explode are map-side Generates
+    (bounded ×⌈W/S⌉ amplification on FLAGGED tokens only); ONE
+    (doc, chunk) aggregate. No shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    hits = t.select(
+        "doc_id",
+        "n",
+        F.posexplode("toks").alias("p0", "tok"),
+    ).filter(F.col("tok").isin(*_FLAG_TOKENS)).select(
+        "doc_id", "n", (F.col("p0") + 1).alias("p")
+    )
+    spans = hits.select(
+        "doc_id",
+        F.greatest(
+            F.lit(0), F.expr(f"(p - {CHUNK_W - CHUNK_S + 1}) div {CHUNK_S}")
+        ).alias("lo"),
+        F.least(
+            F.expr(
+                f"(greatest(n - {CHUNK_W}, 0) + {CHUNK_S - 1}) div {CHUNK_S}"
+            ),
+            F.expr(f"(p - 1) div {CHUNK_S}"),
+        ).alias("hi"),
+    )
+    expanded = spans.filter(F.col("hi") >= F.col("lo")).select(
+        "doc_id", F.explode(F.sequence("lo", "hi")).alias("chunk_idx")
+    )
+    return expanded.groupBy(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx")
+    ).agg(F.count(F.lit(1)).alias("n_flagged"))
