@@ -469,3 +469,65 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.price").alias("price_c_back"),
         F.col("xp_date").alias("date_back"),
     )
+
+
+@query(
+    "fn_array_construct",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(generate_series(1, CAST(o_orderkey % 4 AS BIGINT) + 1),
+                           ',') AS seq_csv,
+           array_to_string(list_transform(generate_series(1, 3),
+                                          i -> o_orderstatus), ',') AS rep_csv,
+           array_to_string(flatten([[CAST(o_orderkey % 3 AS BIGINT)],
+                                    [CAST(o_orderkey % 5 AS BIGINT),
+                                     CAST(o_orderkey % 7 AS BIGINT)]]), ',')
+             AS flat_csv,
+           array_to_string(list_transform(generate_series(1, 2),
+               i -> CAST([CAST(o_orderkey % 3 AS BIGINT),
+                          CAST(o_orderkey % 5 AS BIGINT)][i] AS VARCHAR)
+                    || ':' ||
+                    CAST([CAST(o_orderkey % 7 AS BIGINT),
+                          CAST(o_orderkey % 11 AS BIGINT)][i] AS VARCHAR)),
+             ',') AS zip_csv
+    FROM orders WHERE o_orderkey % 200 = 0
+    """,
+    tags=("function", "array"),
+)
+def fn_array_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array CONSTRUCTION surface — the generators fn_array (access) and
+    fn_higher_order (folds) leave out: sequence() ranges, array_repeat,
+    flatten of nested arrays, and arrays_zip pairing. Array-valued
+    results serialize to CSV (the harness canonicalizer contract, as
+    embed_quantize) so element order and values are both pinned."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    join_csv = lambda c: F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))  # noqa: E731
+    zipped = F.arrays_zip(
+        F.array((F.col("o_orderkey") % 3), (F.col("o_orderkey") % 5)).alias("a"),
+        F.array((F.col("o_orderkey") % 7), (F.col("o_orderkey") % 11)).alias("b"),
+    )
+    return o.select(
+        "o_orderkey",
+        join_csv(
+            F.sequence(F.lit(1), (F.col("o_orderkey") % 4 + 1).cast("long"))
+        ).alias("seq_csv"),
+        join_csv(F.array_repeat(F.col("o_orderstatus"), 3)).alias("rep_csv"),
+        join_csv(
+            F.flatten(
+                F.array(
+                    F.array((F.col("o_orderkey") % 3)),
+                    F.array(
+                        (F.col("o_orderkey") % 5), (F.col("o_orderkey") % 7)
+                    ),
+                )
+            )
+        ).alias("flat_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                zipped,
+                lambda s: F.concat_ws(":", s["a"].cast("string"),
+                                      s["b"].cast("string")),
+            ),
+        ).alias("zip_csv"),
+    )

@@ -767,3 +767,94 @@ def chunk_annotation_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy(
         "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx")
     ).agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+@query(
+    "corpus_vocab_knee",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    counts AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    ranked AS (
+        SELECT t, c,
+               CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS r
+        FROM counts
+    ),
+    ends AS (
+        SELECT max(CASE WHEN r = 1 THEN c END) AS c1,
+               max(c) FILTER (r = (SELECT max(r) FROM ranked)) AS cn,
+               CAST(max(r) AS BIGINT) AS n
+        FROM ranked
+    ),
+    dist AS (
+        SELECT ranked.t, ranked.c, ranked.r,
+               abs((e.c1 - e.cn) * (ranked.r - 1)
+                   + (e.n - 1) * (ranked.c - e.c1)) AS d,
+               e.n
+        FROM ranked CROSS JOIN ends e
+    )
+    SELECT r AS knee_rank, t AS knee_token, c AS knee_count,
+           CAST(n AS BIGINT) AS vocab_size, CAST(d AS BIGINT) AS chord_dist
+    FROM dist
+    ORDER BY d DESC, r
+    LIMIT 1
+    """,
+    tags=("llm", "curation", "knee"),
+)
+def corpus_vocab_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic knee-point detection on the rank-frequency (Zipf) curve
+    — the Kneedle-style max-distance-from-chord rule that picks a
+    vocabulary cutoff WITHOUT a hand-tuned threshold (where tokenizer
+    vocab sizes and stopword-list lengths actually come from): the knee
+    is the rank maximizing the distance to the chord from (1, c₁) to
+    (n, cₙ), computed as the exact integer cross-product
+    |(c₁−cₙ)(r−1) + (n−1)(c_r−c₁)| — fully oracle-exact, ties to the
+    lower rank.
+
+    Plan: the word count is the standard vocabulary-keyed shuffle; the
+    rank window orders vocab (not corpus) rows; endpoints broadcast as
+    a 1-row frame; argmax is a TakeOrderedAndProject. At 100 TB the
+    vocab table, not the corpus, bounds every post-count stage."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.select(
+        "t",
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "t"))
+        .cast("long")
+        .alias("r"),
+    )
+    ends = ranked.agg(
+        F.max(F.when(F.col("r") == 1, F.col("c"))).alias("c1"),
+        F.min_by("c", F.negate(F.col("r"))).alias("cn"),
+        F.max("r").alias("n"),
+    )
+    dist = ranked.crossJoin(F.broadcast(ends)).select(
+        "t",
+        "c",
+        "r",
+        "n",
+        F.abs(
+            (F.col("c1") - F.col("cn")) * (F.col("r") - 1)
+            + (F.col("n") - 1) * (F.col("c") - F.col("c1"))
+        ).alias("d"),
+    )
+    return (
+        dist.orderBy(F.col("d").desc(), "r")
+        .limit(1)
+        .select(
+            F.col("r").alias("knee_rank"),
+            F.col("t").alias("knee_token"),
+            F.col("c").alias("knee_count"),
+            F.col("n").cast("long").alias("vocab_size"),
+            F.col("d").cast("long").alias("chord_dist"),
+        )
+    )
