@@ -1207,3 +1207,63 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.unpersist()
     sig.unpersist()
     return out
+
+
+MHX_EVAL_TAU = 0.5
+
+
+@query(
+    "eval_dedup_pr",
+    oracle=f"""
+    WITH base AS ({_mhx_oracle()})
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN mh_est >= {MHX_EVAL_TAU}
+                          AND jaccard >= {MHX_EVAL_TAU}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN mh_est >= {MHX_EVAL_TAU}
+                          AND jaccard < {MHX_EVAL_TAU}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN mh_est < {MHX_EVAL_TAU}
+                          AND jaccard >= {MHX_EVAL_TAU}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(CAST(sum(CASE WHEN mh_est >= {MHX_EVAL_TAU}
+                               AND jaccard >= {MHX_EVAL_TAU}
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN mh_est >= {MHX_EVAL_TAU}
+                              THEN 1 ELSE 0 END), 0), 9) AS precision_,
+           round(CAST(sum(CASE WHEN mh_est >= {MHX_EVAL_TAU}
+                               AND jaccard >= {MHX_EVAL_TAU}
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN jaccard >= {MHX_EVAL_TAU}
+                              THEN 1 ELSE 0 END), 0), 9) AS recall_
+    FROM base
+    """,
+    tags=("llm", "dedup", "evaluation"),
+)
+def eval_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-estimator operating point: precision/recall of the MinHash
+    decision (estimate ≥ τ={MHX_EVAL_TAU}) against true-Jaccard truth,
+    over the LSH candidate universe — eval_ann_recall's sibling for the
+    dedup stack, and the measurement that justifies a chosen band/row
+    geometry before a 100 TB dedup run commits to it. Counts are exact;
+    precision/recall are NULL-guarded divisions of exact integers, so
+    the evaluation itself is oracle-checked.
+
+    Plan: one aggregate over dedup_minhash_estimate's (already bounded)
+    pair output — the eval costs nothing beyond the estimator."""
+    base = dedup_minhash_estimate(spark, sf_dir)
+    pred = F.col("mh_est") >= MHX_EVAL_TAU
+    truth = F.col("jaccard") >= MHX_EVAL_TAU
+    tp = F.sum((pred & truth).cast("long"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        tp.cast("long").alias("tp"),
+        F.sum((pred & ~truth).cast("long")).cast("long").alias("fp"),
+        F.sum((~pred & truth).cast("long")).cast("long").alias("fn"),
+        F.round(
+            tp.cast("double") / F.nullif(F.sum(pred.cast("long")), F.lit(0)), 9
+        ).alias("precision_"),
+        F.round(
+            tp.cast("double") / F.nullif(F.sum(truth.cast("long")), F.lit(0)), 9
+        ).alias("recall_"),
+    )
