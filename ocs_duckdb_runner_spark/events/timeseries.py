@@ -1163,3 +1163,55 @@ def event_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "event_forecast_snaive",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    joined AS (
+        SELECT a.h, a.n, b.n AS pred
+        FROM hourly a JOIN hourly b
+          ON b.h = a.h - INTERVAL 24 HOUR
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_backtest_points,
+           CAST(sum(abs(n - pred)) AS BIGINT) AS sum_abs_err,
+           round(CAST(sum(abs(n - pred)) AS DOUBLE) / count(*), 9) AS mae,
+           round(CAST(sum(abs(n - pred)) AS DOUBLE) / sum(n) * 100, 9)
+             AS wape_pct
+    FROM joined
+    """,
+    tags=("events", "timeseries", "forecast"),
+)
+def event_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST — the baseline every forecasting
+    system must beat before it earns complexity (predict each hour by
+    the same hour yesterday), evaluated in-sample as MAE and WAPE. The
+    self-join on h = h−24h is an equi-join on the truncated hour; errors
+    are exact integer counts, the two error rates one division each —
+    the whole backtest hash-matches.
+
+    Plan: hourly rollup partial-aggregates map-side; the lag join and
+    the error aggregate run over the tiny series. One fact pass."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h2"),
+        F.col("n").alias("pred"),
+    )
+    joined = hourly.join(b, hourly.h == b.h2)
+    err = F.abs(F.col("n") - F.col("pred"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_backtest_points"),
+        F.sum(err).cast("long").alias("sum_abs_err"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 9).alias("mae"),
+        F.round(F.sum(err).cast("double") / F.sum("n") * 100, 9).alias(
+            "wape_pct"
+        ),
+    )

@@ -489,3 +489,84 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(20)
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 2
+
+
+def _kcore_oracle() -> str:
+    # two unrolled peel rounds: drop nodes with degree < k, recompute
+    peel = """
+    , nodes{i} AS (
+        SELECT node FROM (
+            SELECT node, count(*) AS d FROM (
+                SELECT a AS node, b AS other FROM edges{p}
+                UNION ALL SELECT b, a FROM edges{p})
+            GROUP BY node)
+        WHERE d >= {k}
+    ),
+    edges{i} AS (
+        SELECT e.a, e.b FROM edges{p} e
+        JOIN nodes{i} na ON na.node = e.a
+        JOIN nodes{i} nb ON nb.node = e.b
+    )"""
+    body = "".join(
+        peel.format(i=i, p=i - 1 if i > 1 else "", k=_KCORE_K)
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    last = _KCORE_ROUNDS
+    return f"""
+    WITH {_SQL_ASSOC.strip()}{body}
+    SELECT (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (
+                SELECT a AS node FROM edges{last}
+                UNION ALL SELECT b FROM edges{last})) AS n_core_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges{last}) AS n_core_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges_initial
+    """
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle(), tags=("graph", "kcore"))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling ({_KCORE_ROUNDS} unrolled rounds, k={_KCORE_K}) on
+    the association graph — the dense-subgraph extractor behind
+    community seeds and spam-cluster mining: repeatedly drop nodes with
+    degree < k; the fixpoint is the k-core, and each round is one
+    degree aggregate + one membership semi-join, so the unrolled form
+    is the exact per-iteration job a production loop (iterate until no
+    node drops) would run, same policy as graph_pagerank's unrolled
+    rounds. Integer degrees ⇒ oracle-exact membership at every round.
+
+    Plan per round: degrees = key-only aggregate over the (tiny,
+    support-filtered) edge frame; the surviving-edge join is
+    broadcast-scale. The peel never touches the fact table again."""
+    edges = _assoc_edges(spark, sf_dir).repartition(8).persist()
+    cur = edges
+    for _ in range(_KCORE_ROUNDS):
+        sym = cur.select(F.col("a").alias("node")).unionAll(
+            cur.select(F.col("b").alias("node"))
+        )
+        nodes = (
+            sym.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+        )
+        keep_a = nodes.toDF("keep_a")
+        keep_b = nodes.toDF("keep_b")
+        cur = (
+            cur.join(keep_a, cur.a == keep_a.keep_a)
+            .join(keep_b, cur.b == keep_b.keep_b)
+            .select("a", "b")
+        )
+    sym_last = cur.select(F.col("a").alias("node")).unionAll(
+        cur.select(F.col("b").alias("node"))
+    )
+    out = (
+        sym_last.agg(F.countDistinct("node").alias("n_core_nodes"))
+        .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_core_edges")))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges_initial")))
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
