@@ -1303,3 +1303,98 @@ def monitor_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mean_vec_cosine"),
     )
+
+
+# ---- clustering-quality evaluation: simplified silhouette ----
+
+
+@query(
+    "eval_cluster_silhouette",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS v
+                  FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS c FROM vecs
+              WHERE vec_id < {_KMEANS_K}),
+    dists AS (
+        SELECT vecs.vec_id, cents.cid,
+               {_SQL_D2.format(dim=DIM, a='vecs.v', b='cents.c')} AS d2
+        FROM vecs CROSS JOIN cents
+    ),
+    assign AS (
+        SELECT vec_id,
+               (min({{'d2': d2, 'cid': cid}})).cid AS own,
+               CAST((min({{'d2': d2, 'cid': cid}})).d2 AS BIGINT) AS a2,
+               CAST(min(CASE WHEN cid <> (SELECT (min({{'d2': d.d2,
+                         'cid': d.cid}})).cid FROM dists d
+                         WHERE d.vec_id = dists.vec_id)
+                        THEN d2 END) AS BIGINT) AS b2
+        FROM dists GROUP BY vec_id
+    ),
+    s AS (
+        SELECT own,
+               round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                     / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                sqrt(CAST(b2 AS DOUBLE))), 9) AS sil
+        FROM assign WHERE a2 > 0 OR b2 > 0
+    )
+    SELECT CAST(own AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(sil), 9) AS mean_silhouette
+    FROM s GROUP BY own
+    """,
+    tags=("llm", "similarity", "clustering", "evaluation"),
+)
+def eval_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation via the SIMPLIFIED silhouette —
+    per point, a = distance to its own centroid and b = distance to the
+    nearest OTHER centroid, s = (b−a)/max(a,b) — the centroid form that
+    replaces classic silhouette's quadratic within-cluster pairwise
+    means with a linear scan (the only form that survives 100 TB, and
+    the one scikit-learn's docs recommend at scale). Reported per
+    cluster (kmeans_embeddings' deterministic seed centroids): mean
+    silhouette ≈ how separated that cluster is. Distances are exact
+    integer d2 (same fixed-point as the k-means); sqrt/divide are
+    per-point fixed IEEE sequences; the per-cluster mean averages
+    9-digit-rounded values.
+
+    Plan: K broadcast centroids × map-side argmin/second-min — one
+    corpus pass, one (cluster) aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", fp_vec(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", d2.alias("d2")
+    )
+    assign = dists.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2").alias("d2"), F.col("cid").alias("cid")))
+        .alias("m"),
+        F.collect_list(F.struct("d2", "cid")).alias("all_d"),
+    ).select(
+        "vec_id",
+        F.col("m.cid").alias("own"),
+        F.col("m.d2").cast("long").alias("a2"),
+        F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("all_d"), lambda s: s["cid"] != F.col("m.cid")
+                ),
+                lambda s: s["d2"],
+            )
+        ).cast("long").alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    s = assign.filter((F.col("a2") > 0) | (F.col("b2") > 0)).select(
+        "own", F.round((sb - sa) / F.greatest(sa, sb), 9).alias("sil")
+    )
+    return s.groupBy(F.col("own").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sil"), 9).alias("mean_silhouette"),
+    )

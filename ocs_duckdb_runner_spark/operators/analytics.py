@@ -566,3 +566,76 @@ def tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_pareto_share",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT r,
+               row_number() OVER (ORDER BY r DESC, o_custkey) AS rk,
+               sum(r) OVER (ORDER BY r DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(r) OVER () AS tot,
+               count(*) OVER () AS n
+        FROM rev
+    )
+    SELECT CAST(min(rk) AS BIGINT) AS n_top_customers,
+           CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(CAST(min(rk) AS DOUBLE) / any_value(n) * 100, 9)
+             AS top_pct_of_customers,
+           CAST(any_value(tot) AS BIGINT) AS total_revenue_c
+    FROM ranked
+    WHERE cum * 10 >= tot * 8
+    """,
+    tags=("agg", "pareto", "reporting"),
+)
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 report): the smallest number of
+    top customers whose cumulative revenue reaches 80% of the total —
+    the skew summary behind account prioritization AND the empirical
+    basis for expecting hot keys in this data (join_skew_salted /
+    agg_skew_salted exist because this number is small). The 80%
+    threshold compares exact integers cross-multiplied (cum·10 ≥
+    tot·8) — no float boundary at all; only the final percentage
+    divides.
+
+    Plan: per-customer revenue is one key aggregate; the ranked
+    cumulative is one global-ordered window over customers (at 100 TB:
+    pre-aggregate to revenue-band histograms and scan the tail, the
+    standard decomposition); the answer is a 1-row min."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("r")
+    )
+    wr = Window.orderBy(F.col("r").desc(), "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("r").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tots = rev.agg(
+        F.sum("r").cast("long").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tots))
+        .filter(F.col("cum") * 10 >= F.col("tot") * 8)
+        .agg(
+            F.min("rk").cast("long").alias("n_top_customers"),
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(
+                F.min("rk").cast("double") / F.max("n") * 100, 9
+            ).alias("top_pct_of_customers"),
+            F.max("tot").cast("long").alias("total_revenue_c"),
+        )
+    )
