@@ -1215,3 +1215,73 @@ def event_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wape_pct"
         ),
     )
+
+
+@query(
+    "event_autocorr_daily",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.n AS x, b.n AS y
+        FROM hourly a JOIN hourly b ON b.h = a.h + INTERVAL 24 HOUR
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 9)
+             AS autocorr_24h
+    FROM m
+    """,
+    tags=("events", "timeseries", "seasonality"),
+)
+def event_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality strength: Pearson autocorrelation of the hourly
+    series at lag 24 h — the single number that says whether the
+    seasonal-naive baseline (event_forecast_snaive) has signal to
+    exploit (≈1: strong daily cycle; ≈0: don't bother). Same integer-
+    moment exactness recipe as event_trend_regression/agg_ab_welch_t:
+    all five moments are exact BIGINTs, the correlation is a fixed
+    IEEE sequence on them — a seasonality DIAGNOSTIC that hash-matches.
+
+    Plan: hourly rollup map-side; the lag-24 pairing is an equi-join on
+    the tiny series; moments are a 1-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = hourly.select(
+        (F.col("h") - F.expr("INTERVAL 24 HOURS")).alias("h2"),
+        F.col("n").alias("y"),
+    )
+    pairs = hourly.join(b, hourly.h == b.h2).select(
+        F.col("n").alias("x"), "y"
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+            9,
+        ).alias("autocorr_24h"),
+    )

@@ -213,3 +213,54 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# AS-OF snapshot instant: midpoint of the fixture's time range (2024-01-15)
+_ASOF_US = 1_705_276_800_000_000  # epoch µs of 2024-01-15 00:00:00 UTC
+
+
+@query(
+    "scd2_asof_snapshot",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY
+                     epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+    ), changes AS (
+        SELECT user_id, event_type, us, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ), hist AS (
+        SELECT user_id, event_type AS state,
+               us AS valid_from_us,
+               lead(us) OVER w2 AS valid_to_us
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, state, valid_from_us
+    FROM hist
+    WHERE valid_from_us <= {_ASOF_US}
+      AND (valid_to_us IS NULL OR valid_to_us > {_ASOF_US})
+    """,
+    tags=("changes", "scd2", "temporal"),
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table AS-OF read — the query leg scd2_history's write leg
+    exists for: reconstruct every entity's state at one instant by
+    selecting the validity interval containing it (valid_from ≤ t <
+    valid_to, open intervals = current). This is `FOR SYSTEM_TIME AS OF`
+    reduced to a filter over intervals — O(1) per entity version, no
+    event replay, which is the entire point of maintaining SCD2 at
+    100 TB (the alternative reconstructs state by scanning every event
+    before t).
+
+    Plan: identical single (user_id) exchange as scd2_history; the AS-OF
+    gate is a map-side filter on the interval columns."""
+    hist = scd2_history(spark, sf_dir)
+    return hist.filter(
+        (F.col("valid_from_us") <= _ASOF_US)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > _ASOF_US))
+    ).select("user_id", "state", "valid_from_us")
