@@ -1285,3 +1285,79 @@ def event_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("autocorr_24h"),
     )
+
+
+@query(
+    "event_ks_exponential",
+    oracle="""
+    WITH gaps AS (
+        SELECT (us - lag(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id)) AS g
+        FROM (SELECT user_id, event_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+    ),
+    g2 AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(g) AS BIGINT) AS s FROM g2),
+    ranked AS (
+        SELECT g, CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS r,
+               m.n, m.s
+        FROM g2 CROSS JOIN m
+    ),
+    dev AS (
+        SELECT round(greatest(
+                 abs(CAST(r AS DOUBLE) / n
+                     - (1 - exp(-(CAST(g AS DOUBLE) * n / s)))),
+                 abs(CAST(r - 1 AS DOUBLE) / n
+                     - (1 - exp(-(CAST(g AS DOUBLE) * n / s))))), 12) AS d,
+               n
+        FROM ranked
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_gaps,
+           round(max(d), 9) AS ks_stat
+    FROM dev
+    """,
+    tags=("events", "stats", "distribution-fit"),
+)
+def event_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov goodness-of-fit of inter-arrival gaps against
+    the exponential distribution — the Poisson-process check behind
+    queueing models and synthetic-load validation: λ is fit as n/Σg
+    (exact integer moments), and the KS statistic is the max over
+    sorted gaps of |F_emp − (1−e^{−λg})| evaluated at both step edges
+    (the two-sided step-function deviation). Every input to the exp is
+    a ratio of exact integers; deviations are rounded to a fixed grid
+    before the order-insensitive max — hash-exact.
+
+    Plan: gaps = one (user_id) window; the global sort ranks gaps once
+    (at 100 TB: bucket the CDF into quantile bins, same statistic
+    within bin width); the deviation is map-side; the answer is a
+    1-row max."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.select((F.col("us") - F.lag("us").over(w)).alias("g")).filter(
+        F.col("g").isNotNull() & (F.col("g") > 0)
+    )
+    m = gaps.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("g").cast("long").alias("s")
+    )
+    ranked = gaps.crossJoin(F.broadcast(m)).select(
+        "g",
+        F.row_number().over(Window.orderBy("g")).cast("long").alias("r"),
+        "n",
+        "s",
+    )
+    cdf = 1 - F.exp(-(F.col("g").cast("double") * F.col("n") / F.col("s")))
+    d = F.round(
+        F.greatest(
+            F.abs(F.col("r").cast("double") / F.col("n") - cdf),
+            F.abs((F.col("r") - 1).cast("double") / F.col("n") - cdf),
+        ),
+        12,
+    )
+    return ranked.select(d.alias("d"), "n").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.round(F.max("d"), 9).alias("ks_stat"),
+    )

@@ -858,3 +858,64 @@ def corpus_vocab_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("long").alias("chord_dist"),
         )
     )
+
+
+_HEAPS_CHECKPOINTS = (100, 500, 1000, 2000, 4000)
+
+
+@query(
+    "corpus_heaps_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents
+    ),
+    firsts AS (
+        SELECT t, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY t
+    ),
+    cp AS (SELECT unnest([{", ".join(str(c) for c in _HEAPS_CHECKPOINTS)}])
+                  AS k)
+    SELECT CAST(cp.k AS BIGINT) AS n_docs,
+           CAST(count(f.t) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN f.first_doc = cp.k - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_at_k
+    FROM cp LEFT JOIN firsts f ON f.first_doc < cp.k
+    GROUP BY cp.k
+    """,
+    tags=("llm", "curation", "heaps"),
+)
+def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — vocab size after the first k
+    documents (doc_id order), at fixed checkpoints: the sub-linear
+    V ∝ kᵝ curve that sizes tokenizer vocabularies and predicts how
+    much NEW vocabulary more data will buy (the flattening point is
+    where scraping more of the same source stops paying). Computed from
+    each token's FIRST-occurrence doc — one number per token — so the
+    curve costs one aggregate, not k prefix scans.
+
+    Plan: distinct tokens per doc map-side; first-occurrence = one
+    vocabulary-keyed min aggregate; the checkpoint join is
+    |vocab| × |checkpoints| with broadcast checkpoints. At 100 TB the
+    vocab table bounds everything after the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    )
+    firsts = tok.groupBy("t").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    cp = spark.createDataFrame(
+        [(int(c),) for c in _HEAPS_CHECKPOINTS], "k long"
+    )
+    return (
+        F.broadcast(cp)
+        .join(firsts, firsts.first_doc < cp.k, "left")
+        .groupBy(F.col("k").alias("n_docs"))
+        .agg(
+            F.count("t").cast("long").alias("vocab_size"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("k") - 1, 1).otherwise(0)
+            ).cast("long").alias("new_at_k"),
+        )
+    )
