@@ -1361,3 +1361,69 @@ def event_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_gaps"),
         F.round(F.max("d"), 9).alias("ks_stat"),
     )
+
+
+@query(
+    "event_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    - 15000 * count(*) AS BIGINT) AS net_c
+        FROM events GROUP BY 1, 2
+    ),
+    cums AS (
+        SELECT event_type, d,
+               sum(net_c) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM daily
+    ),
+    curve AS (
+        SELECT event_type, cum,
+               max(cum) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM cums
+    )
+    SELECT event_type,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_c,
+           CAST(min(cum) AS BIGINT) AS min_cum_c,
+           CAST(max(cum) AS BIGINT) AS max_cum_c
+    FROM curve GROUP BY event_type
+    """,
+    tags=("events", "timeseries", "finance"),
+)
+def event_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative net-value curve per event type
+    — the risk metric for anything cumulative (P&L, credits balance,
+    error budgets): the largest peak-to-trough fall, max over t of
+    (running-peak − running-value). The net series is exact integer
+    cents (a fixed per-event cost keeps the curve signed, so drawdowns
+    exist); running sum, running max OVER the running sum, and the
+    final max are all integer window/aggregate ops — hash-exact with
+    no float anywhere.
+
+    Plan: daily rollup map-side; BOTH nested windows share one
+    (event_type, d-ordered) exchange; final max is key-only."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            - 15000 * F.count(F.lit(1))
+        ).cast("long").alias("net_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        daily.select("event_type", "d", "net_c")
+        .withColumn("cum", F.sum("net_c").over(w))
+        .withColumn("peak", F.max("cum").over(w))
+    )
+    return curve.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias("max_drawdown_c"),
+        F.min("cum").cast("long").alias("min_cum_c"),
+        F.max("cum").cast("long").alias("max_cum_c"),
+    )

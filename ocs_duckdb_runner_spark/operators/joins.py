@@ -688,3 +688,67 @@ def join_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh, F.datediff(F.col("t").cast("date"), F.col("m_odate").cast("date"))
         ).cast("long").alias("feat_age_days"),
     )
+
+
+@query(
+    "join_entity_resolution",
+    oracle="""
+    WITH probes AS (
+        -- deterministically mangled names: drop one interior character
+        SELECT c_custkey AS probe_id,
+               substr(c_name, 1, 5 + CAST(c_custkey % 8 AS INTEGER))
+               || substr(c_name, 7 + CAST(c_custkey % 8 AS INTEGER))
+                 AS probe_name
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT p.probe_id, p.probe_name, c.c_custkey AS matched_key,
+           CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
+    FROM probes p JOIN customer c
+      ON substr(p.probe_name, 1, 5) = substr(c.c_name, 1, 5)
+     AND levenshtein(p.probe_name, c.c_name) <= 1
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy JOIN — dedup_fuzzy_levenshtein's
+    cross-table sibling and the classic record-linkage shape: a probe
+    set of corrupted names (one interior character dropped,
+    deterministically) matched back to the master table by BLOCKING on
+    a shared prefix + an edit-distance ≤ 1 gate. Blocking is what makes
+    fuzzy matching a JOIN instead of a cross product: candidates are
+    only pairs agreeing on the block key (an equi-join Catalyst hash-
+    partitions), and the expensive levenshtein runs per candidate, not
+    per pair. Both engines implement the same Wagner–Fischer distance,
+    so matches and distances are oracle-exact.
+
+    Plan: one equi-join on the 5-char block prefix; the edit distance
+    is a post-join codegen filter. At 100 TB block-key skew is the
+    watch item — the salting treatment (join_skew_salted) composes
+    directly."""
+    c = load_table(spark, sf_dir, "customer")
+    cut = (F.lit(5) + (F.col("c_custkey") % 8)).cast("int")
+    probes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, 5 + CAST(c_custkey % 8 AS INT))"),
+            F.expr("substr(c_name, 7 + CAST(c_custkey % 8 AS INT))"),
+        ).alias("probe_name"),
+    )
+    return (
+        probes.join(
+            c,
+            (
+                F.substring(F.col("probe_name"), 1, 5)
+                == F.substring(F.col("c_name"), 1, 5)
+            )
+            & (F.levenshtein(F.col("probe_name"), F.col("c_name")) <= 1),
+        )
+        .select(
+            "probe_id",
+            "probe_name",
+            F.col("c_custkey").alias("matched_key"),
+            F.levenshtein(F.col("probe_name"), F.col("c_name"))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
