@@ -704,7 +704,7 @@ def join_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.probe_id, p.probe_name, c.c_custkey AS matched_key,
            CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
     FROM probes p JOIN customer c
-      ON substr(p.probe_name, 1, 5) = substr(c.c_name, 1, 5)
+      ON right(p.probe_name, 4) = right(c.c_name, 4)
      AND levenshtein(p.probe_name, c.c_name) <= 1
     """,
     tags=("join", "fuzzy", "entity-resolution"),
@@ -714,7 +714,13 @@ def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-table sibling and the classic record-linkage shape: a probe
     set of corrupted names (one interior character dropped,
     deterministically) matched back to the master table by BLOCKING on
-    a shared prefix + an edit-distance ≤ 1 gate. Blocking is what makes
+    the trailing 4 characters + an edit-distance ≤ 1 gate. The block key
+    must be DISCRIMINATIVE: every name shares the 'Customer#' prefix, so
+    a leading-prefix block is degenerate — one bucket holding the whole
+    table, i.e. the cross product back again (measured ~100 s vs ~3 s at
+    the 10× probe); the trailing digits split the table into ~10⁴
+    buckets, and the drop position never reaches them, so the block
+    loses no true match. Blocking is what makes
     fuzzy matching a JOIN instead of a cross product: candidates are
     only pairs agreeing on the block key (an equi-join Catalyst hash-
     partitions), and the expensive levenshtein runs per candidate, not
@@ -738,8 +744,7 @@ def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(
             c,
             (
-                F.substring(F.col("probe_name"), 1, 5)
-                == F.substring(F.col("c_name"), 1, 5)
+                F.expr("right(probe_name, 4)") == F.expr("right(c_name, 4)")
             )
             & (F.levenshtein(F.col("probe_name"), F.col("c_name")) <= 1),
         )
