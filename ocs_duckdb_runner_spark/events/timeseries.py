@@ -1427,3 +1427,68 @@ def event_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cum").cast("long").alias("min_cum_c"),
         F.max("cum").cast("long").alias("max_cum_c"),
     )
+
+
+@query(
+    "event_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    marg AS (SELECT cur, CAST(sum(c) AS BIGINT) AS n FROM trans GROUP BY cur),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS g FROM trans),
+    contrib AS (
+        SELECT round(-(CAST(t.c AS DOUBLE) / o.g)
+                     * ln(CAST(t.c AS DOUBLE) / m.n), 12) AS term
+        FROM trans t JOIN marg m USING (cur) CROSS JOIN tot o
+    )
+    SELECT round(sum(term), 6) AS entropy_rate_nats,
+           (SELECT CAST(count(*) AS BIGINT) FROM trans) AS n_transitions_kinds
+    FROM contrib
+    """,
+    tags=("events", "timeseries", "markov", "entropy"),
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the behavioral Markov chain — H(next | current) =
+    −Σ p(a,b)·ln p(b|a) over event_transitions' matrix: the single
+    number for how PREDICTABLE user behavior is (0: deterministic flows
+    worth a next-action model; ln K: uniform noise — don't bother).
+    Probabilities are ratios of exact transition counts; per-cell terms
+    round to the 12-digit grid before the order-insensitive sum
+    (corpus_lang_entropy's recipe).
+
+    Plan: the transition count is event_transitions' one (user_id)
+    window + type²-keyed aggregate; everything after is K²-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    marg = trans.groupBy("cur").agg(F.sum("c").cast("long").alias("n"))
+    tot = trans.agg(F.sum("c").cast("long").alias("g"))
+    nkinds = trans.count()
+    term = F.round(
+        -(F.col("c").cast("double") / F.col("g"))
+        * F.log(F.col("c").cast("double") / F.col("n")),
+        12,
+    )
+    return (
+        trans.join(marg, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"))
+        .agg(
+            F.round(F.sum("term"), 6).alias("entropy_rate_nats"),
+            F.lit(nkinds).cast("long").alias("n_transitions_kinds"),
+        )
+    )

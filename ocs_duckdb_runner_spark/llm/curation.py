@@ -919,3 +919,79 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("new_at_k"),
         )
     )
+
+
+@query(
+    "corpus_js_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    sc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, t),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY source),
+    ctot AS (SELECT t, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY t),
+    gtot AS (SELECT CAST(sum(c) AS BIGINT) AS g FROM sc),
+    terms AS (
+        SELECT sc.source,
+               -- p = source prob, q = corpus prob, m = (p+q)/2
+               CAST(sc.c AS DOUBLE) / stot.n AS p,
+               CAST(ctot.cc AS DOUBLE) / gtot.g AS q
+        FROM sc
+        JOIN stot USING (source)
+        JOIN ctot USING (t)
+        CROSS JOIN gtot
+    ),
+    contrib AS (
+        SELECT source,
+               round(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2)), 12) AS kl_term
+        FROM terms
+    )
+    SELECT source, round(sum(kl_term), 6) AS jsd_nats
+    FROM contrib GROUP BY source
+    """,
+    tags=("llm", "curation", "divergence"),
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution
+    from the corpus distribution — the lexical distribution-shift
+    metric (monitor_embedding_drift's text-side sibling, and the
+    mixture-design complement of corpus_source_overlap: overlap counts
+    SHARED vocabulary, JSD weighs HOW DIFFERENTLY it is used). Both
+    probabilities are ratios of exact integers; each vocabulary term's
+    symmetric-KL contribution is a fixed IEEE sequence rounded to a
+    12-digit grid before the order-insensitive sum, displayed at 6 —
+    the corpus_lang_entropy recipe, hash-exact. (Terms absent from a
+    source drop out of its half of the sum — the one-sided JSD over
+    observed terms, the standard streaming-friendly form.)
+
+    Plan: (source, token) counts are word-count-shaped; marginals are
+    key-only rollups; everything after is vocabulary-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    sc = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    ctot = sc.groupBy("t").agg(F.sum("c").cast("long").alias("cc"))
+    gtot = sc.agg(F.sum("c").cast("long").alias("g"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("cc").cast("double") / F.col("g")
+    m = (p + q) / 2
+    kl_term = F.round(
+        0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m), 12
+    )
+    out = (
+        sc.join(stot, "source")
+        .join(ctot, "t")
+        .crossJoin(F.broadcast(gtot))
+        .select("source", kl_term.alias("kl_term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("kl_term"), 6).alias("jsd_nats"))
+        .localCheckpoint(eager=True)
+    )
+    sc.unpersist()
+    return out
