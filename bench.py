@@ -165,12 +165,37 @@ def main() -> int:
     rep = runner.run(files)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
+    # Full per-query map: printed as its OWN stdout line (before the
+    # summary) and written to a sidecar file. r5's single line carried 78
+    # per-query times, overflowed the driver's 2000-char tail capture, and
+    # the round recorded "parsed": null — the headline line must stay small
+    # enough to always fit the tail window (r5 verdict, What's wrong #2).
+    detail = {"kind": "per_query_sec", "sf": sf_val, "queries": times}
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout — the stdout line above still has it
+    # Compact FINAL line — the one the driver parses. The five inline
+    # query times keep the declared {"queries": {...}} schema while the
+    # full map lives in the sidecar/previous line.
+    key_queries = [
+        "flagship",
+        "join_inner",
+        "dedup_minhash",
+        "sim_cosine_topk",
+        "graph_pagerank",
+    ]
     out = {
         "metric": "fanout_wall_sec",
         "value": rep["total_query_time_sec"],
         "unit": "sec",
-        "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "queries": {k: times[k] for k in key_queries if k in times},
+        "queries_file": "BENCH_QUERIES.json",
+        "n_queries": len(times),
+        "sf": sf_val,
         "fanout": {
             "sources": rep["sources"],
             "threads": rep["threads"],
@@ -179,7 +204,9 @@ def main() -> int:
         },
         "suite_total_sec": round(sum(times.values()), 3),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1500, "headline line must fit the driver tail window"
+    print(line)
     return 0
 
 

@@ -140,6 +140,25 @@ def test_fanout_per_file_byte_split(spark):
     assert sum(pfb.values()) >= rep["read_bytes"] // 2
 
 
+def test_fanout_reused_runner_bytes_not_double_counted(spark):
+    """r5 verdict What's-wrong #1: the job-group token was minted per
+    INSTANCE, so the second run() on a reused runner summed the first
+    run's job groups too and reported exactly 2× read_bytes (confirmed
+    in S3RUN_r05.json: warm 14,925,198 = 2× cold 7,462,599). The token
+    is now minted per run(): a reused runner's second run must report
+    the same bytes as a fresh runner's run over the same sources."""
+    files = _sources(spark)
+    reused = FanoutRunner(spark, threads=4)
+    first = reused.run(files)
+    second = reused.run(files)  # same instance — the reuse pattern
+    fresh = FanoutRunner(spark, threads=4).run(files)
+    assert first["read_bytes"] > 0
+    assert second["read_bytes"] == fresh["read_bytes"]
+    assert second["read_bytes"] == first["read_bytes"]
+    # the per-file split must likewise be per-run, not cumulative
+    assert second["per_file_bytes"] == fresh["per_file_bytes"]
+
+
 def test_cli_split_fanout_end_to_end():
     """R15 end-to-end: the installed CLI (python -m ..runner) over a
     split fixture must exit 0 and print the reference's stderr report
