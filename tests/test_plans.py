@@ -282,6 +282,24 @@ def test_triangle_count_joins_on_vertex_keys_only(spark):
     assert "dv" in plan and "dw" in plan and "ddst" in plan
 
 
+def test_common_neighbors_wedge_join_is_capped_and_keyed(spark):
+    """graph_common_neighbors must (1) truncate each node's neighbor
+    list to CN_DEG_CAP via a row_number window BEFORE the wedge join
+    (the N·CAP² bound that replaced the Σd² = 298M-wedge plan — r5
+    verdict #5), and (2) close wedges with an equi-join on the
+    list-owner key, never a cross product."""
+    from ocs_duckdb_runner_spark.operators.graph import _common_neighbors_build
+
+    out, edges = _common_neighbors_build(spark, SF_DIR)
+    plan = _raw_plan(spark, out)
+    edges.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the CAP truncation
+    assert "row_number" in plan
+    # the wedge join is keyed on the middle (list-owner) vertex
+    assert "mid" in plan
+
+
 def test_chunk_documents_is_shuffle_free_lateral(spark):
     """Chunking is pure map-side amplification: one Generate, zero
     exchanges of any kind — at 100 TB it must scale with input splits."""
