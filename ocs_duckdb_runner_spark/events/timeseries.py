@@ -1477,7 +1477,14 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
     marg = trans.groupBy("cur").agg(F.sum("c").cast("long").alias("n"))
     tot = trans.agg(F.sum("c").cast("long").alias("g"))
-    nkinds = trans.count()
+    # the kind count rides along as a broadcast 1-row aggregate, NOT a
+    # driver-side trans.count() — an eager count here ran a full Spark
+    # job at plan-construction time and recomputed the transition
+    # aggregate when the returned frame executed (ADVICE r5); this is
+    # the agg_chi2_independence / event_ks_exponential scalar pattern
+    kinds = trans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions_kinds")
+    )
     term = F.round(
         -(F.col("c").cast("double") / F.col("g"))
         * F.log(F.col("c").cast("double") / F.col("n")),
@@ -1487,8 +1494,6 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         trans.join(marg, "cur")
         .crossJoin(F.broadcast(tot))
         .select(term.alias("term"))
-        .agg(
-            F.round(F.sum("term"), 6).alias("entropy_rate_nats"),
-            F.lit(nkinds).cast("long").alias("n_transitions_kinds"),
-        )
+        .agg(F.round(F.sum("term"), 6).alias("entropy_rate_nats"))
+        .crossJoin(F.broadcast(kinds))
     )

@@ -354,7 +354,7 @@ def event_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n log n) treatment for 'how many activity windows overlap at
     once' (±1 h here) (capacity planning, rate-limit sizing, concurrent-session
     caps) that replaces the quadratic self-join a naive overlap count
-    would do: each ±5 min activity interval emits a +1 at its start and
+    would do: each ±1 h activity interval emits a +1 at its start and
     a −1 at its end, and the per-user running sum over time IS the
     concurrency curve; +1 sorts before −1 at equal timestamps so
     touching intervals count as overlapping. Reported per user: the

@@ -656,12 +656,16 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
+    # lgK pinned explicitly: the est_direct == est_merged equality test
+    # relies on same-lgK partials unioning to bit-identical registers,
+    # so the config must not float with library defaults (ADVICE r5)
+    lgk = 12
     direct = toks.groupBy("lang").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_direct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok", lgk)).alias("est_direct"),
         F.countDistinct("tok").alias("exact_n"),
     )
     partials = toks.groupBy("lang", "source").agg(
-        F.hll_sketch_agg("tok").alias("sk")
+        F.hll_sketch_agg("tok", lgk).alias("sk")
     )
     merged = partials.groupBy("lang").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")

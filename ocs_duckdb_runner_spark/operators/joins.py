@@ -727,7 +727,7 @@ def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pair. Both engines implement the same Wagner–Fischer distance,
     so matches and distances are oracle-exact.
 
-    Plan: one equi-join on the 5-char block prefix; the edit distance
+    Plan: one equi-join on the trailing-4-char block key; the edit distance
     is a post-join codegen filter. At 100 TB block-key skew is the
     watch item — the salting treatment (join_skew_salted) composes
     directly."""

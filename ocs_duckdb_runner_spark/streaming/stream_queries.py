@@ -16,12 +16,14 @@ by the multi-batch unit test in tests/test_streaming.py instead.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ocs_duckdb_runner_spark.exactness import fx_sum
-from ocs_duckdb_runner_spark.registry import query
+from ocs_duckdb_runner_spark.registry import load_table, query
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -324,11 +326,24 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py (rows-only at the driver, like all stream_*
     queries). This is the production pattern for keeping a dashboard
     aggregate fresh without ever rescanning the table: state size is the
-    GROUP-KEY space, not the stream."""
+    GROUP-KEY space, not the stream.
+
+    Multi-batch on purpose: events is split into 4 parquet files (once
+    per sf_dir) and the SOURCE carries maxFilesPerTrigger=1 — a file-
+    source (readStream) option that is silently ignored on the sink,
+    where an earlier revision set it (ADVICE r5) — so availableNow
+    drains in 4 micro-batches and the state+delta merge path runs on
+    every batch after the bootstrap, not just the empty-state branch."""
     import uuid
 
     base = f"/tmp/ocs_stream_sink/mv_{uuid.uuid4().hex}"
     state_dir = f"{base}/state"
+    tag = sf_dir.strip("/").replace("/", "_")
+    src_dir = f"/tmp/ocs_stream_src/events4_{tag}"
+    if not os.path.exists(f"{src_dir}/_SUCCESS"):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("event_type").agg(
@@ -354,12 +369,17 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
         shutil.move(tmp, state_dir)
 
-    events = read_events_stream(spark, sf_dir)
+    # split source already carries batch-loader ts normalization, so the
+    # stream schema is exactly the written footer schema
+    events = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
     q = (
         events.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{base}/ckpt")
-        .option("maxFilesPerTrigger", "1")
         .start()
     )
     q.awaitTermination()

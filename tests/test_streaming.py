@@ -211,15 +211,25 @@ def test_stream_stream_join_matches_batch_twin(spark):
 
 
 def test_stream_incremental_mv_matches_batch_twin(spark):
-    """After the stream drains through multi-batch foreachBatch merges
-    (maxFilesPerTrigger=1 forces >=1 merge per source file), the MV state
-    must equal the one-shot batch aggregate — the IVM contract, same as
-    mv_incremental_refresh's oracle."""
+    """After the stream drains through multi-batch foreachBatch merges —
+    the events table is split into 4 source files and maxFilesPerTrigger=1
+    sits on the SOURCE (it is a readStream option; on the sink it is
+    silently ignored, ADVICE r5), so availableNow runs 4 micro-batches and
+    the state+delta merge executes on every batch after the bootstrap —
+    the MV state must equal the one-shot batch aggregate: the IVM
+    contract, same as mv_incremental_refresh's oracle."""
+    import os
+
     from ocs_duckdb_runner_spark.exactness import fx_sum
     from ocs_duckdb_runner_spark.registry import get_query, load_table
 
     cols = ["event_type", "n", "sum_value_c"]
     got = _rows(get_query("stream_incremental_mv").fn(spark, SF_DIR), cols)
+    # the multi-batch premise: the split source really has >=2 files
+    tag = SF_DIR.strip("/").replace("/", "_")
+    src_dir = f"/tmp/ocs_stream_src/events4_{tag}"
+    n_files = sum(1 for f in os.listdir(src_dir) if f.endswith(".parquet"))
+    assert n_files >= 2
     want = _rows(
         load_table(spark, SF_DIR, "events")
         .groupBy("event_type")
