@@ -495,6 +495,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", fp_vec(F.col("embedding")).alias("v")).persist()
+    # pin the cache NOW: the centroid broadcast-exchange jobs launch
+    # concurrently with the main scan and race-recompute a lazily-
+    # persisted vecs (the r5 bench regression pattern — see graph.py)
+    vecs.count()
     c0 = vecs.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )

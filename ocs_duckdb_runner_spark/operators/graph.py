@@ -39,7 +39,8 @@ _SQL_COPURCHASE = """
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1 = li.toDF("okey", "a")
-    l2 = li.toDF("okey", "b")
+    # shuffle_hash for the fact self-join — see _assoc_edges
+    l2 = li.toDF("okey", "b").hint("shuffle_hash")
     return (
         l1.join(l2, "okey")
         .filter(F.col("a") < F.col("b"))
@@ -106,7 +107,13 @@ _SQL_ASSOC = """
 def _assoc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1 = li.toDF("okey", "a")
-    l2 = li.toDF("okey", "b")
+    # shuffle_hash, never broadcast: Catalyst sees a 2-column fact slice
+    # under the broadcast threshold and builds a 600k-row HashedRelation
+    # on the DRIVER — a serial 1.15 s straggler at sf0.1 (measured; the
+    # hinted co-partitioned join is 0.78 s and fully parallel) and an
+    # impossible plan at 100 TB, where lineitem can never broadcast. The
+    # okey-keyed shuffle join is the only shape that survives scale-up.
+    l2 = li.toDF("okey", "b").hint("shuffle_hash")
     return (
         l1.join(l2, "okey")
         .filter(F.col("a") < F.col("b"))
@@ -168,6 +175,12 @@ def _triangle_build(spark: SparkSession, sf_dir: str):
     # (measured 5.7s -> 19s). repartition pays one trivial 4k-row exchange
     # and keeps the build at full parallelism.
     edges = _assoc_edges(spark, sf_dir).repartition(8).persist()
+    # eager materialization: the final frame's crossJoins launch their
+    # broadcast-exchange jobs CONCURRENTLY, and a lazily-persisted edges
+    # frame gets race-recomputed by each of them (three ~2s lineitem
+    # self-join stages observed in the r5 bench regression); one cheap
+    # count pins the cache before the fan-out.
+    edges.count()
     sym = edges.select(F.col("a").alias("node")).unionAll(
         edges.select(F.col("b").alias("node"))
     )
@@ -183,6 +196,7 @@ def _triangle_build(spark: SparkSession, sf_dir: str):
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
     ).repartition(8).persist()
+    oriented.count()  # same cache-pinning as edges above
     o1 = oriented.toDF("u", "v", "dv")
     o2 = oriented.toDF("u", "w", "dw")
     # each unordered out-pair once: spoke v ranks strictly below spoke w
@@ -401,6 +415,7 @@ def _common_neighbors_build(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     edges = _assoc_edges(spark, sf_dir).repartition(8).persist()
+    edges.count()  # pin the cache before multi-branch reuse (see triangle)
     allsym = edges.unionAll(edges.select(F.col("b").alias("a"),
                                          F.col("a").alias("b")))
     w = Window.partitionBy("a").orderBy("b")
@@ -499,7 +514,8 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("long").alias("sup")
     )
     l1 = li.toDF("okey", "a")
-    l2 = li.toDF("okey", "b")
+    # shuffle_hash for the fact self-join — see _assoc_edges
+    l2 = li.toDF("okey", "b").hint("shuffle_hash")
     pair = (
         l1.join(l2, "okey")
         .filter(F.col("a") < F.col("b"))
