@@ -107,6 +107,18 @@ HEADLINE = [
     "pipeline_rfm_features",
     "agg_distinct_bitmap",
     "sim_knn_graph",
+    # round-6 additions: the remaining TPC-H shapes
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q19_disjunctive_rev",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -71,6 +71,7 @@ def _load_all() -> None:
     import ocs_duckdb_runner_spark.operators.sampling  # noqa: F401
     import ocs_duckdb_runner_spark.operators.setops  # noqa: F401
     import ocs_duckdb_runner_spark.operators.subqueries  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.tpch_suite  # noqa: F401
     import ocs_duckdb_runner_spark.operators.windows  # noqa: F401
     import ocs_duckdb_runner_spark.functions.complex  # noqa: F401
     import ocs_duckdb_runner_spark.functions.scalar  # noqa: F401

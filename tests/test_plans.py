@@ -300,6 +300,27 @@ def test_common_neighbors_wedge_join_is_capped_and_keyed(spark):
     assert "mid" in plan
 
 
+def test_tpch_q19_pushes_part_predicates_and_broadcasts(spark):
+    """Q19's disjunctive predicate must not defeat the optimizer: the
+    part-side brand/size constraints reach the parquet scan as pushed
+    filters, part broadcasts, and no cross product appears."""
+    plan = plan_of(spark, "tpch_q19_disjunctive_rev")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln or "p_size" in ln for ln in pushed)
+
+
+def test_tpch_q21_uses_semi_and_anti_joins(spark):
+    """Q21's EXISTS / NOT EXISTS must compile to semi and anti joins on
+    the order key — never a row-multiplying inner join + distinct, and
+    never a nested-loop cross product."""
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
 def test_chunk_documents_is_shuffle_free_lateral(spark):
     """Chunking is pure map-side amplification: one Generate, zero
     exchanges of any kind — at 100 TB it must scale with input splits."""
