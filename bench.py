@@ -119,6 +119,9 @@ HEADLINE = [
     "tpch_q19_disjunctive_rev",
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
+    "event_changepoint_cusum",
+    "nb_lang_confusion",
+    "text_readability",
 ]
 
 

@@ -1497,3 +1497,160 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term"), 6).alias("entropy_rate_nats"))
         .crossJoin(F.broadcast(kinds))
     )
+
+
+@query(
+    "event_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               {sql_fx_sum('value')} AS x_c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_c) AS BIGINT) AS total_c
+        FROM daily GROUP BY 1
+    ),
+    cusum AS (
+        SELECT d.event_type, d.d,
+               CAST(s.n * sum(d.x_c) OVER (
+                      PARTITION BY d.event_type ORDER BY d.d)
+                    - (row_number() OVER (
+                         PARTITION BY d.event_type ORDER BY d.d)) * s.total_c
+                    AS BIGINT) AS cusum_scaled_c
+        FROM daily d JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           strftime((min({{'neg': -abs(cusum_scaled_c), 'd': d}})).d,
+                    '%Y-%m-%d') AS change_day,
+           CAST(max(abs(cusum_scaled_c)) AS BIGINT) AS max_cusum_scaled_c
+    FROM cusum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "changepoint"),
+)
+def event_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of the daily value series from its global mean
+    peaks — the classic mean-shift locator (monitoring: 'when did this
+    metric's level change?'). The textbook statistic is
+    CUSUM_t = Σ_{{i≤t}}(x_i − x̄); multiplying through by n gives
+    n·Σx_i − t·total, ALL integers on the fixed-point cent grid — no
+    float ever enters, so the argmax day is bit-exact cross-engine (ties
+    break to the earliest day).
+
+    Plan: one day-grain aggregate of the fact scan; per-type n/total as
+    a broadcast-size join; the prefix sum is one window over ~30 rows
+    per type; the argmax is a min-struct aggregate over the same."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(fx_sum("value").alias("x_c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_c").cast("long").alias("total_c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cusum = (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            "d",
+            (
+                F.col("n") * F.sum("x_c").over(w)
+                - F.row_number().over(w) * F.col("total_c")
+            ).cast("long").alias("cusum_scaled_c"),
+        )
+    )
+    pick = F.min(
+        F.struct(
+            (-F.abs(F.col("cusum_scaled_c"))).alias("neg"),
+            F.col("d").alias("d"),
+        )
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.date_format(pick.getField("d"), "yyyy-MM-dd").alias("change_day"),
+            F.max(F.abs(F.col("cusum_scaled_c"))).cast("long")
+            .alias("max_cusum_scaled_c"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_seasonal_indices",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type,
+               dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+               value
+        FROM events
+    ),
+    per_dow AS (
+        SELECT event_type, CAST(dow AS BIGINT) AS dow,
+               {sql_fx_sum('value')} AS sum_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type,
+               CAST(sum(sum_c) AS BIGINT) AS tot_c,
+               CAST(sum(n) AS BIGINT) AS tot_n
+        FROM per_dow GROUP BY 1
+    )
+    SELECT p.event_type, p.dow, p.n,
+           round((CAST(p.sum_c AS DOUBLE) / p.n)
+                 / (CAST(o.tot_c AS DOUBLE) / o.tot_n), 9) AS seasonal_index
+    FROM per_dow p JOIN overall o USING (event_type)
+    ORDER BY event_type, dow
+    """,
+    tags=("events", "timeseries", "seasonality"),
+)
+def event_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality decomposition: per event type and day-of-week,
+    the seasonal index = dow-mean / overall-mean — the multiplicative
+    seasonal component a forecast divides out before trend fitting
+    (capacity planning: 'Mondays run 1.3× baseline'). Both means are
+    ratios of exact integers, so the index is two double divisions on
+    identical operands, rounded to a shared 9-digit grid.
+
+    Day-of-week convention: DuckDB's dayofweek() is 0=Sunday..6; Spark's
+    dayofweek() is 1=Sunday..7 — the Spark side subtracts 1 so the codes
+    agree.
+
+    Plan: one (type, dow) aggregate — 5×7 groups — then a broadcast
+    join against the per-type rollup. Nothing after the first exchange
+    exceeds dimension size."""
+    e = load_table(spark, sf_dir, "events")
+    per_dow = e.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(
+        fx_sum("value").alias("sum_c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    overall = per_dow.groupBy(F.col("event_type").alias("o_type")).agg(
+        F.sum("sum_c").cast("long").alias("tot_c"),
+        F.sum("n").cast("long").alias("tot_n"),
+    )
+    return (
+        per_dow.join(
+            F.broadcast(overall), F.col("event_type") == F.col("o_type")
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(
+                (F.col("sum_c").cast("double") / F.col("n"))
+                / (F.col("tot_c").cast("double") / F.col("tot_n")),
+                9,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -995,3 +995,185 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sc.unpersist()
     return out
+
+
+@query(
+    "nb_lang_confusion",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    tok_f AS (SELECT * FROM tok WHERE tok <> ''),
+    train AS (SELECT * FROM tok_f WHERE doc_id % 2 = 0),
+    eval AS (SELECT * FROM tok_f WHERE doc_id % 2 = 1),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM train),
+    cls AS (
+        SELECT t.lang,
+               CAST(count(*) AS BIGINT) AS tok_s,
+               CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+        FROM train t GROUP BY 1
+    ),
+    total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM cls),
+    cstat AS (
+        SELECT c.lang AS cls_lang,
+               CAST(round(ln(CAST(c.n_docs AS DOUBLE) / t.nd) * 1000000)
+                    AS BIGINT) AS prior_u,
+               CAST(round(ln(1.0 / (c.tok_s + v.v)) * 1000000)
+                    AS BIGINT) AS default_u,
+               c.tok_s
+        FROM cls c CROSS JOIN total t CROSS JOIN vocab v
+    ),
+    lp AS (
+        SELECT t.lang AS cls_lang, t.tok,
+               CAST(round(ln(CAST(count(*) + 1 AS DOUBLE) / (cs.tok_s + v.v))
+                          * 1000000) AS BIGINT) AS lp_u
+        FROM train t
+        JOIN cstat cs ON cs.cls_lang = t.lang
+        CROSS JOIN vocab v
+        GROUP BY t.lang, t.tok, cs.tok_s, v.v
+    ),
+    etok AS (
+        SELECT doc_id, lang AS true_lang, tok,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM eval GROUP BY 1, 2, 3
+    ),
+    edocs AS (
+        SELECT doc_id, true_lang, CAST(sum(cnt) AS BIGINT) AS n_tok
+        FROM etok GROUP BY 1, 2
+    ),
+    seen AS (
+        SELECT e.doc_id, l.cls_lang,
+               CAST(sum(e.cnt * (l.lp_u - cs.default_u)) AS BIGINT) AS adj_u
+        FROM etok e
+        JOIN lp l ON l.tok = e.tok
+        JOIN cstat cs ON cs.cls_lang = l.cls_lang
+        GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT d.doc_id, d.true_lang, cs.cls_lang,
+               cs.prior_u + d.n_tok * cs.default_u
+                 + COALESCE(s.adj_u, 0) AS score_u
+        FROM edocs d
+        CROSS JOIN cstat cs
+        LEFT JOIN seen s ON s.doc_id = d.doc_id
+                        AND s.cls_lang = cs.cls_lang
+    ),
+    pred AS (
+        SELECT doc_id, true_lang,
+               (min({'neg': -score_u, 'lang': cls_lang})).lang AS pred_lang
+        FROM scores GROUP BY doc_id, true_lang
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    ORDER BY true_lang, pred_lang
+    """,
+    tags=("llm", "curation", "classifier", "nb"),
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and evaluated
+    in-engine — the distributed form of the fastText-style lang-id model
+    a curation pipeline trains on its own corpus: even doc_ids train,
+    odd doc_ids evaluate, output is the confusion matrix. Laplace-1
+    smoothing over the train vocabulary; unseen tokens score the
+    per-class default, folded via score = prior + n·default +
+    Σ_seen cnt·(logp − default) so only SEEN (doc, token, class) triples
+    ever join.
+
+    Exactness: every log-probability is rounded to integer MICRO-NATS
+    (·1e6) the moment it leaves ln() — ln's last-ulp variance across
+    libm builds dies at the grid, and all downstream sums/argmax are
+    pure integer arithmetic, order-independent at any partition count.
+    Argmax ties break to the lexicographically first class.
+
+    Plan at 100 TB: token counts are (class, token)-keyed aggregates
+    (vocab-bounded); the class-stat frame is 5 rows (broadcast); the
+    scoring join is seen-token inner join + a doc×5 grid crossJoin of a
+    broadcast frame — the text column never crosses an exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_all = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    train = tok_all.filter(F.col("doc_id") % 2 == 0)
+    ev = tok_all.filter(F.col("doc_id") % 2 == 1)
+    vocab = train.agg(F.countDistinct("tok").cast("long").alias("v"))
+    cls = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("tok_s"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    total = cls.agg(F.sum("n_docs").cast("long").alias("nd"))
+    u = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    cstat = (
+        cls.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls_lang"),
+            u(F.log(F.col("n_docs").cast("double") / F.col("nd")))
+            .alias("prior_u"),
+            u(F.log(1.0 / (F.col("tok_s") + F.col("v")))).alias("default_u"),
+            "tok_s",
+            "v",
+        )
+    )
+    lp = (
+        train.groupBy(F.col("lang").alias("cls_lang"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .join(F.broadcast(cstat), "cls_lang")
+        .select(
+            "cls_lang",
+            "tok",
+            u(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tok_s") + F.col("v"))
+                )
+            ).alias("lp_u"),
+            "default_u",
+        )
+    )
+    etok = ev.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "tok"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    edocs = etok.groupBy("doc_id", "true_lang").agg(
+        F.sum("cnt").cast("long").alias("n_tok")
+    )
+    seen = (
+        etok.join(lp, "tok")
+        .groupBy("doc_id", "cls_lang")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("lp_u") - F.col("default_u")))
+            .cast("long").alias("adj_u")
+        )
+    )
+    grid = edocs.crossJoin(
+        F.broadcast(cstat.select("cls_lang", "prior_u", "default_u"))
+    )
+    scores = (
+        grid.join(seen, ["doc_id", "cls_lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls_lang",
+            (
+                F.col("prior_u")
+                + F.col("n_tok") * F.col("default_u")
+                + F.coalesce(F.col("adj_u"), F.lit(0))
+            ).alias("score_u"),
+        )
+    )
+    pred = scores.groupBy("doc_id", "true_lang").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_u")).alias("neg"),
+                F.col("cls_lang").alias("lang"),
+            )
+        ).getField("lang").alias("pred_lang")
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

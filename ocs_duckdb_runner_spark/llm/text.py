@@ -986,3 +986,68 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big.unpersist()
     return out
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                    AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                    AS BIGINT) AS syllables
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, words, sentences, syllables,
+           round(206.835
+                 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 6)
+             AS flesch
+    FROM m WHERE words > 0
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "readability"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability measure a
+    curation pipeline buckets web text by (flesch = 206.835 − 1.015
+    ·words/sentence − 84.6·syllables/word). Syllables use the standard
+    cheap proxy (vowel-group count — no dictionary in SQL); sentences
+    count terminal punctuation with a floor of 1. All three counts are
+    exact integers from the same regex class semantics in both engines
+    (plain character classes — no engine-specific syntax), so the score
+    is two double divisions on identical operands, rounded to a shared
+    6-digit grid. doc_id % 10 sample bounds the checked output.
+
+    Plan: pure map-side expressions over the document scan — no
+    shuffle, no UDF; the text column never crosses an exchange."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    lower = F.lower(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z0-9]+"), 0))
+        .cast("long").alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)),
+        ).cast("long").alias("sentences"),
+        F.size(F.regexp_extract_all(lower, F.lit("[aeiou]+"), 0))
+        .cast("long").alias("syllables"),
+    ).filter(F.col("words") > 0)
+    return m.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+            - 84.6 * (F.col("syllables").cast("double") / F.col("words")),
+            6,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
