@@ -122,6 +122,14 @@ HEADLINE = [
     "event_changepoint_cusum",
     "nb_lang_confusion",
     "text_readability",
+    "graph_label_propagation",
+    "graph_bfs_distance",
+    "text_keyword_rake",
+    "dedup_url_canonical",
+    "corpus_dataset_card",
+    "event_sax_symbolic",
+    "agg_corr_matrix",
+    "sim_mmr_rerank",
 ]
 
 

@@ -1654,3 +1654,137 @@ def event_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+_SAX_SEG_DAYS = 7
+# 4-symbol alphabet: equiprobable N(0,1) breakpoints (z quartiles)
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@query(
+    "event_sax_symbolic",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    d0 AS (SELECT min(day) AS day0 FROM daily),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS d_days,
+               CAST(sum(s) AS BIGINT) AS s1,
+               CAST(sum(s * s) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    ),
+    segs AS (
+        SELECT d.event_type,
+               CAST(date_diff('day', d0.day0, d.day) AS BIGINT)
+                   // {_SAX_SEG_DAYS} AS seg,
+               CAST(sum(d.s) AS BIGINT) AS seg_sum,
+               CAST(count(*) AS BIGINT) AS seg_days
+        FROM daily d, d0 GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT g.event_type, g.seg,
+               (CAST(g.seg_sum AS DOUBLE) / g.seg_days
+                - CAST(t.s1 AS DOUBLE) / t.d_days)
+               / sqrt((t.d_days * CAST(t.s2 AS DOUBLE)
+                       - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE))
+                      / (CAST(t.d_days AS DOUBLE)
+                         * (t.d_days - 1))) AS zval
+        FROM segs g JOIN stats t ON t.event_type = g.event_type
+    )
+    SELECT event_type,
+           string_agg(CASE WHEN zval < {_SAX_BREAKS[0]} THEN 'a'
+                           WHEN zval < {_SAX_BREAKS[1]} THEN 'b'
+                           WHEN zval < {_SAX_BREAKS[2]} THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS sax_word,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM z GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "sax"),
+)
+def event_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003) of each event type's daily
+    value series: z-normalize per type, PAA-average over 7-day calendar
+    segments, then map each segment to one of 4 symbols at the
+    equiprobable N(0,1) breakpoints — the time-series-mining primitive
+    behind motif discovery and symbolic indexing. Exactness: daily totals
+    are integer cents; segment means and the per-type mean are integer
+    ratios (identical doubles); variance is computed from the integer
+    (D, Σx, Σx²) triple cast to double — every arithmetic step then runs
+    on bit-identical operands in both engines, so the z-comparisons at
+    the breakpoints agree exactly. Because PAA is affine in the daily
+    totals, segment z-means are computed from segment INTEGER sums — no
+    order-dependent double summation anywhere. Σx² stays under 2^63
+    through the 10× probe; beyond that the sum moves to decimal(38)
+    (documented, same policy as fx_sum).
+
+    Plan: one (type, day) aggregate off the scan (partial map-side), a
+    5-row per-type stats frame broadcast back, and a vocabulary-sized
+    ordered string_agg. At 100 TB the only data-sized exchange is the
+    daily rollup, which carries integer partial sums — the raw events
+    never shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+    )
+    day0 = daily.agg(F.min("day").alias("day0"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d_days"),
+        F.sum("s").alias("s1"),
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+    )
+    segs = (
+        daily.crossJoin(F.broadcast(day0))
+        .withColumn(
+            "seg",
+            F.expr(f"CAST(datediff(day, day0) AS BIGINT) DIV {_SAX_SEG_DAYS}"),
+        )
+        .groupBy("event_type", "seg")
+        .agg(
+            F.sum("s").alias("seg_sum"),
+            F.count(F.lit(1)).alias("seg_days"),
+        )
+    )
+    st = stats.toDF("stype", "d_days", "s1", "s2")
+    mu = F.col("s1").cast("double") / F.col("d_days")
+    sigma = F.sqrt(
+        (
+            F.col("d_days") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (F.col("d_days").cast("double") * (F.col("d_days") - 1))
+    )
+    z = (
+        segs.join(F.broadcast(st), segs.event_type == st.stype)
+        .withColumn(
+            "zval",
+            (F.col("seg_sum").cast("double") / F.col("seg_days") - mu) / sigma,
+        )
+    )
+    sym = (
+        F.when(F.col("zval") < _SAX_BREAKS[0], F.lit("a"))
+        .when(F.col("zval") < _SAX_BREAKS[1], F.lit("b"))
+        .when(F.col("zval") < _SAX_BREAKS[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        z.withColumn("sym", sym)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                    lambda x: x.sym,
+                ),
+                "",
+            ).alias("sax_word"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("event_type")
+    )

@@ -1177,3 +1177,51 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@query(
+    "corpus_dataset_card",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dup_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+    FROM documents
+    """,
+    tags=("llm", "curation", "card"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the summary block every published training
+    corpus ships (docs, sources, languages, size, token count, exact-dup
+    rate): the cheap full-corpus statistics a pipeline computes ONCE per
+    snapshot and attaches to the dataset's provenance record. mean_chars
+    is an exact integer sum divided once by an exact count, so the double
+    is bit-identical cross-engine (the fx_avg argument, exactness.py).
+
+    Plan: a single pass — every statistic is a partial-aggregable measure
+    (count / sum / distinct-count), so the corpus is read once and only
+    already-reduced partials cross the exchange. The two distinct-counts
+    (source, lang) are low-cardinality; the md5 distinct carries 16-byte
+    keys. At 100 TB this is one scan + one 1-row aggregate; a production
+    variant swaps the exact md5 distinct for the HLL sketch
+    (agg_approx_distinct) when ±1% suffices."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    card = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_exact_dup_docs"
+        ),
+    )
+    return card.withColumn(
+        "mean_chars",
+        F.col("total_chars").cast("double") / F.col("n_docs"),
+    )

@@ -1267,3 +1267,108 @@ def eval_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp.cast("double") / F.nullif(F.sum(truth.cast("long")), F.lit(0)), 9
         ).alias("recall_"),
     )
+
+
+# --- URL-canonical dedup -----------------------------------------------
+# The documents fixture has no URL column, so a raw URL is DERIVED
+# deterministically from (source, doc_id) with the exact messiness a web
+# crawl exhibits — mixed-case scheme/host, optional www. prefix, tracking
+# query strings, trailing slashes — and both engines derive it with the
+# same arithmetic, so the canonicalization under test sees identical
+# inputs. Collisions are engineered by the path bucket (doc_id % 40).
+_SQL_RAW_URL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+    source || '.Example.COM' ||
+    '/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 0
+          THEN '?utm_source=feed&utm_campaign=sync' ELSE '' END)
+"""
+
+
+def _raw_url() -> Column:
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("?utm_source=feed&utm_campaign=sync"),
+        ).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_SQL_RAW_URL} AS raw_url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, raw_url,
+               lower(split_part(split_part(raw_url, '?', 1), '://', 1))
+               || '://' ||
+               regexp_replace(
+                   lower(split_part(split_part(raw_url, '?', 1), '://', 2)),
+                   '^www\\.', '')
+                   AS canon0
+        FROM raw
+    ),
+    final AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(canon0, '/$', '') AS canonical_url
+        FROM canon
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM final
+    GROUP BY canonical_url
+    ORDER BY n_variants DESC, canonical_url ASC LIMIT 20
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup pass of every web-crawl
+    pipeline (cheaper than any content hash because it reads no content):
+    lowercase scheme+host, strip the `www.` prefix, drop the tracking
+    query string, strip the trailing slash, then collapse documents whose
+    canonical URLs collide, electing the smallest doc_id as keeper. The
+    whole host+path is lowercased here because the derived paths are
+    lowercase by construction; a general crawler lowercases scheme/host
+    only (paths are case-significant) — noted so the simplification is
+    explicit. Output: top-20 most-collapsed canonical URLs.
+
+    Plan: canonicalization is pure map-side string expressions (JVM,
+    whole-stage codegen — no Python, no UDF); the collapse is ONE hash
+    aggregate keyed on the canonical URL string. At 100 TB this is the
+    same shape as dedup_exact but with a ~60-byte URL key instead of a
+    16-byte md5 — still key-only shuffle, and the top-20 compiles to
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = d.withColumn("raw_url", _raw_url())
+    no_q = F.substring_index(F.col("raw_url"), "?", 1)
+    scheme = F.lower(F.substring_index(no_q, "://", 1))
+    hostpath = F.regexp_replace(
+        F.lower(F.substring_index(no_q, "://", -1)), "^www\\.", ""
+    )
+    canonical = F.regexp_replace(
+        F.concat(scheme, F.lit("://"), hostpath), "/$", ""
+    )
+    return (
+        raw.withColumn("canonical_url", canonical)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("raw_url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy(F.col("n_variants").desc(), F.col("canonical_url").asc())
+        .limit(20)
+    )

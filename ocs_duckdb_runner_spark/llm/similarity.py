@@ -1417,3 +1417,131 @@ def eval_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("sil"), 9).alias("mean_silhouette"),
     )
+
+
+_MMR_CAND = 20  # relevance-ranked candidate pool fed to the re-ranker
+_MMR_K = 5  # results returned
+_MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    steps = ""
+    for k in range(2, _MMR_K + 1):
+        steps += f""",
+    s{k} AS (
+        SELECT vec_id, {k} AS pick_rank, mmr_score FROM (
+            SELECT c.vec_id AS vec_id,
+                   {_MMR_LAMBDA} * c.rel
+                   - {round(1 - _MMR_LAMBDA, 10)} * max(p.sim) AS mmr_score
+            FROM cand c
+            JOIN pair p ON p.ai = c.vec_id
+            JOIN sel{k - 1} s ON p.bi = s.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+            GROUP BY c.vec_id, c.rel)
+        ORDER BY mmr_score DESC, vec_id LIMIT 1
+    ),
+    sel{k} AS (SELECT vec_id FROM sel{k - 1}
+               UNION ALL SELECT vec_id FROM s{k})"""
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM s{k}" for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (SELECT {_SQL_FP.format(v='embedding')} AS qv
+               FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
+           FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+    cand AS MATERIALIZED (
+        SELECT vec_id, ev, {_sql_cosine('ev', 'qv')} AS rel
+        FROM fp, q ORDER BY rel DESC, vec_id LIMIT {_MMR_CAND}),
+    pair AS MATERIALIZED (
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               {_sql_cosine('a.ev', 'b.ev')} AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    s1 AS (
+        SELECT vec_id, 1 AS pick_rank, {_MMR_LAMBDA} * rel AS mmr_score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1){steps}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, pick_rank, mmr_score
+    FROM ({picks}) ORDER BY pick_rank
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle(), tags=("llm", "similarity", "mmr"))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity pass every RAG retriever runs between ANN recall and
+    the prompt: from the top-20 relevance candidates, greedily pick 5,
+    each maximizing λ·rel(q,d) − (1−λ)·max sim(d, selected) so near-
+    duplicate passages don't crowd the context window. Greedy selection
+    is SEQUENTIAL by definition, so the loop is unrolled (5 steps), the
+    same policy as graph_pagerank's unrolled rounds; ties break toward
+    the smaller vec_id. All similarities are the fp-integer cosine
+    (bit-identical cross-engine), and λ-arithmetic on identical doubles
+    stays identical, so the oracle match is exact with no rounding.
+
+    Plan: the candidate pool is ONE brute-force top-k
+    (TakeOrderedAndProject) pinned by localCheckpoint — at 100 TB this
+    stage is the ANN index probe (sim_ivf_topk) instead, and everything
+    downstream is unchanged: the 20-row candidate and 380-row pairwise
+    frames are driver-trivial, each greedy step a broadcast join on
+    them. MMR cost is O(k·CAND) on a CONSTANT-size frame — corpus size
+    only ever enters through the recall stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        fp_vec(F.col("embedding")).alias("qv")
+    )
+    fp = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", fp_vec(F.col("embedding")).alias("ev")
+    )
+    cand = (
+        fp.crossJoin(F.broadcast(q))
+        .select("vec_id", "ev", cosine(F.col("ev"), F.col("qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ai"), F.col("ev").alias("aev")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bi"), F.col("ev").alias("bev")
+    )
+    pair = (
+        a.crossJoin(b)
+        .filter(F.col("ai") != F.col("bi"))
+        .select("ai", "bi", cosine(F.col("aev"), F.col("bev")).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    lam = F.lit(_MMR_LAMBDA)
+    pen = F.lit(round(1 - _MMR_LAMBDA, 10))
+    picked = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            F.lit(1).alias("pick_rank"),
+            (lam * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        sel = picked.select("vec_id").toDF("sid")
+        maxsim = (
+            pair.join(F.broadcast(sel), pair.bi == F.col("sid"))
+            .groupBy("ai")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            cand.join(maxsim, cand.vec_id == maxsim.ai)
+            .join(
+                F.broadcast(sel), cand.vec_id == F.col("sid"), "left_anti"
+            )
+            .select(
+                "vec_id",
+                F.lit(k).alias("pick_rank"),
+                (lam * F.col("rel") - pen * F.col("ms")).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
+            .limit(1)
+        )
+        picked = picked.unionAll(pick)
+    return picked.orderBy("pick_rank")

@@ -1051,3 +1051,92 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, s.i AS pos, ls[s.i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+             unnest(generate_series(1, len(ls))) AS s(i)
+    ),
+    seg AS (
+        SELECT doc_id, pos, w,
+               w IN ({_sql_list(_STOPWORDS)}) AS is_stop,
+               sum(CASE WHEN w IN ({_sql_list(_STOPWORDS)}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM tok
+    ),
+    words AS (
+        SELECT doc_id, phrase_id, w FROM seg
+        WHERE NOT is_stop AND len(w) > 0
+    ),
+    plen AS (
+        SELECT doc_id, phrase_id, count(*) AS plen
+        FROM words GROUP BY doc_id, phrase_id
+    ),
+    scored AS (
+        SELECT w.w AS word,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS degree
+        FROM words w JOIN plen p
+          ON p.doc_id = w.doc_id AND p.phrase_id = w.phrase_id
+        GROUP BY w.w
+    )
+    SELECT word, freq, degree,
+           CAST((degree * 1000000) // freq AS BIGINT) AS score_micro
+    FROM scored
+    ORDER BY score_micro DESC, word ASC LIMIT 15
+    """,
+    tags=("llm", "text", "keywords"),
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    where degree sums the lengths of every phrase containing it —
+    high-degree words live in long multi-word phrases (domain terms),
+    high-frequency-low-degree words are generic fillers. Scores are kept
+    on an integer micro grid (degree·1e6 DIV freq) so the cross-engine
+    ranking is exact integer arithmetic; top-15 keywords corpus-wide.
+
+    Plan: posexplode lateral (tokens leave the document row ONCE), phrase
+    segmentation as a running stopword count over (doc, pos) — one
+    doc-keyed sort exchange, the standard sessionize shape — then phrase
+    lengths and word scores as two key-only hash aggregates and one
+    (doc, phrase) equi-join. The final top-15 compiles to
+    TakeOrderedAndProject (O(k) per task). At 100 TB the only exchange
+    carrying token text is the per-doc segmentation shuffle; doc_id
+    partitioning keeps it even, and the score table is vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "w")
+    )
+    is_stop = F.col("w").isin(*_STOPWORDS)
+    seg = tok.withColumn(
+        "phrase_id",
+        F.sum(is_stop.cast("int")).over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    ).withColumn("is_stop", is_stop)
+    words = seg.filter(~F.col("is_stop") & (F.length("w") > 0)).select(
+        "doc_id", "phrase_id", "w"
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    scored = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "score_micro", F.expr("degree * 1000000 DIV freq")
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("word").asc())
+        .limit(15)
+    )

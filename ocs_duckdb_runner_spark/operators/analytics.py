@@ -639,3 +639,99 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("long").alias("total_revenue_c"),
         )
     )
+
+
+# correlation-matrix measures: (name, SQL scaled-integer expr, scale)
+_CORR_VARS = (
+    ("qty", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+_CORR_PAIRS = tuple(
+    (_CORR_VARS[i][0], _CORR_VARS[j][0])
+    for i in range(len(_CORR_VARS))
+    for j in range(i + 1, len(_CORR_VARS))
+)
+
+
+def _corr_matrix_oracle() -> str:
+    scaled = ", ".join(f"{expr} AS {name}" for name, expr in _CORR_VARS)
+    # second moments overflow BIGINT at the 10x probe (Σprice_cents² ≈
+    # 6e20 > 2^63 — caught by the probe, not the sf0.01 gate), so they are
+    # summed in 128-bit: DuckDB's sum(BIGINT) is already HUGEINT; the
+    # double cast happens once, on the exact integer total
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for name, _ in _CORR_VARS:
+        sums.append(f"CAST(sum({name}) AS DOUBLE) AS s_{name}")
+        sums.append(f"CAST(sum({name} * {name}) AS DOUBLE) AS ss_{name}")
+    for x, y in _CORR_PAIRS:
+        sums.append(f"CAST(sum({x} * {y}) AS DOUBLE) AS sp_{x}_{y}")
+    corrs = ", ".join(
+        f"(n * sp_{x}_{y} - s_{x} * s_{y})"
+        f" / sqrt(n * ss_{x} - s_{x} * s_{x})"
+        f" / sqrt(n * ss_{y} - s_{y} * s_{y}) AS corr_{x}_{y}"
+        for x, y in _CORR_PAIRS
+    )
+    return f"""
+    WITH scaled AS (SELECT {scaled} FROM lineitem),
+    sums AS (SELECT {', '.join(sums)} FROM scaled)
+    SELECT {corrs} FROM sums
+    """
+
+
+@query("agg_corr_matrix", oracle=_corr_matrix_oracle(), tags=("agg", "corr"))
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Pearson correlation matrix over the four lineitem
+    measures (quantity, extendedprice, discount, tax) — the feature-
+    screening pass a modeling pipeline runs before training. Unlike
+    agg_stats's corr (engine-native, rounded to absorb float order),
+    every moment here is an ORDER-INDEPENDENT integer sum on the fixed
+    decimal grid; the classic n·Σxy−ΣxΣy formula is then evaluated on
+    those integers cast to double, so each of the 6 coefficients is
+    bit-identical cross-engine with NO rounding — the same exactness
+    escalation fx_sum applies to sums, extended to second moments.
+
+    Plan: ONE scan and ONE 1-row aggregate computing all 15 moments
+    (4 sums + 4 squares + 6 cross-products + count) as map-side integer
+    partials — the shuffle carries 15 numbers per partition regardless of
+    data size; the coefficient arithmetic is a scalar projection on the
+    1-row frame. Second-moment sums are 128-bit (decimal(38,0) in Spark,
+    HUGEINT promotion in DuckDB) because Σprice_cents² already overflows
+    int64 at the 10× probe — the probe caught exactly this before it
+    shipped on int64."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": F.round(F.col("l_quantity")).cast("long"),
+        "price": F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "disc": F.round(F.col("l_discount") * 100).cast("long"),
+        "tax": F.round(F.col("l_tax") * 100).cast("long"),
+    }
+    # per-row products fit a long (≤ ~1e14); their SUMS don't at 10×+, so
+    # accumulate in decimal(38,0) — the Spark twin of DuckDB's HUGEINT
+    # promotion — and cast the exact total to double once
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for name in cols:
+        aggs.append(F.sum(cols[name]).cast("double").alias(f"s_{name}"))
+        aggs.append(
+            F.sum((cols[name] * cols[name]).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"ss_{name}")
+        )
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum((cols[x] * cols[y]).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"sp_{x}_{y}")
+        )
+    sums = li.agg(*aggs)
+    n = F.col("n")
+    out = [
+        (
+            (n * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}"))
+            / F.sqrt(n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+            / F.sqrt(n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        ).alias(f"corr_{x}_{y}")
+        for x, y in _CORR_PAIRS
+    ]
+    return sums.select(*out)

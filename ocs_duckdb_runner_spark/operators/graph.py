@@ -626,3 +626,174 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# symmetrized adjacency over the association edge set — shared by the
+# label-propagation and BFS queries below
+_SQL_ADJ = """
+    adj AS MATERIALIZED (
+        SELECT a AS node, b AS nbr FROM edges
+        UNION ALL
+        SELECT b AS node, a AS nbr FROM edges
+    )
+"""
+
+_LPA_ROUNDS = 3
+
+
+def _adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _assoc_edges(spark, sf_dir)
+    # repartition(8), not coalesce: narrows the tiny persisted frame
+    # without propagating the narrow width up into the lineitem
+    # self-join (the measured coalesce trap — see SCALING.md, cached-plan
+    # partitioning). Round-robin, not keyed: LPA joins this frame on nbr
+    # while BFS joins it on node, so no single keyed layout serves both.
+    return (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition(8)
+        .persist()
+    )
+
+
+def _lpa_oracle() -> str:
+    step = """
+    , f{i} AS (
+        SELECT adj.node AS node, l.lbl AS lbl, count(*) AS cnt
+        FROM adj JOIN l{p} l ON l.node = adj.nbr
+        GROUP BY adj.node, l.lbl
+    ),
+    l{i} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM f{i})
+        WHERE rn = 1
+    )"""
+    body = "".join(step.format(i=i, p=i - 1) for i in range(1, _LPA_ROUNDS + 1))
+    return f"""
+    WITH {_SQL_ASSOC.strip()}, {_SQL_ADJ.strip()},
+    l0 AS (SELECT DISTINCT node, node AS lbl FROM adj){body},
+    sizes AS (SELECT lbl, count(*) AS sz FROM l{_LPA_ROUNDS} GROUP BY lbl)
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(count(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY sz ORDER BY community_size
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "community"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 unrolled
+    rounds) on the association co-purchase graph: every node starts as its
+    own label; each round it adopts its neighbors' MOST FREQUENT label,
+    ties broken toward the smaller label id — the tie rule is what makes
+    classic LPA (normally randomized) deterministic and therefore
+    oracle-checkable. Output is the community-size histogram after the
+    last round.
+
+    Plan per round: one equi-join of the (support-filtered, key-only)
+    adjacency against the current label frame on the 8-byte neighbor key,
+    one (node,label) count aggregate, and one per-node arg-max via a
+    window over the count — label text never exists, nothing but keys and
+    counts cross an exchange. The adjacency is persisted once; at 100 TB
+    each round is the same bounded join a production LPA loop (iterate
+    to convergence) would run — and there the adjacency would be
+    bucketed on the join key so every round reuses one co-located
+    layout. The unrolled form is the same policy as graph_pagerank /
+    graph_kcore_peel."""
+    from pyspark.sql.window import Window
+
+    adj = _adjacency(spark, sf_dir)
+    labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(_LPA_ROUNDS):
+        lab = labels.toDF("lnode", "lbl")
+        freq = (
+            adj.join(lab, adj.nbr == lab.lnode)
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    out = (
+        sizes.groupBy("community_size")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy("community_size")
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    return out
+
+
+_BFS_ROUNDS = 3
+_BFS_SEEDS = 5
+
+
+def _bfs_oracle() -> str:
+    step = """
+    , d{i} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{p}
+            UNION ALL
+            SELECT adj.nbr AS node, d{p}.dist + 1 AS dist
+            FROM adj JOIN d{p} ON adj.node = d{p}.node)
+        GROUP BY node
+    )"""
+    body = "".join(step.format(i=i, p=i - 1) for i in range(1, _BFS_ROUNDS + 1))
+    return f"""
+    WITH {_SQL_ASSOC.strip()}, {_SQL_ADJ.strip()},
+    d0 AS (
+        SELECT node, 0 AS dist FROM (SELECT DISTINCT node FROM adj)
+        ORDER BY node LIMIT {_BFS_SEEDS}
+    ){body}
+    SELECT dist AS distance, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d{_BFS_ROUNDS} GROUP BY dist ORDER BY distance
+    """
+
+
+@query("graph_bfs_distance", oracle=_bfs_oracle(), tags=("graph", "bfs"))
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first distance, bounded at 3 hops: seeds are
+    the 5 smallest node ids of the association graph (a deterministic
+    stand-in for 'these flagged accounts / these seed documents'), and
+    each round relaxes dist(v) = min(dist(v), min over in-neighbors
+    dist(u)+1) — the bounded-frontier BFS behind blast-radius and
+    influence-set questions. Output: nodes-reached histogram by distance.
+
+    Plan per round: one adjacency⋈frontier equi-join on the 8-byte node
+    key plus one min-aggregate — the frontier frame carries (node, dist)
+    only, and min() is order-independent integer arithmetic, so the
+    result is exact at any partition count. The adjacency is persisted
+    once; the depth bound keeps the frontier monotone-bounded by the
+    k-hop neighborhood, which is the property that keeps bounded-BFS
+    tractable on power-law graphs at 100 TB (an unbounded BFS would
+    sweep in the whole giant component)."""
+    adj = _adjacency(spark, sf_dir)
+    dist = (
+        adj.select("node")
+        .distinct()
+        .orderBy("node")
+        .limit(_BFS_SEEDS)
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(_BFS_ROUNDS):
+        frontier = dist.toDF("fnode", "fdist")
+        relaxed = adj.join(frontier, adj.node == frontier.fnode).select(
+            F.col("nbr").alias("node"), (F.col("fdist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    out = (
+        dist.groupBy(F.col("dist").alias("distance"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("distance")
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    return out

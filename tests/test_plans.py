@@ -505,3 +505,28 @@ def test_rag_index_one_data_shuffle(spark):
     plan = plan_of(spark, "pipeline_rag_index")
     assert plan.count("Exchange") <= 4
     assert "Generate" in plan
+
+
+def test_rake_and_url_dedup_heap_topk_no_python(spark):
+    # corpus-wide top-k must be per-partition heaps; canonicalization and
+    # phrase math must stay JVM-side (no BatchEvalPython/ArrowEvalPython)
+    for name in ("text_keyword_rake", "dedup_url_canonical"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_corr_matrix_single_pass_no_join(spark):
+    # all 15 moments in ONE scan + ONE partial->final aggregate: any join
+    # or extra exchange means the matrix is no longer a single-pass plan
+    plan = plan_of(spark, "agg_corr_matrix")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
+    # one 1-row exchange pair (tree + detail lines)
+    assert plan.count("Exchange") <= 2
+
+
+def test_dataset_card_is_one_aggregate(spark):
+    plan = plan_of(spark, "corpus_dataset_card")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
