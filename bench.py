@@ -130,6 +130,8 @@ HEADLINE = [
     "event_sax_symbolic",
     "agg_corr_matrix",
     "sim_mmr_rerank",
+    "bpe_merge_rounds",
+    "join_spatial_grid",
 ]
 
 

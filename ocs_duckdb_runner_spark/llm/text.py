@@ -1140,3 +1140,155 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("word").asc())
         .limit(15)
     )
+
+
+_BPE_MERGE_ROUNDS = 2
+
+
+def _bpe_merge_oracle() -> str:
+    # round template: count weighted adjacent symbol pairs, pick the top
+    # merge, apply it to every distinct word's symbol sequence
+    rounds = ""
+    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+        rounds += f""",
+    p{r} AS (
+        SELECT syms[s.i] AS a, syms[s.i + 1] AS b,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS syms, cnt FROM w{r - 1}),
+             unnest(generate_series(1, len(syms) - 1)) AS s(i)
+        GROUP BY 1, 2
+    ),
+    b{r} AS (
+        SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{r} AS (
+        SELECT replace(w.seq, ' ' || b.a || ' ' || b.b || ' ',
+                       ' ' || b.a || b.b || ' ') AS seq, w.cnt
+        FROM w{r - 1} w, b{r} b
+    ),
+    m{r} AS (
+        SELECT {r} AS merge_round, b.a AS sym_a, b.b AS sym_b,
+               b.n AS pair_count,
+               (SELECT CAST(sum(len(string_split(trim(seq), ' ')) * cnt)
+                            AS BIGINT)
+                FROM w{r}) AS n_symbols_after
+        FROM b{r} b
+    )"""
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, _BPE_MERGE_ROUNDS + 1)
+    )
+    return f"""
+    WITH wf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0 GROUP BY tok
+    ),
+    w0 AS (
+        SELECT ' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) || ' '
+                   AS seq, cnt
+        FROM wf
+    ){rounds}
+    SELECT * FROM ({picks}) ORDER BY merge_round
+    """
+
+
+@query("bpe_merge_rounds", oracle=_bpe_merge_oracle(), tags=("llm", "text", "bpe"))
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, two full merge rounds (bpe_pair_stats is
+    the count half; this is count → pick merge → APPLY → recount): words
+    become space-delimited symbol sequences, each round picks the
+    highest-count adjacent symbol pair (ties toward the lexicographically
+    smaller pair) and rewrites every sequence with the pair fused. The
+    fuse is a left-to-right non-overlapping string replace — exactly
+    BPE's greedy application, and both engines' replace() scan the input
+    forward without rescanning produced output, so overlapping runs
+    ('l l l') fuse identically. Output: one row per round (chosen merge,
+    its weighted count, corpus symbol count after application) —
+    n_symbols_after is recounted, not derived, because overlapping
+    occurrences make merged-count < pair-count.
+
+    Plan — the reason real BPE trainers scale: everything after the
+    first aggregate runs on the DISTINCT-WORD frequency table, not the
+    corpus. One corpus-sized (word → count) exchange up front, then each
+    round is a vocabulary-bounded pair count (map-side weighted partials,
+    symbol-pair key space) + a broadcast 1-row merge applied map-side.
+    At 100 TB rounds cost vocabulary, not corpus — the corpus is read
+    exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(_tokens()).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = wf.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("seq"),
+        "cnt",
+    ).persist()
+    out = None
+    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        # size >= 2: Spark's sequence(1, 0) counts DOWN (yields [1, 0]),
+        # it is not empty like DuckDB's generate_series — 1-symbol words
+        # must not reach the pair expansion
+        pairs = (
+            w.select(syms.alias("syms"), "cnt")
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        prev = w
+        w = (
+            prev.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("seq"),
+                "cnt",
+            )
+            .persist()
+        )
+        n_after = w.agg(
+            F.sum(
+                (F.size(F.split(F.trim(F.col("seq")), " ")) * F.col("cnt")).cast(
+                    "long"
+                )
+            ).alias("n_symbols_after")
+        )
+        row = (
+            best.select(
+                F.lit(r).alias("merge_round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("n").alias("pair_count"),
+            )
+            .crossJoin(n_after)
+        )
+        out = row if out is None else out.unionAll(row)
+        prev.unpersist()
+    result = out.orderBy("merge_round").localCheckpoint(eager=True)
+    w.unpersist()
+    return result

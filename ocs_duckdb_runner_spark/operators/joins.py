@@ -757,3 +757,124 @@ def join_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist"),
         )
     )
+
+
+# --- grid-bucketed spatial self-join ------------------------------------
+# Synthetic 2-D point set: coordinates are Knuth multiplicative hashes of
+# p_partkey — pure integer arithmetic, bit-identical in both engines (no
+# hex parsing, no floats). Domain 1000x1000, cell = radius = 50 so any
+# Chebyshev-within-radius pair lies in the same or an adjacent cell.
+_SPG_DOMAIN = 1000
+_SPG_R = 50
+_SQL_SPG_POINTS = f"""
+    pts AS (
+        SELECT p_partkey AS k,
+               (p_partkey * 2654435761) % 4294967296 % {_SPG_DOMAIN} AS x,
+               (p_partkey * 40503 + 1013904223) % 4294967296
+                   % {_SPG_DOMAIN} AS y
+        FROM part
+    ),
+    cells AS (
+        SELECT k, x, y, x // {_SPG_R} AS cx, y // {_SPG_R} AS cy FROM pts
+    )
+"""
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH {_SQL_SPG_POINTS},
+    cand AS (
+        SELECT a.k AS ak, b.k AS bk, a.x AS ax, a.y AS ay,
+               b.x AS bx, b.y AS by_, o.dx AS dx, o.dy AS dy
+        FROM cells a
+        JOIN (VALUES (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) AS o(dx, dy)
+          ON true
+        JOIN cells b
+          ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        WHERE (o.dx <> 0 OR o.dy <> 0) OR a.k < b.k
+    )
+    SELECT CAST(least(ak, bk) AS BIGINT) AS a_key,
+           CAST(greatest(ak, bk) AS BIGINT) AS b_key,
+           CAST((ax - bx) * (ax - bx) + (ay - by_) * (ay - by_) AS BIGINT)
+               AS dist2
+    FROM cand
+    WHERE abs(ax - bx) <= {_SPG_R} AND abs(ay - by_) <= {_SPG_R}
+    ORDER BY dist2 ASC, a_key ASC, b_key ASC LIMIT 20
+    """,
+    tags=("join", "spatial", "grid"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial self-join — all point pairs within Chebyshev
+    radius 50 on a synthetic 1000×1000 point set, top-20 closest by
+    squared Euclidean distance. The scale pattern is the point: cell size
+    = radius means every qualifying pair shares a cell or touches an
+    adjacent one, so candidates come from an EQUI-join on cell ids —
+    never an all-pairs distance cross-join. The half-neighborhood trick
+    cuts the candidate fan-out further: of each ±offset pair only one
+    direction is probed ((0,1),(1,-1),(1,0),(1,1) + same-cell), so every
+    cross-cell pair is generated exactly once (cell adjacency is
+    antisymmetric under the offset set) and same-cell pairs are ordered
+    by key — 5 probe offsets instead of 9. Coordinates are integer
+    multiplicative hashes, so distances are exact BIGINTs.
+
+    Plan: one scan builds the (key, x, y, cell) frame; the 5-offset
+    expansion is a map-side Generate on the probe side; candidates come
+    from ONE equi-join keyed on the 2-int cell id, then the exact radius
+    test and a TakeOrderedAndProject top-20. At 100 TB cell occupancy is
+    what bounds the join (domain/R² cells hold N points → N·9·density
+    candidates), the same argument as the LSH band join — and a skewed
+    hot cell salts exactly like any hot join key."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    pts = p.select(
+        F.col("p_partkey").cast("long").alias("k"),
+        ((F.col("p_partkey").cast("long") * 2654435761) % 4294967296
+         % _SPG_DOMAIN).alias("x"),
+        ((F.col("p_partkey").cast("long") * 40503 + 1013904223) % 4294967296
+         % _SPG_DOMAIN).alias("y"),
+    )
+    cells = pts.select(
+        "k", "x", "y",
+        F.expr(f"x DIV {_SPG_R}").alias("cx"),
+        F.expr(f"y DIV {_SPG_R}").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        ]
+    )
+    probe = cells.select(
+        F.col("k").alias("ak"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        "cx", "cy", F.explode(offsets).alias("o"),
+    ).select(
+        "ak", "ax", "ay",
+        (F.col("cx") + F.col("o.dx")).alias("tcx"),
+        (F.col("cy") + F.col("o.dy")).alias("tcy"),
+        "o.dx", "o.dy",
+    )
+    build = cells.select(
+        F.col("k").alias("bk"), F.col("x").alias("bx"), F.col("y").alias("by_"),
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+    )
+    cand = probe.join(
+        build, (probe.tcx == build.bcx) & (probe.tcy == build.bcy)
+    ).filter(
+        ((F.col("dx") != 0) | (F.col("dy") != 0)) | (F.col("ak") < F.col("bk"))
+    )
+    within = cand.filter(
+        (F.abs(F.col("ax") - F.col("bx")) <= _SPG_R)
+        & (F.abs(F.col("ay") - F.col("by_")) <= _SPG_R)
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by_")
+    ) * (F.col("ay") - F.col("by_"))
+    return (
+        within.select(
+            F.least("ak", "bk").alias("a_key"),
+            F.greatest("ak", "bk").alias("b_key"),
+            d2.cast("long").alias("dist2"),
+        )
+        .orderBy(F.col("dist2").asc(), F.col("a_key").asc(), F.col("b_key").asc())
+        .limit(20)
+    )

@@ -530,3 +530,12 @@ def test_dataset_card_is_one_aggregate(spark):
     plan = plan_of(spark, "corpus_dataset_card")
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_spatial_grid_is_equi_join_not_cross(spark):
+    # candidates must come from the cell-id equi-join (hash join on the
+    # 2-int cell key), never a distance cross-join
+    plan = plan_of(spark, "join_spatial_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
