@@ -132,6 +132,8 @@ HEADLINE = [
     "sim_mmr_rerank",
     "bpe_merge_rounds",
     "join_spatial_grid",
+    "table_constraint_audit",
+    "table_profile_columns",
 ]
 
 

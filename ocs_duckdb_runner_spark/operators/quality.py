@@ -1,0 +1,190 @@
+"""Data-quality operators — declarative constraint auditing and one-pass
+column profiling, the dbt-test / Deequ / ANALYZE-TABLE layer every
+production pipeline runs before data is allowed downstream.
+
+The reference has no quality surface (its single query trusts its inputs);
+these extend the engine the same way the graph and curation modules do:
+each check is an ordinary aggregate/join so Catalyst plans it like any
+other query, and every reported number is an exact integer so the DuckDB
+oracle match is bit-for-bit.
+
+Design rule carried through both queries: ONE pass per audited table.
+A naive checker runs one scan per rule; at 100 TB that multiplies the
+dominant cost (the scan) by the rule count. Here every per-row rule
+compiles to a conditional-count expression inside a single aggregate, so
+adding a rule costs one register, not one scan. Only cross-table rules
+(referential integrity) require their own join — and that join carries
+keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocs_duckdb_runner_spark.registry import load_table, query
+
+# (rule_name, SQL predicate over lineitem that flags a VIOLATION)
+_LI_RULES = (
+    ("l_orderkey_not_null", "l_orderkey IS NULL"),
+    ("l_quantity_positive", "l_quantity IS NULL OR l_quantity <= 0"),
+    ("l_discount_in_unit_range", "l_discount < 0 OR l_discount > 1"),
+    ("l_tax_in_unit_range", "l_tax < 0 OR l_tax > 1"),
+    ("l_returnflag_in_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("l_linestatus_in_domain", "l_linestatus NOT IN ('O', 'F')"),
+    ("l_extendedprice_positive", "l_extendedprice IS NULL OR l_extendedprice <= 0"),
+    ("l_shipdate_in_epoch", "l_shipdate < TIMESTAMP '1990-01-01 00:00:00'"),
+)
+
+
+def _audit_oracle() -> str:
+    row_rules = ", ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {name}" for name, pred in _LI_RULES
+    )
+    return f"""
+    WITH row_audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, {row_rules}
+        FROM lineitem
+    ),
+    dup_audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS pk_duplicate_rows FROM (
+            SELECT l_orderkey, l_linenumber
+            FROM lineitem GROUP BY l_orderkey, l_linenumber
+            HAVING count(*) > 1)
+    ),
+    fk_audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS fk_orphan_rows
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT * FROM row_audit, dup_audit, fk_audit
+    """
+
+
+@query("table_constraint_audit", oracle=_audit_oracle(), tags=("quality", "audit"))
+def table_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit of lineitem — one row of violation
+    counts for 8 per-row rules (not-null, positivity, unit-range, value
+    domain, epoch sanity) plus the two rules that need more than a row:
+    primary-key uniqueness of (l_orderkey, l_linenumber) and referential
+    integrity of l_orderkey against orders. This is the dbt-test /
+    Deequ contract check a pipeline gates every snapshot on; all-zero
+    violations on the fixtures is itself the assertion (and the oracle
+    must agree on every count, so the rules are exercised cross-engine
+    even when they pass).
+
+    Plan: all 8 per-row rules fold into ONE scan + ONE 1-row aggregate
+    (conditional counts — adding a rule adds a register, not a scan);
+    PK uniqueness is one key-only group-by; referential integrity is one
+    LEFT ANTI join carrying only the 8-byte key, which AQE turns into a
+    broadcast when the orders keyset fits. Three key-only exchanges
+    total, each independent of row width, at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in _LI_RULES:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+        )
+    row_audit = li.agg(*aggs)
+    dup_audit = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("pk_duplicate_rows"))
+    )
+    fk_audit = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            li.l_orderkey == o.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("fk_orphan_rows"))
+    )
+    return row_audit.crossJoin(dup_audit).crossJoin(fk_audit)
+
+
+# columns profiled on orders; money stays on the exact cent grid
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)", "o_orderkey IS NULL"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)", "o_custkey IS NULL"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus IS NULL"),
+    (
+        "o_totalprice_cents",
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+        "o_totalprice IS NULL",
+    ),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority IS NULL"),
+)
+
+
+def _profile_oracle() -> str:
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {nullpred} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+               min({expr}) AS min_value,
+               max({expr}) AS max_value
+        FROM orders"""
+        for name, expr, nullpred in _PROFILE_COLS
+    )
+    return f"SELECT * FROM ({per_col}) ORDER BY column_name"
+
+
+@query("table_profile_columns", oracle=_profile_oracle(), tags=("quality", "profile"))
+def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over orders — per column: row count, null
+    count, distinct count, lexicographic min/max (every value rendered
+    as a canonical string so one schema fits all columns; money is
+    stringified on the cent grid to stay exact). This is the ANALYZE /
+    profiling pass that feeds both the optimizer's NDV stats and a data
+    catalog's column cards.
+
+    Plan: the Spark side computes ALL per-column measures in ONE scan +
+    ONE 1-row aggregate (count/sum/count-distinct/min/max per column are
+    independent aggregate registers), then unpivots the 1-row result to
+    the per-column report shape with a map-side stack — the oracle's
+    5-scan UNION ALL states the semantics, the engine pays one scan.
+    Distinct counts are the only registers that carry state (exact here;
+    the HLL swap — agg_approx_distinct — is the knob at extreme NDV).
+    The unpivot touches a 1-row frame, so the report costs nothing at
+    any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice_cents": F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("string"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, _sql, nullpred in _PROFILE_COLS:
+        c = exprs[name]
+        aggs.append(
+            F.sum(F.when(F.expr(nullpred), 1).otherwise(0)).alias(f"nn_{name}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{name}"))
+        aggs.append(F.min(c).alias(f"mn_{name}"))
+        aggs.append(F.max(c).alias(f"mx_{name}"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name, _sql, _np in _PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    ).orderBy("column_name")

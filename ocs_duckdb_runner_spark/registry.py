@@ -68,6 +68,7 @@ def _load_all() -> None:
     import ocs_duckdb_runner_spark.operators.graph  # noqa: F401
     import ocs_duckdb_runner_spark.operators.grouping  # noqa: F401
     import ocs_duckdb_runner_spark.operators.joins  # noqa: F401
+    import ocs_duckdb_runner_spark.operators.quality  # noqa: F401
     import ocs_duckdb_runner_spark.operators.sampling  # noqa: F401
     import ocs_duckdb_runner_spark.operators.setops  # noqa: F401
     import ocs_duckdb_runner_spark.operators.subqueries  # noqa: F401

@@ -539,3 +539,23 @@ def test_spatial_grid_is_equi_join_not_cross(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_constraint_audit_one_scan_for_row_rules(spark):
+    # the 8 per-row rules must fold into a single aggregate over one
+    # lineitem scan (plus the PK group-by and the key-only anti join) —
+    # one scan per rule would multiply the dominant cost at scale
+    # 4 scans total (each prints twice: tree line + detail header):
+    # lineitem for the fused row rules, lineitem for PK uniqueness,
+    # lineitem + orders for the key-only anti join
+    plan = plan_of(spark, "table_constraint_audit")
+    assert plan.count("Scan parquet") <= 8
+    assert "LeftAnti" in plan
+
+
+def test_profile_columns_single_aggregate_stack(spark):
+    # all 5 columns' measures in ONE aggregate; the report unpivot is a
+    # map-side Generate/Expand on a 1-row frame
+    plan = plan_of(spark, "table_profile_columns")
+    assert plan.count("Scan parquet") == 2  # ONE scan (tree + detail line)
+    assert "Join" not in plan
