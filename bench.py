@@ -134,6 +134,7 @@ HEADLINE = [
     "join_spatial_grid",
     "table_constraint_audit",
     "table_profile_columns",
+    "event_attribution_touch",
 ]
 
 

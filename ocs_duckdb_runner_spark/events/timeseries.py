@@ -1788,3 +1788,112 @@ def event_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ATTR_LOOKBACK_H = 24
+_ATTR_UNIT = 1_000_000  # integer micro-credits per conversion
+
+
+@query(
+    "event_attribution_touch",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tts, event_type
+        FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    j AS (
+        SELECT c.conv_id, t.event_id, t.event_type,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.tts, t.event_id) AS rn,
+               count(*) OVER (PARTITION BY c.conv_id) AS n
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.tts < c.cts
+         AND t.tts >= c.cts - INTERVAL {_ATTR_LOOKBACK_H} HOUR
+    ),
+    credit AS (
+        SELECT event_type,
+               CASE WHEN rn = 1 THEN {_ATTR_UNIT} ELSE 0 END AS first_u,
+               CASE WHEN rn = n THEN {_ATTR_UNIT} ELSE 0 END AS last_u,
+               {_ATTR_UNIT} // n
+                 + CASE WHEN rn = n
+                        THEN {_ATTR_UNIT} % n ELSE 0 END AS linear_u
+        FROM j
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(first_u) AS BIGINT) AS first_touch_credit_u,
+           CAST(sum(last_u) AS BIGINT) AS last_touch_credit_u,
+           CAST(sum(linear_u) AS BIGINT) AS linear_credit_u
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "attribution"),
+)
+def event_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution — every purchase distributes 1e6
+    integer micro-credits over the same user's click/view/signup touches
+    in the preceding 24 h, under the three standard models at once:
+    first-touch, last-touch, and linear (floor split with the remainder
+    pinned to the LAST touch, so each conversion's credits sum to exactly
+    1e6 — integer arithmetic end to end, no float shares to drift).
+    Report: credit totals by touch channel.
+
+    Plan: conversions and touches are two pushed-down scans of the same
+    source; the touch window is an EQUI-join on user_id with the time
+    range as a post-join filter — per-user touch lists bound the fan-out,
+    the join never becomes a time-range cross product. Ranking within
+    each conversion is one (conv_id)-keyed window; the final rollup is
+    channel-sized key-only aggregation. At 100 TB the user-keyed join is
+    the same shape as event_sessionize and salts the same way if one
+    user is pathological."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select("event_id", "user_id", F.col("ts").alias("tts"), "event_type")
+    j = (
+        conv.join(touch, conv.cuser == touch.user_id)
+        .filter(
+            (F.col("tts") < F.col("cts"))
+            & (
+                F.col("tts")
+                >= F.col("cts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_H} HOURS")
+            )
+        )
+        .select("conv_id", "event_id", "event_type", "tts")
+    )
+    w = Window.partitionBy("conv_id")
+    ranked = j.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("tts").asc(), F.col("event_id").asc())),
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    unit = F.lit(_ATTR_UNIT)
+    credit = ranked.select(
+        "event_type",
+        F.when(F.col("rn") == 1, unit).otherwise(F.lit(0)).alias("first_u"),
+        F.when(F.col("rn") == F.col("n"), unit).otherwise(F.lit(0)).alias("last_u"),
+        (
+            F.expr(f"{_ATTR_UNIT} DIV n")
+            + F.when(
+                F.col("rn") == F.col("n"), F.expr(f"{_ATTR_UNIT} % n")
+            ).otherwise(F.lit(0))
+        ).alias("linear_u"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("first_u").cast("long").alias("first_touch_credit_u"),
+            F.sum("last_u").cast("long").alias("last_touch_credit_u"),
+            F.sum("linear_u").cast("long").alias("linear_credit_u"),
+        )
+        .orderBy("event_type")
+    )
