@@ -135,6 +135,8 @@ HEADLINE = [
     "table_constraint_audit",
     "table_profile_columns",
     "event_attribution_touch",
+    "eval_cluster_purity",
+    "event_active_users_rolling",
 ]
 
 

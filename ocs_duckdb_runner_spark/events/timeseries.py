@@ -1897,3 +1897,73 @@ def event_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_active_users_rolling",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM user_days),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+    ),
+    wau AS (
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d JOIN user_days u
+          ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau AS dau, wau.wau AS wau,
+           CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_micro
+    FROM dau JOIN wau ON wau.day = dau.day
+    ORDER BY day
+    """,
+    tags=("events", "engagement"),
+)
+def event_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU on the integer
+    micro grid) per calendar day — the engagement dashboard every
+    product team runs. The scale trick is the FIRST aggregate: the raw
+    event stream collapses to distinct (user, day) pairs before any
+    window math, so the rolling-distinct problem operates on at most
+    users×days rows, not events. The trailing-window distinct is then a
+    bounded-fanout join of user-days against the (tiny, broadcast)
+    day spine — each user-day lands in at most 7 window rows.
+
+    At 100 TB: events→user_days is one (user, day)-keyed map-side
+    distinct (the only corpus-sized exchange); everything after is
+    user_days-sized. The alternative — approx_count_distinct over a
+    RANGE window — trades exactness for one less join and is the sketch
+    variant agg_approx_distinct demonstrates."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d = days.toDF("wday")
+    wau = (
+        user_days.join(
+            F.broadcast(d),
+            (F.col("day") >= F.date_sub(F.col("wday"), 6))
+            & (F.col("day") <= F.col("wday")),
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            # DATE round-trips differently through the two engines'
+            # canonical forms; a UTC midnight timestamp is type-stable
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 DIV wau").alias("stickiness_micro"),
+        )
+        .orderBy("day")
+    )

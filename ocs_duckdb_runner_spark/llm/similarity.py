@@ -1545,3 +1545,96 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picked = picked.unionAll(pick)
     return picked.orderBy("pick_rank")
+
+
+@query(
+    "eval_cluster_purity",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, label, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    cent AS (SELECT vec_id AS cid, ev AS cv FROM fp
+             WHERE vec_id IN {CENTROID_IDS}),
+    scored AS (SELECT f.vec_id, f.label, c.cid,
+                      row_number() OVER (
+                        PARTITION BY f.vec_id
+                        ORDER BY {_sql_cosine('f.ev', 'c.cv')} DESC, c.cid
+                      ) AS rn
+               FROM fp f CROSS JOIN cent c),
+    assigned AS (SELECT vec_id, label, cid FROM scored WHERE rn = 1),
+    by_label AS (
+        SELECT cid, label, CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY cid, label
+    ),
+    top AS (
+        SELECT cid, label AS top_label, n AS top_label_n
+        FROM (SELECT cid, label, n,
+                     row_number() OVER (PARTITION BY cid
+                                        ORDER BY n DESC, label ASC) AS rn
+              FROM by_label)
+        WHERE rn = 1
+    ),
+    size_ AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs
+              FROM by_label GROUP BY cid)
+    SELECT CAST(s.cid AS BIGINT) AS cluster, s.n_vecs,
+           t.top_label, t.top_label_n,
+           CAST((t.top_label_n * 1000000) // s.n_vecs AS BIGINT)
+               AS purity_micro
+    FROM size_ s JOIN top t ON t.cid = s.cid
+    ORDER BY cluster
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering purity against ground-truth labels — the external
+    counterpart of eval_cluster_silhouette (internal geometry): assign
+    every vector to its nearest coarse centroid (the sim_ivf_topk
+    quantizer, argmax fp-cosine with centroid-id tie-break), then score
+    each cluster by the share of its majority label, on the integer
+    micro grid so the ranking is exact. The metric a curation pipeline
+    watches when it clusters embeddings for SemDeDup or stratified
+    sampling: purity collapsing means the index no longer separates the
+    classes it's supposed to.
+
+    Plan: K centroids broadcast; assignment is one map-side scored
+    cross-join + per-vector windowed argmax (same shape as
+    sim_ivf_topk's index build); everything after is (cluster, label)
+    key-only aggregation — label text is low-cardinality, the corpus
+    never shuffles its vectors."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", "label", fp_vec(F.col("embedding")).alias("ev"))
+    cent = fp.filter(F.col("vec_id").isin(*CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+    )
+    scored = fp.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", cosine(F.col("ev"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cid")
+    )
+    by_label = assigned.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = (
+        by_label.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"),
+                F.col("n").alias("top_label_n"))
+    )
+    size = by_label.groupBy("cid").agg(F.sum("n").alias("n_vecs"))
+    return (
+        size.join(top, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cluster"),
+            "n_vecs",
+            "top_label",
+            "top_label_n",
+            F.expr("top_label_n * 1000000 DIV n_vecs").alias("purity_micro"),
+        )
+        .orderBy("cluster")
+    )
