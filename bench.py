@@ -137,6 +137,9 @@ HEADLINE = [
     "event_attribution_touch",
     "eval_cluster_purity",
     "event_active_users_rolling",
+    "embed_norm_outliers",
+    "dedup_template_detect",
+    "agg_ship_latency_histogram",
 ]
 
 

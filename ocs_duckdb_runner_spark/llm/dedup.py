@@ -1372,3 +1372,62 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_variants").desc(), F.col("canonical_url").asc())
         .limit(20)
     )
+
+
+@query(
+    "dedup_template_detect",
+    oracle="""
+    WITH masked AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS template_fp
+        FROM documents
+    ),
+    clusters AS (
+        SELECT template_fp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(min(doc_id) AS BIGINT) AS exemplar_doc_id
+        FROM masked GROUP BY template_fp
+    )
+    SELECT template_fp, n_docs, n_sources, exemplar_doc_id
+    FROM clusters WHERE n_docs >= 2
+    ORDER BY n_docs DESC, template_fp ASC LIMIT 20
+    """,
+    tags=("llm", "dedup", "template"),
+)
+def dedup_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection — the dedup pass BETWEEN exact and near-dup:
+    form letters, log lines, and generated pages differ only in numbers
+    (ids, dates, amounts), so masking every digit run to '#' and exact-
+    hashing the residue collapses whole template families that MinHash
+    would keep apart (their shingle sets differ at every number) and
+    dedup_exact would keep apart (bytes differ). Reported: top-20
+    template clusters with document counts, source spread (a template
+    seen from many sources is boilerplate, from one source a form), and
+    the smallest doc id as exemplar.
+
+    Plan: identical to dedup_exact's scale shape — masking is a map-side
+    JVM regex, the collapse is ONE hash aggregate on the 16-byte
+    template fingerprint, top-20 via TakeOrderedAndProject. Document
+    text never crosses an exchange. The same pass generalizes by
+    widening the mask (hex runs, uuids, emails) — each widening is one
+    more map-side regex, zero extra shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    masked = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.col("text"), "[0-9]+", "#")).alias(
+            "template_fp"
+        ),
+    )
+    return (
+        masked.groupBy("template_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("exemplar_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("template_fp").asc())
+        .limit(20)
+    )

@@ -252,3 +252,87 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("min_chunk_key"),
     ).select(F.col("bucket").cast("long").alias("bucket"), "n_chunks",
              "min_chunk_key")
+
+
+@query(
+    "embed_norm_outliers",
+    oracle="""
+    WITH fp AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                         * CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))
+                    AS BIGINT) AS sq_norm_u
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sq_norm_u) AS DOUBLE) AS s1,
+               CAST(sum(CAST(sq_norm_u AS DOUBLE) * CAST(sq_norm_u AS DOUBLE))
+                    AS DOUBLE) AS s2
+        FROM fp
+    ),
+    z AS (
+        SELECT f.vec_id, f.sq_norm_u,
+               (CAST(f.sq_norm_u AS DOUBLE) - s.s1 / s.n)
+               / sqrt((s.n * s.s2 - s.s1 * s.s1)
+                      / (CAST(s.n AS DOUBLE) * (s.n - 1))) AS zscore
+        FROM fp f, stats s
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, sq_norm_u, zscore
+    FROM z WHERE abs(zscore) > 2.5
+    ORDER BY abs(zscore) DESC, vec_id LIMIT 20
+    """,
+    tags=("llm", "embedding", "qa"),
+)
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outlier detection — the cheapest vector-QA gate a
+    pipeline runs after every encoder batch: a squared-L2 norm far from
+    the population marks truncated, zeroed, or exploded vectors long
+    before any retrieval metric notices. Norms are exact integer
+    micro-unit sums (the fp_vec grid); mean/std come from the integer
+    (n, Σx, Σx²) triple cast to double — identical operands both
+    engines, so the z-threshold comparisons agree exactly (Σx² is
+    computed in doubles on both sides since squared-norm squares
+    overflow int64; conversion rounding is IEEE-identical). Top-20 by
+    |z|, threshold 2.5.
+
+    Plan: norm computation is one map-side higher-order fold (no
+    Python); the stats frame is a 1-row aggregate broadcast back; the
+    filter+top-k is map-side + TakeOrderedAndProject. ONE corpus scan,
+    one 1-row exchange — embedding vectors never shuffle."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    fpv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    sq = F.aggregate(
+        F.transform(fpv, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fp = e.select("vec_id", sq.alias("sq_norm_u"))
+    stats = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq_norm_u").cast("double").alias("s1"),
+        F.sum(
+            F.col("sq_norm_u").cast("double") * F.col("sq_norm_u").cast("double")
+        ).alias("s2"),
+    )
+    z = fp.crossJoin(F.broadcast(stats)).withColumn(
+        "zscore",
+        (F.col("sq_norm_u").cast("double") - F.col("s1") / F.col("n"))
+        / F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ),
+    )
+    return (
+        z.filter(F.abs(F.col("zscore")) > 2.5)
+        .select("vec_id", "sq_norm_u", "zscore")
+        .orderBy(F.abs(F.col("zscore")).desc(), F.col("vec_id"))
+        .limit(20)
+    )

@@ -735,3 +735,65 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x, y in _CORR_PAIRS
     ]
     return sums.select(*out)
+
+
+@query(
+    "agg_ship_latency_histogram",
+    oracle="""
+    WITH lat AS (
+        SELECT l.l_returnflag,
+               CAST(date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                              CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+                   AS lat_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    bucketed AS (
+        SELECT l_returnflag,
+               CASE WHEN lat_days < 0 THEN 'neg'
+                    WHEN lat_days < 7 THEN '0-6d'
+                    WHEN lat_days < 30 THEN '7-29d'
+                    WHEN lat_days < 90 THEN '30-89d'
+                    ELSE '90d+' END AS bucket
+        FROM lat
+    )
+    SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS n_lines
+    FROM bucketed GROUP BY l_returnflag, bucket
+    ORDER BY l_returnflag, bucket
+    """,
+    tags=("agg", "ops", "latency"),
+)
+def agg_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram by return flag — the fulfillment
+    SLA report: day-granular latency (shipdate − orderdate) bucketed
+    into operational bands, counted per flag. Day differences and
+    bucket edges are pure integer arithmetic, so the histogram is exact
+    cross-engine.
+
+    Plan: ONE fact-fact equi-join on the order key — at 100 TB both
+    sides shuffle-partition on l_orderkey/o_orderkey (or read
+    pre-bucketed on it and skip the exchange entirely, the
+    join_bucketed layout); the join output immediately collapses to
+    (flag, bucket) partial counts, so the post-join exchange carries a
+    ~15-row key space. Nothing wider than the two key+date columns is
+    ever read (column pruning pinned by the scan's ReadSchema)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat_days"),
+    )
+    bucket = (
+        F.when(F.col("lat_days") < 0, "neg")
+        .when(F.col("lat_days") < 7, "0-6d")
+        .when(F.col("lat_days") < 30, "7-29d")
+        .when(F.col("lat_days") < 90, "30-89d")
+        .otherwise("90d+")
+    )
+    return (
+        lat.select("l_returnflag", bucket.alias("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("l_returnflag", "bucket")
+    )
