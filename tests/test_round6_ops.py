@@ -1,0 +1,184 @@
+"""Semantic property tests for the round-6 operators — the oracle sweep
+proves cross-engine equality; these pin the SEMANTICS themselves
+(diversity, greedy overlap handling, credit conservation, grid
+completeness vs brute force, formula-vs-native agreement), so a change
+that broke both engines identically would still fail here."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ocs_duckdb_runner_spark.registry import get_query
+from tests.conftest import SF_DIR
+
+
+def run(spark, name, sf=SF_DIR):
+    return get_query(name).fn(spark, sf).toPandas()
+
+
+def test_mmr_picks_are_distinct_and_start_at_top1(spark):
+    mmr = run(spark, "sim_mmr_rerank")
+    assert list(mmr["pick_rank"]) == [1, 2, 3, 4, 5]
+    assert mmr["vec_id"].nunique() == 5
+    # the first MMR pick is the pure-relevance argmax (λ·rel, no penalty),
+    # i.e. the top cosine neighbor excluding the query itself
+    topk = run(spark, "sim_cosine_topk")
+    top_excl_query = [v for v in topk["vec_id"] if v != 0][0]
+    assert mmr.iloc[0]["vec_id"] == top_excl_query
+
+
+def test_bpe_replace_is_greedy_left_to_right(spark):
+    # ' l l l ' under merge (l, l) must fuse the FIRST pair and leave the
+    # third symbol alone — the scan must not restart inside produced
+    # output ('lll' would mean rescanning) nor skip the run entirely
+    got = spark.sql(
+        "SELECT replace(' l l l ', ' l l ', ' ll ') AS s"
+    ).collect()[0]["s"]
+    assert got == " ll l "
+
+
+def test_bpe_merge_rounds_monotone_symbol_count(spark):
+    out = run(spark, "bpe_merge_rounds").sort_values("merge_round")
+    # each applied merge strictly shrinks the corpus symbol count, and
+    # never by more than the (overlap-counted) pair count
+    assert len(out) == 2
+    assert out.iloc[0]["n_symbols_after"] > out.iloc[1]["n_symbols_after"]
+    assert (out["pair_count"] > 0).all()
+
+
+def test_url_canonical_forms_are_normalized(spark):
+    out = run(spark, "dedup_url_canonical")
+    for u in out["canonical_url"]:
+        assert u.startswith("https://"), u
+        assert "?" not in u and "WWW" not in u and not u.startswith(
+            "https://www."
+        ), u
+        assert not u.endswith("/"), u
+        host = u.split("://", 1)[1].split("/", 1)[0]
+        assert host == host.lower(), u
+
+
+def test_template_detect_collapses_planted_family(spark, tmp_path):
+    rows = [
+        (1, "order 123 total 456 usd", "en", "srcA", 23),
+        (2, "order 999 total 1 usd", "en", "srcB", 21),
+        (3, "order 5 total 77 usd", "en", "srcA", 20),
+        (4, "completely different text", "en", "srcA", 25),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = run(spark, "dedup_template_detect", str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_docs"] == 3 and r["n_sources"] == 2 and r["exemplar_doc_id"] == 1
+
+
+def test_spatial_grid_complete_vs_brute_force(spark, duck):
+    got = run(spark, "join_spatial_grid")
+    want = duck.execute(
+        """
+        WITH pts AS (
+            SELECT p_partkey AS k,
+                   (p_partkey * 2654435761) % 4294967296 % 1000 AS x,
+                   (p_partkey * 40503 + 1013904223) % 4294967296 % 1000 AS y
+            FROM part)
+        SELECT CAST(a.k AS BIGINT) AS a_key, CAST(b.k AS BIGINT) AS b_key,
+               CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+                   AS dist2
+        FROM pts a JOIN pts b ON a.k < b.k
+        WHERE abs(a.x-b.x) <= 50 AND abs(a.y-b.y) <= 50
+        ORDER BY dist2, a_key, b_key LIMIT 20
+        """
+    ).fetch_df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_attribution_credit_conservation(spark, duck):
+    out = run(spark, "event_attribution_touch")
+    total = int(out["linear_credit_u"].sum())
+    assert total == int(out["first_touch_credit_u"].sum())
+    assert total == int(out["last_touch_credit_u"].sum())
+    # every attributed conversion distributes exactly 1e6 micro-credits
+    n_conv = duck.execute(
+        """
+        SELECT count(DISTINCT c.event_id) FROM events c
+        WHERE c.event_type = 'purchase' AND EXISTS (
+            SELECT 1 FROM events t
+            WHERE t.user_id = c.user_id
+              AND t.event_type IN ('click','view','signup')
+              AND CAST(t.ts AS TIMESTAMP) < CAST(c.ts AS TIMESTAMP)
+              AND CAST(t.ts AS TIMESTAMP)
+                  >= CAST(c.ts AS TIMESTAMP) - INTERVAL 24 HOUR)
+        """
+    ).fetchone()[0]
+    assert total == 1_000_000 * n_conv
+
+
+def test_active_users_invariants(spark):
+    out = run(spark, "event_active_users_rolling")
+    assert (out["wau"] >= out["dau"]).all()
+    assert (out["stickiness_micro"] <= 1_000_000).all()
+    assert (out["stickiness_micro"] > 0).all()
+
+
+def test_sax_words_shape(spark):
+    out = run(spark, "event_sax_symbolic")
+    assert set("".join(out["sax_word"])) <= set("abcd")
+    assert (out["n_segments"] == out["sax_word"].str.len()).all()
+
+
+def test_corr_matrix_agrees_with_native_corr(spark, duck):
+    # independent check: the integer-moment formula must agree with
+    # DuckDB's NATIVE corr() implementation (not our own oracle mirror)
+    got = run(spark, "agg_corr_matrix").iloc[0]
+    pairs = {
+        "corr_qty_price": ("l_quantity", "l_extendedprice"),
+        "corr_disc_tax": ("l_discount", "l_tax"),
+    }
+    for col, (x, y) in pairs.items():
+        native = duck.execute(
+            f"SELECT corr({x}, {y}) FROM lineitem"
+        ).fetchone()[0]
+        assert abs(got[col] - native) < 1e-9, col
+        assert abs(got[col]) <= 1.0
+
+
+def test_bfs_distances_bounded_and_seeded(spark):
+    out = run(spark, "graph_bfs_distance")
+    assert out["distance"].min() == 0
+    assert out["distance"].max() <= 3
+    # exactly 5 seeds at distance 0
+    assert int(out.loc[out["distance"] == 0, "n_nodes"].iloc[0]) == 5
+
+
+def test_lpa_community_sizes_cover_all_nodes(spark, duck):
+    out = run(spark, "graph_label_propagation")
+    n_nodes_covered = int((out["community_size"] * out["n_communities"]).sum())
+    want = duck.execute(
+        """
+        WITH edges AS (
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT count(DISTINCT node) FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+        """
+    ).fetchone()[0]
+    assert n_nodes_covered == want
+
+
+def test_norm_outliers_are_extreme(spark):
+    out = run(spark, "embed_norm_outliers")
+    assert (out["zscore"].abs() > 2.5).all()
+
+
+def test_profile_matches_pandas_truth(spark):
+    out = run(spark, "table_profile_columns")
+    truth = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    row = out.set_index("column_name").loc["o_orderstatus"]
+    assert row["n_rows"] == len(truth)
+    assert row["n_distinct"] == truth["o_orderstatus"].nunique()
+    assert row["min_value"] == truth["o_orderstatus"].min()
