@@ -140,6 +140,7 @@ HEADLINE = [
     "embed_norm_outliers",
     "dedup_template_detect",
     "agg_ship_latency_histogram",
+    "embed_pca_power_iter",
 ]
 
 

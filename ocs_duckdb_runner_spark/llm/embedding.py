@@ -336,3 +336,204 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), F.col("vec_id"))
         .limit(20)
     )
+
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+_PCA_V0 = 125_000  # round(1e6 / sqrt(64)): deterministic uniform unit init
+_PCA_DOT_DESCALE = 1_000_000_000
+
+
+def _pca_oracle() -> str:
+    # one unrolled power iteration: integer dots (descaled), per-dim
+    # integer sums list-assembled in dim order, exact HUGEINT norm²,
+    # re-gridded unit vector
+    it = """,
+    dots{i} AS (
+        SELECT f.xu,
+               CAST(list_sum(list_transform(generate_series(1, {dim}),
+                    d -> f.xu[d] * v.vu[d])) AS BIGINT)
+                    // {descale} AS ds
+        FROM fp f, v{p} v
+    ),
+    wd{i} AS (
+        SELECT t.d AS d, CAST(sum(xu[t.d] * ds) AS BIGINT) AS s
+        FROM dots{i}, unnest(generate_series(1, {dim})) AS t(d)
+        GROUP BY t.d
+    ),
+    wl{i} AS (SELECT list(s ORDER BY d) AS wl FROM wd{i}),
+    nrm{i} AS (
+        SELECT wl,
+               sqrt(CAST((SELECT sum(CAST(s AS HUGEINT) * s) FROM wd{i})
+                         AS DOUBLE)) AS nrm
+        FROM wl{i}
+    ),
+    v{i} AS (
+        SELECT list_transform(wl, x ->
+            CAST(round(CAST(x AS DOUBLE) / nrm * 1e6) AS BIGINT)) AS vu
+        FROM nrm{i}
+    )"""
+    body = "".join(
+        it.format(i=i, p=i - 1, dim=_PCA_DIM, descale=_PCA_DOT_DESCALE)
+        for i in range(1, _PCA_ITERS + 1)
+    )
+    return f"""
+    WITH fp AS (
+        SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xu
+        FROM embeddings
+    ),
+    v0 AS (SELECT list_transform(generate_series(1, {_PCA_DIM}),
+                                 d -> CAST({_PCA_V0} AS BIGINT)) AS vu){body},
+    final_dots AS (
+        SELECT CAST(list_sum(list_transform(generate_series(1, {_PCA_DIM}),
+                    d -> f.xu[d] * v.vu[d])) AS BIGINT) AS df,
+               CAST(list_sum(list_transform(f.xu, x -> x * x)) AS BIGINT)
+                   AS xsq
+        FROM fp f, v{_PCA_ITERS} v
+    ),
+    share AS (
+        SELECT CAST(round(
+                   CAST((SELECT sum(CAST(df AS HUGEINT) * df)
+                         FROM final_dots) AS DOUBLE)
+                   / (CAST((SELECT sum(CAST(xsq AS HUGEINT)) FROM final_dots)
+                           AS DOUBLE)
+                      * CAST((SELECT CAST(list_sum(list_transform(vu,
+                                 x -> x * x)) AS BIGINT) FROM v{_PCA_ITERS})
+                             AS DOUBLE))
+                   * 1e6) AS BIGINT) AS ev_share_micro
+    ),
+    loadings AS (
+        SELECT t.d AS dim, vu[t.d] AS loading_u
+        FROM v{_PCA_ITERS}, unnest(generate_series(1, {_PCA_DIM})) AS t(d)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY abs(loading_u) DESC, dim)
+                AS BIGINT) AS rank_,
+           CAST(dim AS BIGINT) AS dim, CAST(loading_u AS BIGINT) AS loading_u,
+           s.ev_share_micro
+    FROM loadings, share s
+    ORDER BY abs(loading_u) DESC, dim LIMIT 5
+    """
+
+
+@query("embed_pca_power_iter", oracle=_pca_oracle(), tags=("llm", "embedding", "pca"))
+def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by matrix-free
+    POWER ITERATION (3 unrolled rounds, deterministic uniform unit
+    init): v ← normalize(Σᵢ xᵢ(xᵢ·v)) — the scalable PCA that never
+    materializes the 64×64 covariance, the primitive behind embedding
+    whitening, drift detection, and anisotropy diagnostics. Output: the
+    5 largest-|loading| dimensions of the converged direction plus the
+    explained-variance share (Rayleigh quotient) in integer micro-units.
+
+    Exactness discipline (the iterative-algorithm policy of
+    kmeans_embeddings, extended to linear algebra): per-row dots are
+    integer folds on the fp grid, descaled by integer division; per-dim
+    accumulations are integer sums; norm² is an exact 128-bit integer
+    (w[d]² ≈ 1e27 — decimal(38,0) in Spark, HUGEINT in DuckDB) so the
+    normalizing sqrt and the 1e6 re-gridding see identical doubles —
+    the direction vector is BIT-IDENTICAL cross-engine after every
+    iteration, which is what lets a 3-iteration unroll hash-match.
+
+    Plan per iteration: ONE corpus pass (broadcast 64-long v, map-side
+    integer fold), then a 64-key per-dim partial-sum exchange, then a
+    1-row normalize — the corpus never shuffles, and the only state
+    crossing an exchange is 64 longs per partition. At 100 TB that is
+    scan-bound with a constant-size reduce, the textbook distributed
+    power-iteration profile."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    xu = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    fp = e.select(xu.alias("xu"))
+    v = spark.range(1).select(
+        F.array(*[F.lit(_PCA_V0).cast("long")] * _PCA_DIM).alias("vu")
+    )
+    for _ in range(_PCA_ITERS):
+        dots = fp.crossJoin(F.broadcast(v)).select(
+            "xu",
+            F.expr(
+                "aggregate(zip_with(xu, vu, (x, y) -> x * y),"
+                f" CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+                f" DIV {_PCA_DOT_DESCALE}"
+            ).alias("ds"),
+        )
+        wd = (
+            dots.select(
+                F.posexplode(
+                    F.transform(F.col("xu"), lambda x: x * F.col("ds"))
+                ).alias("d0", "term")
+            )
+            .groupBy("d0")
+            .agg(F.sum("term").alias("s"))
+        )
+        wl = wd.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d0", "s"))),
+                lambda t: t.s,
+            ).alias("wl")
+        )
+        nrm = wl.select(
+            "wl",
+            F.sqrt(
+                F.aggregate(
+                    F.col("wl"),
+                    F.lit(0).cast("decimal(38,0)"),
+                    lambda acc, x: acc + x.cast("decimal(38,0)") * x,
+                ).cast("double")
+            ).alias("nrm"),
+        )
+        v = nrm.select(
+            F.transform(
+                F.col("wl"),
+                lambda x: F.round(x.cast("double") / F.col("nrm") * 1e6).cast(
+                    "long"
+                ),
+            ).alias("vu")
+        ).localCheckpoint(eager=True)
+    final_dots = fp.crossJoin(F.broadcast(v)).select(
+        F.expr(
+            "aggregate(zip_with(xu, vu, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+        ).alias("df"),
+        F.expr(
+            "aggregate(transform(xu, x -> x * x),"
+            " CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+        ).alias("xsq"),
+    )
+    sums = final_dots.agg(
+        F.sum(F.col("df").cast("decimal(38,0)") * F.col("df")).alias("num"),
+        F.sum(F.col("xsq").cast("decimal(38,0)")).alias("xden"),
+    )
+    vsq = v.select(
+        F.expr(
+            "aggregate(transform(vu, x -> x * x),"
+            " CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+        ).alias("vsq")
+    )
+    share = (
+        sums.crossJoin(vsq)
+        .select(
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("xden").cast("double") * F.col("vsq").cast("double"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("ev_share_micro")
+        )
+    )
+    loadings = v.select(
+        F.posexplode(F.col("vu")).alias("d0", "loading_u")
+    ).select((F.col("d0") + 1).cast("long").alias("dim"), "loading_u")
+    w = Window.orderBy(F.abs(F.col("loading_u")).desc(), F.col("dim"))
+    return (
+        loadings.crossJoin(F.broadcast(share))
+        .withColumn("rank_", F.row_number().over(w).cast("long"))
+        .orderBy(F.abs(F.col("loading_u")).desc(), F.col("dim"))
+        .limit(5)
+        .select("rank_", "dim", "loading_u", "ev_share_micro")
+    )

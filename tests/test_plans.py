@@ -559,3 +559,12 @@ def test_profile_columns_single_aggregate_stack(spark):
     plan = plan_of(spark, "table_profile_columns")
     assert plan.count("Scan parquet") == 2  # ONE scan (tree + detail line)
     assert "Join" not in plan
+
+
+def test_pca_power_iter_no_python_no_sortmerge(spark):
+    # each iteration must be a broadcast-v corpus pass + a 64-key
+    # aggregate: a sort-merge join or a Python eval node means the
+    # scan-bound constant-reduce profile is lost
+    plan = plan_of(spark, "embed_pca_power_iter")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
