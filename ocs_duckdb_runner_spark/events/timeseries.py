@@ -1967,3 +1967,79 @@ def event_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "event_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lead(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY event_type
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS next_us
+        FROM events
+    ),
+    held AS (SELECT event_type, cents, next_us - us AS dur_us
+             FROM s WHERE next_us IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           round(CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+                 / CAST(sum(dur_us) AS DOUBLE) / 100, 9) AS twap
+    FROM held GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "twap"),
+)
+def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type — the TWAP / LOCF-mean
+    every metrics store exposes (TimescaleDB time_weight, kdb twap):
+    each observation holds until the next one, so its weight is the µs
+    gap to the successor, not 1. An arithmetic mean over irregular
+    samples over-weights bursts; the time-weighted form is the honest
+    "average level" of a step function.
+
+    Exactness: weights are exact integer µs (lead() over the per-type
+    timeline, event_id tie-break), values exact cents; Σcents·dur widens
+    to 128-bit integers BEFORE summing (decimal(38,0) / HUGEINT — cents
+    ~1e4 × gaps ~1e11 µs × 1e8 rows passes BIGINT range), and the final
+    division is one identical double op in both engines.
+
+    Plan: one shuffle on event_type for the lead() window, then a
+    partial-aggregated sum on the same key — the sort is per-type within
+    partitions, never global. At 100 TB the type key is low-cardinality
+    but each group is independent; a per-(type, day) tiling with
+    boundary-gap stitching is the standard refinement when a single
+    type's timeline outgrows an executor (same pattern the sessionize
+    operators document)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    s = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).withColumn("next_us", F.lead("us").over(w))
+    held = s.filter(F.col("next_us").isNotNull()).select(
+        "event_type",
+        "cents",
+        (F.col("next_us") - F.col("us")).alias("dur_us"),
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("span_us"),
+            F.round(
+                F.sum(
+                    (F.col("cents") * F.col("dur_us")).cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum("dur_us").cast("double")
+                / 100,
+                9,
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )

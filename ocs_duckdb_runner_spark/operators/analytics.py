@@ -797,3 +797,125 @@ def agg_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .orderBy("l_returnflag", "bucket")
     )
+
+
+@query(
+    "agg_ols_two_factor",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s11,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s12,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s22,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s1y,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s2y,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+        SELECT grp, n,
+               CAST(CAST(n AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS c11,
+               CAST(CAST(n AS HUGEINT) * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS c12,
+               CAST(CAST(n AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS c22,
+               CAST(CAST(n AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS c1y,
+               CAST(CAST(n AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS c2y,
+               CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy,
+               CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+               CAST(sy AS DOUBLE) AS dy
+        FROM m
+    )
+    SELECT grp AS l_returnflag, n,
+           round((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 9) AS b_qty_c,
+           round((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 9) AS b_disc_c,
+           round((dy - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * d1
+                     - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * d2)
+                 / n, 9) AS intercept_c,
+           round(((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * c1y
+                + (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * c2y)
+                 / cyy, 9) AS r2
+    FROM c ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "regression"),
+)
+def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor ordinary least squares per return flag — price_cents ~
+    quantity + discount_pct, solved in closed form from the CENTERED
+    normal equations: b = [C22*C1y - C12*C2y, C11*C2y - C12*C1y] / det,
+    det = C11*C22 - C12², where every C term is n*Σxixj − ΣxiΣxj on the
+    exact integer moment grid. extends event_trend_regression (single
+    regressor) to the multiple-regression shape feature pipelines
+    actually fit, plus R² from the same moments.
+
+    Exactness: nine integer moments per group (map-side combined, order
+    independent); the centered products leave BIGINT range around sf100
+    (n·Σx1y ~ 1e26), so both engines widen to 128-bit integers
+    (HUGEINT / decimal(38,0)) BEFORE the subtraction, cast the exact
+    C terms to double, and then run the identical IEEE expression tree —
+    bit-equal b/intercept/R² at any partition count.
+
+    Plan: one partial-aggregated moments pass over the scan (3 groups →
+    9-long rows), all regression algebra on a 3-row frame. At 100 TB this
+    is a single fact scan + a 3-key exchange — the cheapest possible
+    shape for a fitted model."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.round(F.col("l_quantity")).cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("long").alias("s1"),
+        F.sum(x2).cast("long").alias("s2"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * x1).cast("long").alias("s11"),
+        F.sum(x1 * x2).cast("long").alias("s12"),
+        F.sum(x2 * x2).cast("long").alias("s22"),
+        F.sum(x1 * y).cast("long").alias("s1y"),
+        F.sum(x2 * y).cast("long").alias("s2y"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+
+    def cen(sij: str, si: str, sj: str) -> F.Column:
+        big = "decimal(38,0)"
+        return (
+            F.col("n").cast(big) * F.col(sij).cast(big)
+            - F.col(si).cast(big) * F.col(sj).cast(big)
+        ).cast("double")
+
+    c = m.select(
+        "grp",
+        "n",
+        cen("s11", "s1", "s1").alias("c11"),
+        cen("s12", "s1", "s2").alias("c12"),
+        cen("s22", "s2", "s2").alias("c22"),
+        cen("s1y", "s1", "sy").alias("c1y"),
+        cen("s2y", "s2", "sy").alias("c2y"),
+        cen("syy", "sy", "sy").alias("cyy"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("sy").cast("double").alias("dy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    return c.select(
+        F.col("grp").alias("l_returnflag"),
+        "n",
+        F.round(b1, 9).alias("b_qty_c"),
+        F.round(b2, 9).alias("b_disc_c"),
+        F.round(
+            (F.col("dy") - b1 * F.col("d1") - b2 * F.col("d2")) / F.col("n"), 9
+        ).alias("intercept_c"),
+        F.round((b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("cyy"), 9).alias(
+            "r2"
+        ),
+    ).orderBy("l_returnflag")

@@ -797,3 +797,145 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj.unpersist()
     return out
+
+
+# HITS fixed-point scale: scores in micro-units, L-infinity normalized
+# (max score == 1_000_000 after every half-step). Max-normalization keeps
+# the iteration on the integer grid — an L2 norm would force a sqrt and
+# leave the grid.
+_HITS_MICRO = 1_000_000
+
+_SQL_TRADE_EDGES = """
+    flows AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    edges AS MATERIALIZED (SELECT * FROM flows WHERE src <> dst),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    )
+"""
+
+
+def _hits_half_sql(score: str, out_name: str, from_side: str, to_side: str) -> str:
+    """One HITS half-step in DuckDB SQL: sum the opposite-side scores over
+    incident edges (weighted), then L-inf-normalize back to micro-units.
+    HUGEINT for the normalize product — raw*1e6 overflows BIGINT once edge
+    weights reach ~1e7 (sf100 territory)."""
+    return f"""
+        SELECT n.node,
+               CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * {_HITS_MICRO}
+                    // (SELECT max(raw) FROM {out_name}_raw) AS BIGINT)
+                   AS {out_name}
+        FROM nodes n LEFT JOIN {out_name}_raw r ON r.node = n.node
+    """
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH {_SQL_TRADE_EDGES},
+    h0 AS (SELECT node, CAST({_HITS_MICRO} AS BIGINT) AS h FROM nodes),
+    a1_raw AS (SELECT e.dst AS node, CAST(sum(p.h * e.w) AS BIGINT) AS raw
+               FROM edges e JOIN h0 p ON p.node = e.src GROUP BY e.dst),
+    a1 AS ({_hits_half_sql("h", "a1", "src", "dst")}),
+    h1_raw AS (SELECT e.src AS node, CAST(sum(p.a1 * e.w) AS BIGINT) AS raw
+               FROM edges e JOIN a1 p ON p.node = e.dst GROUP BY e.src),
+    h1 AS ({_hits_half_sql("a1", "h1", "dst", "src")}),
+    a2_raw AS (SELECT e.dst AS node, CAST(sum(p.h1 * e.w) AS BIGINT) AS raw
+               FROM edges e JOIN h1 p ON p.node = e.src GROUP BY e.dst),
+    a2 AS ({_hits_half_sql("h1", "a2", "src", "dst")}),
+    h2_raw AS (SELECT e.src AS node, CAST(sum(p.a2 * e.w) AS BIGINT) AS raw
+               FROM edges e JOIN a2 p ON p.node = e.dst GROUP BY e.src),
+    h2 AS ({_hits_half_sql("a2", "h2", "dst", "src")})
+    SELECT n.node AS nationkey,
+           CAST(a2.a2 AS BIGINT) AS auth_micro,
+           CAST(h2.h2 AS BIGINT) AS hub_micro
+    FROM nodes n
+    JOIN a2 ON a2.node = n.node
+    JOIN h2 ON h2.node = n.node
+    ORDER BY auth_micro DESC, hub_micro DESC, nationkey
+    """,
+    tags=("graph", "hits", "iterative"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the nation-level trade graph (customer
+    nation -> supplier nation, weight = shipment count): authorities are
+    nations whose SUPPLIERS the world buys from, hubs are nations whose
+    CUSTOMERS buy widely — the two-sided importance measure PageRank's
+    single score conflates. Two unrolled iterations (a <- A^T h, h <- A a),
+    L-infinity-normalized to micro-units after each half-step so every
+    score stays on the integer grid and hash-matches the DuckDB oracle
+    bit-for-bit (same exactness policy as graph_pagerank / kmeans).
+
+    Scale shape, same split as PageRank: the only heavy work is collapsing
+    the fact table to the nations^2 <= 625-row edge list (broadcast-able
+    dim joins + one partially-aggregated shuffle on a composite 8-byte
+    key); the iteration itself is four broadcast-joined aggregates over
+    that tiny edge frame plus a 1-row max crossJoin per half-step.
+    Per-node graphs would swap the broadcast score frame for a
+    hash-partitioned one, keyed like llm/dedup's _propagate_min_label.
+    HUGEINT/decimal(38,0) guards the normalize product raw*1e6, which
+    leaves BIGINT range once per-pair shipment counts reach ~1e7."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    flows = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = flows.filter(F.col("src") != F.col("dst")).persist()
+    edges.count()  # pin the cache once — the unrolled lineage re-reads it 8x
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def half_step(score: DataFrame, join_on: str, emit: str) -> DataFrame:
+        """score(node, s) summed over edges incident on `join_on`,
+        emitted per `emit` node, then L-inf normalized to micro."""
+        raw = (
+            edges.join(F.broadcast(score), edges[join_on] == score.node)
+            .select(F.col(emit).alias("node"), (F.col("s") * F.col("w")).alias("p"))
+            .groupBy("node")
+            .agg(F.sum("p").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(CAST(coalesce(raw, 0) AS DECIMAL(38,0))"
+                    f" * {_HITS_MICRO} DIV mx AS BIGINT)"
+                ).alias("s"),
+            )
+        )
+
+    h = nodes.select("node", F.lit(_HITS_MICRO).cast("long").alias("s"))
+    for _ in range(2):
+        a = half_step(h, "src", "dst")
+        h = half_step(a, "dst", "src")
+    out = (
+        nodes.join(a.toDF("node", "auth_micro"), "node")
+        .join(h.toDF("node", "hub_micro"), "node")
+        .select(F.col("node").alias("nationkey"), "auth_micro", "hub_micro")
+        .orderBy(F.col("auth_micro").desc(), F.col("hub_micro").desc(), "nationkey")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
