@@ -1225,3 +1225,192 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_chars",
         F.col("total_chars").cast("double") / F.col("n_docs"),
     )
+
+
+# Rater thresholds for the agreement/calibration evals: rater A passes
+# docs with >= KAPPA_MIN_TOKENS whitespace tokens, rater B passes docs
+# whose distinct-token ratio is >= 1/2 (integer form: 2*distinct >= n).
+KAPPA_MIN_TOKENS = 40
+
+
+@query(
+    "eval_rater_kappa",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_dst
+        FROM documents
+    ),
+    rated AS (
+        SELECT CASE WHEN n_tok >= {KAPPA_MIN_TOKENS} THEN 1 ELSE 0 END AS ra,
+               CASE WHEN 2 * n_dst >= n_tok THEN 1 ELSE 0 END AS rb
+        FROM toks
+    ),
+    conf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ra * rb) AS BIGINT) AS n11,
+               CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+               CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+               CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        FROM rated
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 9) AS p_observed,
+           round((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+               + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n),
+               9) AS p_expected,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                   + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))
+                 / (1 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                       + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))),
+                 9) AS kappa
+    FROM conf
+    """,
+    tags=("llm", "curation", "eval", "agreement"),
+)
+def eval_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality raters — the inter-annotator
+    agreement statistic every labeling pipeline reports before trusting
+    its labels (chance-corrected: kappa = (p_o - p_e)/(1 - p_e)). The
+    raters here are two deterministic heuristics a curation stack really
+    runs — a length gate (>= {KAPPA_MIN_TOKENS} tokens) and a
+    lexical-diversity gate (distinct-token ratio >= 1/2) — so the
+    statistic measures how much two cheap quality filters actually agree
+    beyond chance.
+
+    Exactness: the 2x2 confusion table is four integer sums over
+    map-side 0/1 flags (order-independent at any partitioning); p_o,
+    p_e, kappa are one identical IEEE expression tree over those exact
+    integers, rounded to 9 digits on both engines.
+
+    Plan: ONE document scan -> per-row integer flags -> a single 1-row
+    partial-aggregated global aggregate. Text never shuffles; at 100 TB
+    this is the map-reduce minimum for any corpus-level statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_dst"),
+    )
+    rated = toks.select(
+        F.when(F.col("n_tok") >= KAPPA_MIN_TOKENS, 1).otherwise(0).alias("ra"),
+        F.when(2 * F.col("n_dst") >= F.col("n_tok"), 1).otherwise(0).alias("rb"),
+    )
+    conf = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("long").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = ((F.col("n11") + F.col("n10")).cast("double") / n) * (
+        (F.col("n11") + F.col("n01")).cast("double") / n
+    ) + ((F.col("n01") + F.col("n00")).cast("double") / n) * (
+        (F.col("n10") + F.col("n00")).cast("double") / n
+    )
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 9).alias("p_observed"),
+        F.round(pe, 9).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 9).alias("kappa"),
+    )
+
+
+@query(
+    "eval_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+               CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    binned AS (
+        SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+               label,
+               CAST(round(score * 1000000) AS BIGINT) AS score_u
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(sum(score_u) AS BIGINT) AS sum_score_u
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per_bin)
+    SELECT b.bin, b.n, b.n_pos,
+           round(CAST(b.n_pos AS DOUBLE) / b.n, 9) AS pos_rate,
+           round(CAST(b.sum_score_u AS DOUBLE) / b.n / 1000000, 9) AS mean_score,
+           round(abs(CAST(b.n_pos AS DOUBLE) / b.n
+                     - CAST(b.sum_score_u AS DOUBLE) / b.n / 1000000)
+                 * b.n / t.n_total, 9) AS ece_contrib
+    FROM per_bin b, tot t
+    ORDER BY b.bin
+    """,
+    tags=("llm", "curation", "eval", "calibration"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin ECE contributions for a document
+    scorer — the calibration audit run on every learned (or heuristic)
+    quality/toxicity scorer before its scores gate data: scores are
+    decile-binned, and each bin compares mean score (confidence) against
+    the empirical positive rate; expected calibration error is the
+    n-weighted sum of the |gap| column (sum(ece_contrib) — left per-bin
+    so the output IS the reliability diagram).
+
+    The scorer is the lexical-diversity ratio (distinct/total tokens);
+    the proxy label is a content marker ('spark' in text). Both are
+    engine-identical per row: the ratio is one IEEE divide of exact
+    integers, bin = floor(score*10) on that identical double, and mean
+    scores aggregate on the micro-unit integer grid.
+
+    Plan: one document scan -> per-row (bin, label, score_u) -> a 10-key
+    hash aggregate + a broadcast 1-row total; text leaves the scan
+    pruned away. The same three-column shuffle shape holds at 100 TB —
+    calibration is as cheap as a group-by, which is why it should run on
+    every scored batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("double")
+    n_dst = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double")
+    scored = docs.select(
+        (n_dst / n_tok).alias("score"),
+        F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("label"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long").alias("bin"),
+        "label",
+        F.round(F.col("score") * 1000000).cast("long").alias("score_u"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("score_u").cast("long").alias("sum_score_u"),
+    )
+    tot = per_bin.agg(F.sum("n").cast("long").alias("n_total"))
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    mean_score = F.col("sum_score_u").cast("double") / F.col("n") / 1000000
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(pos_rate, 9).alias("pos_rate"),
+            F.round(mean_score, 9).alias("mean_score"),
+            F.round(
+                F.abs(pos_rate - mean_score) * F.col("n") / F.col("n_total"), 9
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
+    )

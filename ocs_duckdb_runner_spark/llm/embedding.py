@@ -537,3 +537,133 @@ def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("rank_", "dim", "loading_u", "ev_share_micro")
     )
+
+
+_JL_OUT_DIMS = 16  # projected dimensionality (64 -> 16)
+_JL_PAIR_STRIDE = 251  # fixed odd vec_id stride defining the probe pairs
+
+# deterministic +-1 sign for (in-dim i, out-dim j): parity of the first
+# hex char of md5("i_j") — both engines produce the same lowercase hex
+_JL_SIGN = (
+    "CAST(1 - 2 * (ascii(substr(md5(concat(CAST(i AS STRING), '_',"
+    " CAST(j AS STRING))), 1, 1)) % 2) AS BIGINT)"
+)
+
+
+@query(
+    "eval_jl_distortion",
+    oracle=f"""
+    WITH sgn AS (
+        SELECT list_transform(range(0, {_JL_OUT_DIMS}), j ->
+                   list_transform(range(0, 64), i ->
+                       CAST(1 - 2 * (ascii(substr(md5(CAST(i AS VARCHAR) || '_'
+                            || CAST(j AS VARCHAR)), 1, 1)) % 2) AS BIGINT)))
+               AS m
+    ),
+    fp AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xu
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va,
+               list_transform(range(1, 65), k -> a.xu[k] - b.xu[k]) AS dx
+        FROM fp a JOIN fp b ON b.vec_id = a.vec_id + {_JL_PAIR_STRIDE}
+    ),
+    dist AS (
+        SELECT va,
+               CAST(list_sum(list_transform(dx, x -> x * x)) AS BIGINT) AS d2o,
+               CAST(list_sum(list_transform(
+                   list_transform(s.m, row ->
+                       CAST(list_sum(list_transform(range(1, 65),
+                            k -> row[k] * dx[k])) AS BIGINT)),
+                   v -> v * v)) AS BIGINT) AS d2p
+        FROM pairs, sgn s
+    ),
+    r AS (
+        SELECT CAST(round(CAST(d2p AS DOUBLE)
+                    / ({_JL_OUT_DIMS} * CAST(d2o AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS ratio_ppm
+        FROM dist WHERE d2o > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm,
+           CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+           CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+    FROM r
+    """,
+    tags=("llm", "embedding", "eval", "jl"),
+)
+def eval_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit for a signed random
+    projection (64 -> {_JL_OUT_DIMS} dims): for a deterministic sample of
+    vector pairs (vec_id, vec_id+{_JL_PAIR_STRIDE}), compare the squared
+    distance of the PROJECTED difference against k·(squared original
+    distance) — the JL lemma says the ratio concentrates near 1, and this
+    query reports its observed mean/min/max in ppm. This is the go/no-go
+    gate before swapping full embeddings for a cheap projection in a
+    dedup or retrieval pipeline (the projection matrix here is the
+    Achlioptas +-1 scheme, signs derived from md5(i_j) parity so both
+    engines build the identical matrix).
+
+    Exactness: components live on the micro-unit integer grid, the
+    projection is integer dot products against the +-1 matrix (|dy_j| <=
+    64·4e6 keeps every square inside int64), and the single
+    ratio division runs on identical doubles, rounded to ppm before the
+    integer mean/min/max aggregate.
+
+    Plan: the 16x64 sign matrix is built ONCE on a 1-row frame and
+    broadcast — the per-pair work is pure map-side higher-order folds
+    (whole-stage codegen, no Python, no md5 per element). The pair join
+    is a self-equi-join on vec_id+stride — co-partitioned by the key at
+    scale. One corpus scan + one key-only shuffle regardless of SF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sgn = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(0, {_JL_OUT_DIMS - 1}), j ->"
+            f" transform(sequence(0, 63), i -> {_JL_SIGN}))"
+        ).alias("m")
+    )
+    fp = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6)"
+            " AS BIGINT))"
+        ).alias("xu"),
+    )
+    a = fp.toDF("va", "xua")
+    b = fp.toDF("vb", "xub")
+    pairs = a.join(b, F.col("vb") == F.col("va") + _JL_PAIR_STRIDE).select(
+        "va", F.expr("zip_with(xua, xub, (x, y) -> x - y)").alias("dx")
+    )
+    dist = pairs.crossJoin(F.broadcast(sgn)).select(
+        "va",
+        F.expr(
+            "aggregate(transform(dx, x -> x * x), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)"
+        ).alias("d2o"),
+        F.expr(
+            "aggregate(transform(transform(m, row ->"
+            " aggregate(zip_with(row, dx, (s, x) -> s * x), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)), v -> v * v), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)"
+        ).alias("d2p"),
+    )
+    r = dist.filter(F.col("d2o") > 0).select(
+        F.round(
+            F.col("d2p").cast("double")
+            / (_JL_OUT_DIMS * F.col("d2o").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("ratio_ppm")
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("CAST(sum(ratio_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_ratio_ppm"
+        ),
+        F.min("ratio_ppm").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").alias("max_ratio_ppm"),
+    )

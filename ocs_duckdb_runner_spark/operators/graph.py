@@ -939,3 +939,79 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+@query(
+    "assoc_item_cosine",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    na AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY pk),
+    pairs AS (
+        SELECT d1.pk AS a, d2.pk AS b, CAST(count(*) AS BIGINT) AS nab
+        FROM d d1 JOIN d d2 ON d1.okey = d2.okey AND d1.pk < d2.pk
+        GROUP BY d1.pk, d2.pk HAVING count(*) >= 2
+    )
+    SELECT p.a, p.b, p.nab, ka.n AS n_a, kb.n AS n_b,
+           CAST(CAST(p.nab AS HUGEINT) * p.nab * 1000000
+                // (ka.n * kb.n) AS BIGINT) AS cos2_ppm
+    FROM pairs p
+    JOIN na ka ON ka.pk = p.a
+    JOIN na kb ON kb.pk = p.b
+    ORDER BY cos2_ppm DESC, p.a, p.b
+    LIMIT 20
+    """,
+    tags=("graph", "marketbasket", "recsys"),
+)
+def assoc_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity on order co-occurrence — the classic
+    collaborative-filtering item model (Sarwar et al. 2001): each part is
+    the binary vector of orders containing it, cos(a,b) =
+    n_ab / sqrt(n_a * n_b). Completes the market-basket triptych:
+    assoc_rules_lift ranks by lift (independence deviation),
+    graph_common_neighbors by neighbor Jaccard, this by the cosine
+    recommender score. Ranking stays on the integer grid by comparing
+    cos SQUARED in ppm — nab²·1e6 // (n_a·n_b), 128-bit-widened — a
+    strictly monotone transform, so the top-20 is the exact cosine
+    top-20 with deterministic (a, b) tie-break.
+
+    Plan: distinct (order, part) collapses map-side first; the pair
+    build is one okey-keyed shuffle_hash self-join (never broadcast — a
+    fact slice; see _assoc_edges); per-item counts ride the same
+    distinct frame, joined back by 8-byte part keys; top-20 is
+    TakeOrderedAndProject. The nab >= 2 support cut bounds pair output
+    exactly like the association-graph build — one-off co-occurrences
+    can't score, so the quadratic basket term never materializes noise
+    pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.distinct()
+    na = d.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d1 = d.toDF("okey", "a")
+    d2 = d.toDF("okey", "b").hint("shuffle_hash")
+    pairs = (
+        d1.join(d2, "okey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 2)
+    )
+    return (
+        pairs.join(na.toDF("a", "n_a"), "a")
+        .join(na.toDF("b", "n_b"), "b")
+        .select(
+            "a",
+            "b",
+            "nab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(nab AS DECIMAL(38,0)) * nab * 1000000"
+                " DIV (n_a * n_b) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+        .orderBy(F.col("cos2_ppm").desc(), "a", "b")
+        .limit(20)
+    )

@@ -182,3 +182,113 @@ def test_profile_matches_pandas_truth(spark):
     assert row["n_rows"] == len(truth)
     assert row["n_distinct"] == truth["o_orderstatus"].nunique()
     assert row["min_value"] == truth["o_orderstatus"].min()
+
+
+# ---- round-6 second-wave operators ----------------------------------------
+
+
+def test_hits_scores_are_linf_normalized_micro(spark):
+    hits = run(spark, "graph_hits")
+    assert len(hits) == 25
+    assert hits["auth_micro"].max() == 1_000_000
+    assert hits["hub_micro"].max() == 1_000_000
+    assert (hits["auth_micro"] >= 0).all() and (hits["hub_micro"] >= 0).all()
+    # sorted by authority desc per the contract
+    assert list(hits["auth_micro"]) == sorted(hits["auth_micro"], reverse=True)
+
+
+def test_ols_two_factor_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    ols = run(spark, "agg_ols_two_factor").set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        x1 = np.round(g["l_quantity"]).astype(np.int64)
+        x2 = np.round(g["l_discount"] * 100).astype(np.int64)
+        y = np.round(g["l_extendedprice"] * 100).astype(np.int64)
+        X = np.column_stack([np.ones(len(g)), x1, x2])
+        beta, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+        row = ols.loc[flag]
+        assert abs(row["b_qty_c"] - beta[1]) < 1e-3 * max(1, abs(beta[1]))
+        assert abs(row["b_disc_c"] - beta[2]) < 1e-3 * max(1, abs(beta[2]))
+        assert abs(row["intercept_c"] - beta[0]) < 1e-3 * max(1, abs(beta[0]))
+        assert 0.0 < row["r2"] <= 1.0
+
+
+def test_twap_lies_inside_value_range_and_spans_match(spark):
+    tw = run(spark, "event_time_weighted_avg").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        row = tw.loc[et]
+        assert row["n_intervals"] == len(g) - 1
+        span = (g["ts"].iloc[-1] - g["ts"].iloc[0]).value  # ns
+        assert row["span_us"] == span // 1000
+        cents = (g["value"] * 100).round()
+        assert cents.min() / 100 - 1e-6 <= row["twap"] <= cents.max() / 100 + 1e-6
+
+
+def test_item_cosine_top1_matches_bruteforce(spark):
+    cos = run(spark, "assoc_item_cosine")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    counts = li.groupby("l_partkey").size()
+    merged = li.merge(li, on="l_orderkey")
+    merged = merged[merged["l_partkey_x"] < merged["l_partkey_y"]]
+    nab = merged.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    nab = nab[nab >= 2]
+    best = max(
+        nab.index,
+        key=lambda p: (nab[p] ** 2 * 10**6) // (counts[p[0]] * counts[p[1]]),
+    )
+    top = cos.iloc[0]
+    got = (int(top["nab"]) ** 2 * 10**6) // (int(top["n_a"]) * int(top["n_b"]))
+    want = (nab[best] ** 2 * 10**6) // (counts[best[0]] * counts[best[1]])
+    assert got == want  # same best score (pair may tie)
+    assert (cos["cos2_ppm"] <= 1_000_000).all()
+    assert (cos["nab"] <= cos[["n_a", "n_b"]].min(axis=1)).all()
+
+
+def test_rater_kappa_matches_pandas_confusion(spark):
+    k = run(spark, "eval_rater_kappa").iloc[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    n_tok = toks.str.len()
+    n_dst = toks.apply(lambda t: len(set(t)))
+    ra = (n_tok >= 40).astype(int)
+    rb = (2 * n_dst >= n_tok).astype(int)
+    n = len(docs)
+    n11 = int(((ra == 1) & (rb == 1)).sum())
+    n00 = int(((ra == 0) & (rb == 0)).sum())
+    assert k["n"] == n and k["n11"] == n11 and k["n00"] == n00
+    po = (n11 + n00) / n
+    pa, pb = ra.mean(), rb.mean()
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    assert abs(k["kappa"] - (po - pe) / (1 - pe)) < 1e-8
+    assert -1.0 <= k["kappa"] <= 1.0
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    cal = run(spark, "eval_calibration_bins")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert cal["n"].sum() == len(docs)
+    assert ((0 <= cal["pos_rate"]) & (cal["pos_rate"] <= 1)).all()
+    assert (cal["ece_contrib"] >= 0).all()
+    # mean score of a decile bin lies inside that decile
+    for _, r in cal.iterrows():
+        lo, hi = r["bin"] / 10, (r["bin"] + 1) / 10 if r["bin"] < 9 else 1.01
+        assert lo - 1e-9 <= r["mean_score"] <= hi + 1e-9
+    # ECE is a weighted mean of |gap| <= 1
+    assert 0.0 <= cal["ece_contrib"].sum() <= 1.0
+
+
+def test_jl_distortion_concentrates_near_one(spark):
+    jl = run(spark, "eval_jl_distortion").iloc[0]
+    # 500 vecs, stride 251 => 249 candidate pairs
+    assert jl["n_pairs"] == 249
+    # k=16 => ~25% relative error scale; mean must hug 1, tails bounded
+    assert 700_000 <= jl["mean_ratio_ppm"] <= 1_300_000
+    assert jl["min_ratio_ppm"] > 0
+    assert jl["max_ratio_ppm"] < 4_000_000
