@@ -2043,3 +2043,114 @@ def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _holt_coeffs(k: int) -> tuple[int, list[int]]:
+    """Closed-form Holt (alpha=beta=1/2) one-step forecast over a k-point
+    window as ONE exact dyadic linear combination: unroll l' = (x+l+b)/2,
+    b' = ((l'-l)+b)/2 symbolically (init l=x1, b=x1-x0) and clear the
+    power-of-two denominator. Returns (den, integer coefficients over
+    x0..x_{k-1}); coefficients sum to den (level-invariance) and
+    reproduce exact linear extrapolation on a linear series — both
+    properties pinned in tests."""
+    from fractions import Fraction as Fr
+    from math import lcm
+
+    level = [Fr(0)] * k
+    trend = [Fr(0)] * k
+    level[1] = Fr(1)
+    trend[0], trend[1] = Fr(-1), Fr(1)
+    for t in range(2, k):
+        lp = [(level[i] + trend[i]) / 2 for i in range(k)]
+        lp[t] += Fr(1, 2)
+        trend = [(lp[i] - level[i]) / 2 + trend[i] / 2 for i in range(k)]
+        level = lp
+    f = [level[i] + trend[i] for i in range(k)]
+    den = lcm(*[c.denominator for c in f])
+    return den, [int(c * den) for c in f]
+
+
+_HOLT_W = 8  # trailing window (same horizon as event_ewma)
+_HOLT_TABLE = {k: _holt_coeffs(k) for k in range(2, _HOLT_W + 1)}
+
+
+def _holt_case(vals: str, spark_dialect: bool) -> str:
+    """SQL CASE for the k-point dyadic combination of the cents array
+    `vals`, presented back in value units as one identical double
+    division. Window of 1 -> naive carry-forward. The only dialect split
+    is 1-based element access: Spark's bracket operator is 0-based (and
+    ANSI-throws out of range), so it uses element_at; DuckDB brackets
+    are 1-based."""
+    if spark_dialect:
+        def at(i: int) -> str:
+            return f"element_at({vals}, {i})"
+    else:
+        def at(i: int) -> str:
+            return f"{vals}[{i}]"
+
+    size = "size" if spark_dialect else "len"
+    arms = []
+    for k in range(2, _HOLT_W + 1):
+        den, cs = _HOLT_TABLE[k]
+        comb = " + ".join(f"({c}) * {at(i + 1)}" for i, c in enumerate(cs))
+        arms.append(f"WHEN {k} THEN CAST({comb} AS DOUBLE) / {den}.0")
+    return (
+        f"CASE {size}({vals}) WHEN 1 THEN CAST({at(1)} AS DOUBLE) "
+        + " ".join(arms)
+        + " END"
+    )
+
+
+@query(
+    "event_holt_forecast",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, event_id,
+               array_agg(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN {_HOLT_W - 1} PRECEDING AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT user_id, event_id,
+           {_holt_case('vals', spark_dialect=False)} AS holt_forecast_c
+    FROM w WHERE user_id % 20 = 0
+    """,
+    tags=("events", "timeseries", "forecast", "window"),
+)
+def event_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing one-step forecast per user
+    (alpha=beta=1/2, 8-event trailing horizon) — event_ewma's sibling
+    with a TREND state, the baseline for drifting series where EWMA
+    systematically lags. The coupled (level, trend) recurrence is
+    unrolled SYMBOLICALLY at import into one dyadic linear combination
+    per window size (_holt_coeffs), so a recursive two-state smoother
+    becomes a single exact integer dot product over the cents window —
+    no per-row recursion, no float accumulation. The forecast is emitted
+    in CENTS as comb/2^m — a dyadic rational below 2^53, so the double
+    is EXACT on both engines with no rounding step anywhere (a round(x,9)
+    presentation hit exact decimal ties where Spark HALF_UP and DuckDB
+    half-even disagree — measured on this very query).
+
+    Plan: identical to event_ewma — one (user_id) window exchange, the
+    8-element trailing array rides the sort, and the combination is a
+    constant-folded CASE over array literals (whole-stage codegen).
+    O(1) per row at any scale; the %20 output gate filters after the
+    frame builds."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_HOLT_W - 1), 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    frame = e.select(
+        "user_id",
+        "event_id",
+        F.collect_list(cents).over(w).alias("vals"),
+    )
+    return frame.filter(F.col("user_id") % 20 == 0).select(
+        "user_id",
+        "event_id",
+        F.expr(_holt_case("vals", spark_dialect=True)).alias("holt_forecast_c"),
+    )

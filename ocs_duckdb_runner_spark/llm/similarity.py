@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.registry import load_table, query
@@ -1637,4 +1637,137 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("top_label_n * 1000000 DIV n_vecs").alias("purity_micro"),
         )
         .orderBy("cluster")
+    )
+
+
+# nDCG@10 discount table: disc_i = round(1e9 / log2(i + 1)), computed ONCE
+# in Python so BOTH engines consume identical integer literals — no
+# cross-engine log() in the hash path at all.
+import math as _math
+
+NDCG_K = 10
+_NDCG_DISC = [round(1e9 / _math.log2(i + 1)) for i in range(1, NDCG_K + 1)]
+_NDCG_IDCG_PREFIX = [
+    sum(_NDCG_DISC[: i + 1]) for i in range(NDCG_K)
+]  # idcg for n_rel = 1..10
+_NDCG_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+@query(
+    "eval_ndcg_at10",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, label,
+                       {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, ev AS qv
+          FROM fp WHERE vec_id IN {_NDCG_QUERY_IDS}),
+    scored AS (
+        SELECT q.qid, q.qlabel, f.vec_id, f.label,
+               {_sql_cosine('f.ev', 'q.qv')} AS cos_sim
+        FROM fp f, q WHERE f.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, qlabel, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM scored
+    ),
+    dcg AS (
+        SELECT qid,
+               CAST(sum(CASE WHEN label = qlabel
+                        THEN ([{', '.join(str(d) for d in _NDCG_DISC)}])[rk]
+                        ELSE 0 END) AS BIGINT) AS dcg_nano
+        FROM ranked WHERE rk <= {NDCG_K} GROUP BY qid
+    ),
+    nrel AS (
+        SELECT q.qid,
+               CAST(count(*) FILTER (f.label = q.qlabel
+                                     AND f.vec_id <> q.qid) AS BIGINT) AS n_rel
+        FROM fp f, q GROUP BY q.qid
+    )
+    SELECT d.qid AS query_vec_id, d.dcg_nano, r.n_rel,
+           round(CAST(d.dcg_nano AS DOUBLE)
+                 / ([{', '.join(str(p) for p in _NDCG_IDCG_PREFIX)}])
+                   [least(r.n_rel, {NDCG_K})], 9) AS ndcg
+    FROM dcg d JOIN nrel r ON r.qid = d.qid
+    ORDER BY query_vec_id
+    """,
+    tags=("llm", "similarity", "eval", "ranking"),
+)
+def eval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of exact-cosine retrieval against label relevance — the
+    ranking-quality metric retrieval evals report beside recall
+    (eval_ann_recall): binary gain (candidate label == query label),
+    log-position discount, normalized by the ideal ranking's DCG. Five
+    deterministic query vectors (vec_ids 0-4), self excluded.
+
+    Exactness: the discount table round(1e9/log2(i+1)) is computed ONCE
+    in Python and embedded as identical integer literals in both plans —
+    DCG becomes an integer sum over array-literal lookups, and the only
+    float steps are the cosine ordering (identical doubles, identical
+    ties broken by vec_id) and one final division.
+
+    Plan: queries broadcast against one corpus scan (map-side cosine
+    fold, vectors never shuffle); per-query ranking is a 5-partition
+    window (the standard per-group top-k shape, cf window_topk_per_group);
+    n_rel rides a 5-key aggregate on the same scan. At 100 TB the
+    candidate generation would route through the IVF/LSH variants and
+    this query becomes the RERANK-stage audit, unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = e.select("vec_id", "label", fp_vec(F.col("embedding")).alias("ev"))
+    q = (
+        fp.filter(F.col("vec_id").isin(*_NDCG_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("ev").alias("qv"),
+        )
+    )
+    scored = (
+        fp.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine(F.col("ev"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= NDCG_K
+    )
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("label") == F.col("qlabel"), F.element_at(disc, F.col("rk"))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_nano")
+    )
+    nrel = (
+        fp.crossJoin(F.broadcast(q.select("qid", "qlabel")))
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    idcg = F.array(*[F.lit(p) for p in _NDCG_IDCG_PREFIX])
+    return (
+        dcg.join(nrel, "qid")
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "dcg_nano",
+            "n_rel",
+            F.round(
+                F.col("dcg_nano").cast("double")
+                / F.element_at(
+                    idcg, F.least(F.col("n_rel"), F.lit(NDCG_K)).cast("int")
+                ),
+                9,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_vec_id")
     )

@@ -1292,3 +1292,78 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.orderBy("merge_round").localCheckpoint(eager=True)
     w.unpersist()
     return result
+
+
+MATTR_W = 25  # MATTR window (tokens per full chunk)
+
+
+@query(
+    "text_mattr",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    ch AS (
+        SELECT doc_id, toks,
+               unnest(range(0, n // {MATTR_W})) AS c
+        FROM tok WHERE n >= {MATTR_W}
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(
+                   toks[c * {MATTR_W} + 1 : c * {MATTR_W} + {MATTR_W}]))
+                   AS BIGINT) AS dst
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(dst) AS BIGINT) AS sum_distinct,
+           round(CAST(sum(dst) AS DOUBLE) / ({MATTR_W} * count(*)), 9) AS mattr
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text", "diversity"),
+)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (Covington & McFall's MATTR) per
+    document — the length-robust lexical-diversity measure: plain TTR
+    (text_repetition's distinct ratio) mechanically shrinks with
+    document length (Heaps' law, cf corpus_heaps_curve), so corpora are
+    compared on the mean TTR of fixed-{MATTR_W}-token windows instead.
+    Non-overlapping full windows keep every count an exact integer:
+    mattr = sum(distinct per window) / ({MATTR_W} * n_windows).
+
+    Plan: tokenize + posexplode is a map-side lateral (Generate, no
+    input shuffle); the only exchange carries (doc_id, window, token)
+    keys for the distinct count, then collapses per doc. The %10 gate
+    prunes at the SCAN (pushed filter), not after — at 100 TB the
+    ungated form is the per-document QA column this feeds."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tk")
+    )
+    ch = tok.select(
+        "doc_id", (F.col("pos") / MATTR_W).cast("long").alias("c"), "tk"
+    )
+    d = (
+        ch.groupBy("doc_id", "c")
+        .agg(
+            F.countDistinct("tk").alias("dst"),
+            F.count(F.lit(1)).alias("w_len"),
+        )
+        .filter(F.col("w_len") == MATTR_W)
+    )
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("dst").cast("long").alias("sum_distinct"),
+            F.round(
+                F.sum("dst").cast("double")
+                / (MATTR_W * F.count(F.lit(1))),
+                9,
+            ).alias("mattr"),
+        )
+        .orderBy("doc_id")
+    )

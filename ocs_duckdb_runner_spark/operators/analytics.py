@@ -815,11 +815,11 @@ def agg_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
                         * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s22,
                CAST(sum(CAST(round(l_quantity) AS BIGINT)
-                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s1y,
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS s1y,
                CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
-                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s2y,
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS s2y,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS syy
         FROM lineitem GROUP BY l_returnflag
     ),
     c AS (
@@ -879,9 +879,9 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x1 * x1).cast("long").alias("s11"),
         F.sum(x1 * x2).cast("long").alias("s12"),
         F.sum(x2 * x2).cast("long").alias("s22"),
-        F.sum(x1 * y).cast("long").alias("s1y"),
-        F.sum(x2 * y).cast("long").alias("s2y"),
-        F.sum(y * y).cast("long").alias("syy"),
+        F.sum((x1 * y).cast("decimal(38,0)")).alias("s1y"),
+        F.sum((x2 * y).cast("decimal(38,0)")).alias("s2y"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
     )
 
     def cen(sij: str, si: str, sj: str) -> F.Column:

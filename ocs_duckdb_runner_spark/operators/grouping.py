@@ -1007,3 +1007,88 @@ def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    tot AS (
+        SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM cust GROUP BY nationkey
+    ),
+    terms AS (
+        SELECT c.nationkey,
+               CAST(round(
+                   (CAST(c.x AS DOUBLE) / (CAST(t.s AS DOUBLE) / t.n))
+                   * ln(CAST(c.x AS DOUBLE) / (CAST(t.s AS DOUBLE) / t.n))
+                   * 1e9) AS BIGINT) AS term_nano
+        FROM cust c JOIN tot t ON t.nationkey = c.nationkey
+    )
+    SELECT t.nationkey, t.n AS n_cust, t.s AS total_c,
+           round(CAST(sum(x.term_nano) AS DOUBLE) / t.n / 1e9, 9) AS theil_t
+    FROM terms x JOIN tot t ON t.nationkey = x.nationkey
+    GROUP BY t.nationkey, t.n, t.s
+    ORDER BY t.nationkey
+    """,
+    tags=("agg", "stats", "inequality"),
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue within each nation —
+    the decomposable inequality measure (unlike Gini, within-group +
+    between-group Theil sum exactly to the total, which is why economic
+    and data-balance audits prefer it): T = (1/n) Σ (x/μ)·ln(x/μ).
+    Companion to corpus_len_gini on the relational side of the house.
+
+    Exactness: per-customer revenue is an exact cents integer; μ enters
+    as the SAME double (exact BIGINT total / count) in both engines, and
+    each customer's (x/μ)ln(x/μ) term — an identical IEEE op sequence —
+    is rounded to nano-units BEFORE the aggregate, so the sum is an
+    order-independent integer sum (the same trick corpus_lang_entropy
+    uses to make an entropy hash-stable).
+
+    Plan: orders aggregate per customer (one shuffle on custkey,
+    partial-aggregated), broadcast-joined nation totals, then a 25-key
+    integer aggregate. Revenue values shuffle once; text/fact payloads
+    never do. Same shape at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    tot = cust.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    ratio = F.col("x").cast("double") / mu
+    terms = cust.join(F.broadcast(tot), "nationkey").select(
+        "nationkey",
+        "n",
+        "s",
+        F.round(ratio * F.log(ratio) * 1e9).cast("long").alias("term_nano"),
+    )
+    return (
+        terms.groupBy("nationkey", F.col("n").alias("n_cust"), F.col("s").alias("total_c"))
+        .agg(
+            F.round(
+                F.sum("term_nano").cast("double") / F.first("n") / 1e9, 9
+            ).alias("theil_t")
+        )
+        .orderBy("nationkey")
+    )

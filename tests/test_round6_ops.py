@@ -292,3 +292,105 @@ def test_jl_distortion_concentrates_near_one(spark):
     assert 700_000 <= jl["mean_ratio_ppm"] <= 1_300_000
     assert jl["min_ratio_ppm"] > 0
     assert jl["max_ratio_ppm"] < 4_000_000
+
+
+# ---- round-6 third-wave operators -----------------------------------------
+
+
+def test_ndcg_matches_exact_fp_cosine_recompute(spark):
+    import numpy as np
+
+    out = run(spark, "eval_ndcg_at10").set_index("query_vec_id")
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    fp = {
+        r.vec_id: np.round(np.asarray(r.embedding, dtype=np.float64) * 1e6)
+        .astype(np.int64)
+        for r in emb.itertuples()
+    }
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    disc = [round(1e9 / np.log2(i + 1)) for i in range(1, 11)]
+    prefix = np.cumsum(disc)
+    for qid in range(5):
+        qv, ql = fp[qid], labels[qid]
+
+        def cos(v):
+            num = float(np.dot(fp[v], qv)) / 1e12
+            return (
+                num
+                / np.sqrt(float(np.dot(fp[v], fp[v])) / 1e12)
+                / np.sqrt(float(np.dot(qv, qv)) / 1e12)
+            )
+
+        cands = sorted(
+            (v for v in fp if v != qid), key=lambda v: (-cos(v), v)
+        )[:10]
+        dcg = sum(d for d, v in zip(disc, cands) if labels[v] == ql)
+        n_rel = sum(1 for v in fp if v != qid and labels[v] == ql)
+        row = out.loc[qid]
+        assert row["dcg_nano"] == dcg
+        assert row["n_rel"] == n_rel
+        assert abs(row["ndcg"] - dcg / prefix[min(n_rel, 10) - 1]) < 1e-8
+        assert 0.0 <= row["ndcg"] <= 1.0
+
+
+def test_theil_nonnegative_and_matches_pandas(spark):
+    import numpy as np
+
+    th = run(spark, "agg_theil_index").set_index("nationkey")
+    assert (th["theil_t"] >= -1e-9).all()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = orders.merge(
+        cust[["c_custkey", "c_nationkey"]], left_on="o_custkey", right_on="c_custkey"
+    )
+    j["cents"] = (j["o_totalprice"] * 100).round().astype(np.int64)
+    x = j.groupby(["c_nationkey", "o_custkey"])["cents"].sum()
+    for nk in list(th.index)[:5]:
+        xs = x.loc[nk].to_numpy(dtype=np.float64)
+        mu = xs.sum() / len(xs)
+        want = np.sum(np.round(xs / mu * np.log(xs / mu) * 1e9)) / len(xs) / 1e9
+        assert abs(th.loc[nk, "theil_t"] - want) < 1e-8
+        assert th.loc[nk, "n_cust"] == len(xs)
+
+
+def test_holt_forecast_matches_recurrence(spark):
+    hf = run(spark, "event_holt_forecast")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    uid = int(hf["user_id"].iloc[0])
+    g = ev[ev["user_id"] == uid].copy()
+    g["ts"] = pd.to_datetime(g["ts"])
+    g = g.sort_values(["ts", "event_id"])
+    cents = (g["value"] * 100).round().astype("int64").tolist()
+    got = hf[hf["user_id"] == uid].set_index("event_id")["holt_forecast_c"]
+    for i, eid in enumerate(g["event_id"]):
+        w = cents[max(0, i - 7) : i + 1]
+        if len(w) == 1:
+            want = float(w[0])
+        else:
+            level, trend = float(w[1]), float(w[1] - w[0])
+            for x in w[2:]:
+                nl = (x + level + trend) / 2
+                trend = ((nl - level) + trend) / 2
+                level = nl
+            want = level + trend
+        assert got.loc[eid] == want  # dyadic => exact double equality
+
+
+def test_mattr_window_counts_and_bounds(spark):
+    mt = run(spark, "text_mattr").set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs = docs[docs["doc_id"] % 10 == 0]
+    checked = 0
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        full = len(toks) // 25
+        if full == 0:
+            assert r.doc_id not in mt.index
+            continue
+        row = mt.loc[r.doc_id]
+        assert row["n_chunks"] == full
+        want = sum(len(set(toks[c * 25 : (c + 1) * 25])) for c in range(full))
+        assert row["sum_distinct"] == want
+        assert 0 < row["mattr"] <= 1
+        checked += 1
+    assert checked >= 10
