@@ -485,36 +485,92 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT weighted median per group (price weighted by quantity): the
     smallest value whose cumulative weight reaches half the total — the
-    robust-statistics aggregate no engine ships exactly, built from a
-    cumulative-weight window. Values are integer cents and weights
-    integer units, so the boundary condition 2*cw >= tw is pure integer
-    arithmetic — no float comparison can flip the chosen element between
-    engines; the (price_c, wt) ORDER makes the cumsum deterministic under
-    weight ties.
+    robust-statistics aggregate no engine ships exactly. Values are
+    integer cents and weights integer units, so the boundary condition
+    2*cum >= total is pure integer arithmetic — no float comparison can
+    flip the chosen element between engines.
 
-    Plan: one (l_returnflag) exchange reused by both window aggregates
-    and the final min — three operators, ONE shuffle, and the shuffled
-    rows are two longs each."""
+    Plan — histogram drill-down, NOT a per-group window cumsum. The naive
+    form (cumulative-weight window over every row) puts each group's
+    entire row set on ONE task; at 100 TB a group is billions of rows and
+    that task never finishes. Instead:
+
+      1. ONE hash aggregate over the fact table onto (group, coarse
+         bucket = price_c >> 14) — map-side partial combine, bounded
+         output (#groups x ~700 buckets), key-only shuffle.
+      2. Window cumsum over that TINY frame to find, per group, the
+         bucket where cumulative weight crosses half the total, plus the
+         cumulative weight strictly before it.
+      3. A second scan drills into ONLY the crossing bucket (broadcast
+         3-row join gates it map-side), hash-aggregates (group, price_c)
+         within it, and a window over that small slice finds the exact
+         crossing price: min price_c with 2*(before + cum_in_bucket) >=
+         total.
+
+    Equivalence to the row-level definition: cumulative weight through a
+    price equals `before + in-bucket cum through that price`, and the
+    crossing price provably lies in the crossing bucket (cum < total/2
+    at the end of every earlier bucket). Within-price tie order is
+    irrelevant because equal prices aggregate before the window. Both
+    windows touch O(#buckets) / O(bucket slice) rows — every full-data
+    pass is a partial-aggregated hash agg that scales linearly."""
+    _SHIFT = 14  # 163.84-dollar coarse buckets; price_c <= ~11M -> ~700
     li = load_table(spark, sf_dir, "lineitem")
     w = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
         F.round(F.col("l_quantity")).cast("long").alias("wt"),
     )
-    cum_w = (
+    coarse = (
+        w.groupBy("l_returnflag", F.shiftright("price_c", _SHIFT).alias("b"))
+        .agg(F.sum("wt").alias("bw"))
+    )
+    cum_b = (
         Window.partitionBy("l_returnflag")
-        .orderBy("price_c", "wt")
+        .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot_w = Window.partitionBy("l_returnflag")
-    cum = w.select(
+    cum = coarse.select(
+        "l_returnflag",
+        "b",
+        "bw",
+        F.sum("bw").over(cum_b).alias("cw"),
+        F.sum("bw").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    # per group: the first bucket whose cumulative weight reaches tw/2
+    tgt = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("l_returnflag").alias("g"))
+        .agg(
+            F.min("b").alias("tb"),
+            F.min_by(F.col("cw") - F.col("bw"), "b").alias("before"),
+            F.first("tw").alias("tw"),
+        )
+    )
+    fine = (
+        w.join(
+            F.broadcast(tgt),
+            (w["l_returnflag"] == tgt["g"])
+            & (F.shiftright(w["price_c"], _SHIFT) == tgt["tb"]),
+        )
+        .select("l_returnflag", "price_c", "wt", "before", "tw")
+        .groupBy("l_returnflag", "price_c", "before", "tw")
+        .agg(F.sum("wt").alias("vw"))
+    )
+    cum_p = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fcum = fine.select(
         "l_returnflag",
         "price_c",
-        F.sum("wt").over(cum_w).alias("cw"),
-        F.sum("wt").over(tot_w).alias("tw"),
+        "before",
+        "tw",
+        F.sum("vw").over(cum_p).alias("cwf"),
     )
     return (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        fcum.filter(2 * (F.col("before") + F.col("cwf")) >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(F.min("price_c").alias("wmedian_price_c"))
     )
@@ -788,36 +844,127 @@ def agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10% trimmed mean per group — the robust location estimate that
     survives fat tails and data bugs (a misplaced 1e9 price moves a mean
-    arbitrarily, a trimmed mean not at all): rank within group, drop the
-    bottom and top n/10 rows (deterministic tie-break on the full key),
-    average the exact integer cents of the rest. The kept-count and
-    kept-sum are exact; the mean is one double division.
+    arbitrarily, a trimmed mean not at all): drop the bottom and top
+    n/10 rows by price, average the exact integer cents of the rest.
 
-    Plan: one (group) window exchange for rank + count, then the gate
-    and re-aggregate ride the same partitioning — two stages, one
-    shuffle. At 100 TB the honest alternative is approx_percentile
-    gates; this is the exact form."""
+    Plan — histogram drill-down, NOT a per-group rank window. Ranking
+    every row (row_number over the group) serializes each group onto one
+    task — the same 100 TB wall as the naive weighted median. Instead:
+
+      1. ONE hash aggregate onto (group, coarse bucket = c >> 14):
+         per-bucket row count and exact cent sum. Bounded output,
+         map-side combine, key-only shuffle.
+      2. Cumsum over that tiny frame gives each bucket its global rank
+         interval (lo_b, hi_b]. With kept ranks (n/10, n - n/10], a
+         bucket is FULLY kept (contribute its whole sum — no row ever
+         revisited), fully dropped, or one of <= 2 PARTIAL buckets per
+         group where a trim boundary lands.
+      3. A second scan drills into only the partial buckets (broadcast
+         join gate), hash-aggregates (group, c), and a cumsum over that
+         slice assigns each distinct value its rank interval; its kept
+         multiplicity is the interval overlap with (lo, hi] — pure
+         integer clamp arithmetic.
+
+    Tie-robustness: the row-level definition breaks price ties by
+    (orderkey, linenumber), but rows with equal cent value are
+    interchangeable for the kept SUM (round() is monotone, so equal-cent
+    rows are contiguous in any price order) — the histogram form is
+    exactly equal, which the DuckDB row-level oracle verifies. Windows
+    touch O(#buckets) and O(slice) rows only; every full-data pass is a
+    linear hash agg."""
+    _SHIFT = 14
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wc = Window.partitionBy("l_returnflag")
-    r = li.select(
+    w = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wc).alias("n"),
     )
-    kept = r.filter(
-        (F.col("rk") > F.expr("n div 10"))
-        & (F.col("rk") <= F.col("n") - F.expr("n div 10"))
+    coarse = w.groupBy(
+        "l_returnflag", F.shiftright("c", _SHIFT).alias("b")
+    ).agg(F.count(F.lit(1)).alias("nb"), F.sum("c").alias("sb"))
+    cum_b = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return kept.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("c").cast("long").alias("sum_kept_c"),
-        F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias(
-            "trimmed_mean_c"
-        ),
+    wg = Window.partitionBy("l_returnflag")
+    cum = coarse.select(
+        "l_returnflag",
+        "b",
+        "nb",
+        "sb",
+        (F.sum("nb").over(cum_b) - F.col("nb")).alias("start"),
+        F.sum("nb").over(cum_b).alias("end"),
+        F.sum("nb").over(wg).alias("n"),
+    ).select(
+        "*",
+        F.expr("n div 10").alias("lo"),
+        (F.col("n") - F.expr("n div 10")).alias("hi"),
+    )
+    # kept rows inside this bucket = overlap of (start, end] with (lo, hi]
+    kept_b = F.greatest(
+        F.lit(0),
+        F.least(F.col("end"), F.col("hi"))
+        - F.greatest(F.col("start"), F.col("lo")),
+    )
+    cum = cum.withColumn("kept_b", kept_b)
+    full = (
+        cum.filter(F.col("kept_b") == F.col("nb"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("sb").alias("s"), F.sum("nb").alias("k"))
+    )
+    part = cum.filter(
+        (F.col("kept_b") > 0) & (F.col("kept_b") < F.col("nb"))
+    ).select(
+        F.col("l_returnflag").alias("g"), "b", "start", "lo", "hi"
+    )
+    fine = (
+        w.join(
+            F.broadcast(part),
+            (w["l_returnflag"] == part["g"])
+            & (F.shiftright(w["c"], _SHIFT) == part["b"]),
+        )
+        .groupBy("l_returnflag", "b", "c", "start", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cum_c = (
+        Window.partitionBy("l_returnflag", "b")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fcum = fine.select(
+        "l_returnflag",
+        "c",
+        "lo",
+        "hi",
+        (F.col("start") + F.sum("m").over(cum_c) - F.col("m")).alias("vs"),
+        (F.col("start") + F.sum("m").over(cum_c)).alias("ve"),
+    )
+    kept_v = F.greatest(
+        F.lit(0),
+        F.least(F.col("ve"), F.col("hi"))
+        - F.greatest(F.col("vs"), F.col("lo")),
+    )
+    part_sum = (
+        fcum.withColumn("kv", kept_v)
+        .filter(F.col("kv") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("c") * F.col("kv")).alias("s"),
+            F.sum("kv").alias("k"),
+        )
+    )
+    return (
+        full.unionByName(part_sum)
+        .groupBy("l_returnflag")
+        .agg(F.sum("k").alias("n_kept"), F.sum("s").alias("sum_kept_c"))
+        .select(
+            "l_returnflag",
+            "n_kept",
+            F.col("sum_kept_c").cast("long").alias("sum_kept_c"),
+            F.round(
+                F.col("sum_kept_c").cast("double") / F.col("n_kept"), 6
+            ).alias("trimmed_mean_c"),
+        )
     )
 
 

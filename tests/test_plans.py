@@ -568,3 +568,27 @@ def test_pca_power_iter_no_python_no_sortmerge(spark):
     plan = plan_of(spark, "embed_pca_power_iter")
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_weighted_median_is_histogram_drilldown(spark):
+    # the exact weighted median must NOT rank raw rows: the only Window
+    # nodes sit above hash aggregates (coarse bucket frame, fine bucket
+    # slice), and the drill-into-the-crossing-bucket join broadcasts the
+    # 3-row target frame. A Window directly over the scan is the
+    # one-task-per-group plan that dies at 100 TB.
+    plan = plan_of(spark, "agg_weighted_median")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    head = plan.split("Window")[0]
+    assert "HashAggregate" in head  # aggregate precedes any window
+
+
+def test_trimmed_mean_is_histogram_drilldown(spark):
+    # same contract as the weighted median: no row_number over raw rows
+    # (row-level rank = one task per group); windows only above
+    # aggregates, partial buckets gated by a broadcast join
+    plan = plan_of(spark, "agg_trimmed_mean")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    head = plan.split("Window")[0]
+    assert "HashAggregate" in head
