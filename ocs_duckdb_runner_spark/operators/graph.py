@@ -597,6 +597,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-filtered) edge frame; the surviving-edge join is
     broadcast-scale. The peel never touches the fact table again."""
     edges = _assoc_edges(spark, sf_dir).repartition(8).persist()
+    # eager pin: the final frame crossJoins three aggregates whose
+    # broadcast-exchange jobs launch CONCURRENTLY — a lazily-persisted
+    # edge frame is race-recomputed by each of them (the measured
+    # triangle-count defect, SCALING.md round-6 root-cause #1b); one
+    # count() materializes the lineitem self-join exactly once
+    edges.count()
     cur = edges
     for _ in range(_KCORE_ROUNDS):
         sym = cur.select(F.col("a").alias("node")).unionAll(
@@ -610,10 +616,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         keep_a = nodes.toDF("keep_a")
         keep_b = nodes.toDF("keep_b")
+        # truncate lineage each round (standard iterative-Spark practice:
+        # the surviving-edge frame is tiny after the support cut, but its
+        # UN-truncated lineage is re-executed by every downstream
+        # reference — the measured stage-storm; checkpointing pins ~3.7k
+        # rows and makes each round exactly one degree-agg + one join)
         cur = (
             cur.join(keep_a, cur.a == keep_a.keep_a)
             .join(keep_b, cur.b == keep_b.keep_b)
             .select("a", "b")
+            .localCheckpoint(eager=True)
         )
     sym_last = cur.select(F.col("a").alias("node")).unionAll(
         cur.select(F.col("b").alias("node"))
@@ -648,12 +660,18 @@ def _adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join (the measured coalesce trap — see SCALING.md, cached-plan
     # partitioning). Round-robin, not keyed: LPA joins this frame on nbr
     # while BFS joins it on node, so no single keyed layout serves both.
-    return (
+    adj = (
         edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .repartition(8)
         .persist()
     )
+    # eager pin (see graph_kcore_peel): LPA/BFS reference adj in every
+    # unrolled round and in concurrently-scheduled exchange jobs; without
+    # a materializing count() the lineitem self-join behind the edge set
+    # is race-recomputed once per referencing stage
+    adj.count()
+    return adj
 
 
 def _lpa_oracle() -> str:
@@ -714,10 +732,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # per-round lineage truncation — see graph_kcore_peel; the label
+        # frame is one row per node, and without the checkpoint round r's
+        # plan re-executes rounds 1..r-1 for every downstream reference
         labels = (
             freq.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
+            .localCheckpoint(eager=True)
         )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
     out = (
@@ -786,8 +808,12 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         relaxed = adj.join(frontier, adj.node == frontier.fnode).select(
             F.col("nbr").alias("node"), (F.col("fdist") + 1).alias("dist")
         )
+        # per-round lineage truncation — see graph_kcore_peel
         dist = (
-            dist.unionAll(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
         )
     out = (
         dist.groupBy(F.col("dist").alias("distance"))
