@@ -755,17 +755,27 @@ SEM_TAU = 0.8  # intra-cluster cosine duplicate threshold
     oracle=f"""
     WITH vecs AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS v
                   FROM embeddings),
+    params AS (SELECT GREATEST({SEM_K_MIN},
+                       CAST(CEIL(count(*) / {SEM_TARGET}.0) AS BIGINT)) AS k
+               FROM vecs),
     cents AS (SELECT vec_id AS cid, v AS c FROM vecs
-              WHERE vec_id < (SELECT GREATEST({SEM_K_MIN},
-                       CAST(CEIL(count(*) / {SEM_TARGET}.0) AS BIGINT))
-                     FROM vecs)),
+              WHERE vec_id < (SELECT k FROM params)),
+    supers AS (SELECT vec_id AS sid, v AS s FROM vecs
+               WHERE vec_id < (SELECT CAST(CEIL(SQRT(k)) AS BIGINT)
+                               FROM params)),
+    cent_cell AS (
+        SELECT cid, c, (min({{'d2': {_SQL_D2.format(dim=DIM, a='c', b='s')},
+                             'sid': sid}})).sid AS cell
+        FROM cents CROSS JOIN supers GROUP BY cid, c),
+    vcell AS (
+        SELECT vec_id, v, (min({{'d2': {_SQL_D2.format(dim=DIM, a='v', b='s')},
+                                'sid': sid}})).sid AS cell
+        FROM vecs CROSS JOIN supers GROUP BY vec_id, v),
     assign AS MATERIALIZED (
-        SELECT vec_id, v, (m).cid AS cluster FROM (
-            SELECT vec_id, v,
-                   min({{'d2': {_SQL_D2.format(dim=DIM, a='v', b='c')},
-                        'cid': cid}}) AS m
-            FROM vecs CROSS JOIN cents
-            GROUP BY vec_id, v)
+        SELECT vec_id, v, (min({{'d2': {_SQL_D2.format(dim=DIM, a='v', b='c')},
+                                'cid': cid}})).cid AS cluster
+        FROM vcell JOIN cent_cell USING (cell)
+        GROUP BY vec_id, v
     ),
     dups AS (
         SELECT b.vec_id, CAST(min(a.vec_id) AS BIGINT) AS dup_of
@@ -797,13 +807,24 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster pair term is N²/K and the 10× probe took 130 s (r5 verdict,
     What's wrong #3); growing K holds per-cluster work constant so total
     pair work is ~N·SEM_TARGET, linear in N.
-    Exactness: integer nano-unit assignment
-    distances AND pair cosines, so cluster membership, the τ gate, and
-    min-id keepers are all bit-identical to the oracle.
 
-    Plan: one broadcast of K centroids + map-side argmin (no corpus
-    shuffle), one hash-partitioned self-join on the cluster id, one
-    key-only min aggregate, one left join back."""
+    Assignment is HIERARCHICAL (two-level, the IMI / hierarchical-kmeans
+    form): a flat argmin over K centroids is N·K = N²/SEM_TARGET distance
+    evaluations — quadratic again through the back door once K grows with
+    N. Instead ceil(√K) super-centroids partition the centroid set into
+    coarse cells (a tiny K·√K precompute); each vector takes one argmin
+    over the √K supers, then an argmin over only the centroids of its
+    cell — ~2·N·√K total distance work, and the cell routing is the same
+    deterministic integer-d2 + lowest-id rule at both levels, so both
+    engines produce the identical (approximate) clustering. Exactness:
+    integer nano-unit assignment distances AND pair cosines, so cluster
+    membership, the τ gate, and min-id keepers are all bit-identical to
+    the oracle.
+
+    Plan: supers broadcast (map-side cell routing, no corpus shuffle),
+    the K-row centroid→cell frame broadcast for the per-cell argmin, one
+    hash-partitioned self-join on the cluster id, one key-only min
+    aggregate, one left join back."""
     out, assign = _semantic_build(spark, sf_dir)
     out = out.localCheckpoint(eager=True)
     assign.unpersist()
@@ -813,18 +834,52 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_build(spark: SparkSession, sf_dir: str):
     """Pre-checkpoint SemDeDup plan + the persisted assignment frame (the
     query checkpoints before unpersisting; plan tests inspect this form)."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     # K from one cheap corpus count (column-less parquet scan; the verdict-
     # sanctioned plan-time parameter — same role as AQE's runtime stats)
     n = emb.select(F.lit(1)).count()
     k = max(SEM_K_MIN, -(-n // SEM_TARGET))
+    g = math.isqrt(k - 1) + 1  # ceil(sqrt(k)), integer-exact
     vecs = emb.select("vec_id", fp_vec(F.col("embedding")).alias("v"))
     cents = vecs.filter(F.col("vec_id") < F.lit(k)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    assign = _kmeans_assign(vecs, cents).select(
-        "vec_id", "v", F.col("cid").alias("cluster")
-    ).persist()
+    supers = vecs.filter(F.col("vec_id") < F.lit(g)).select(
+        F.col("vec_id").alias("sid"), F.col("v").alias("s")
+    )
+    cell_pick = F.min(
+        F.struct(_d2(F.col("c"), F.col("s")).alias("d2"),
+                 F.col("sid").alias("sid"))
+    ).alias("m")
+    cent_cell = (
+        cents.crossJoin(F.broadcast(supers))
+        .groupBy("cid", "c")
+        .agg(cell_pick)
+        .select("cid", "c", F.col("m.sid").alias("cell"))
+    )
+    vcell_pick = F.min(
+        F.struct(_d2(F.col("v"), F.col("s")).alias("d2"),
+                 F.col("sid").alias("sid"))
+    ).alias("m")
+    vcell = (
+        vecs.crossJoin(F.broadcast(supers))
+        .groupBy("vec_id", "v")
+        .agg(vcell_pick)
+        .select("vec_id", "v", F.col("m.sid").alias("cell"))
+    )
+    fine_pick = F.min(
+        F.struct(_d2(F.col("v"), F.col("c")).alias("d2"),
+                 F.col("cid").alias("cid"))
+    ).alias("m")
+    assign = (
+        vcell.join(F.broadcast(cent_cell), "cell")
+        .groupBy("vec_id", "v")
+        .agg(fine_pick)
+        .select("vec_id", "v", F.col("m.cid").alias("cluster"))
+        .persist()
+    )
     a = assign.toDF("a_id", "a_v", "cluster")
     b = assign.toDF("vec_id", "b_v", "cluster")
     dups = (
