@@ -1239,3 +1239,213 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---- exact order statistics at scale: shared rank drill-down ----
+
+_OS_SHIFT = 14  # coarse bucket = price_c >> 14 (~164-dollar cells)
+
+
+def _cents(li: DataFrame) -> DataFrame:
+    return li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+
+
+def _values_at_ranks(w: DataFrame, targets: DataFrame) -> DataFrame:
+    """Exact value at given per-group ranks WITHOUT ranking raw rows.
+
+    `w` is (l_returnflag, c); `targets` is a TINY frame (l_returnflag,
+    tag, r) asking for the value of rank r (1-indexed ascending by c)
+    in each group. Same machinery as agg_weighted_median's drill-down:
+    one coarse-bucket hash aggregate over the data, a window over the
+    tiny bucket frame to find each target's crossing bucket, then a
+    broadcast-gated fine scan of ONLY the crossing buckets; a value's
+    global rank interval is (start + in-bucket-cum - m, start +
+    in-bucket-cum], and the requested value is the one whose interval
+    contains r. Every full-data pass is a linear hash aggregate; all
+    windows touch O(#buckets) / O(slice) rows."""
+    coarse = w.groupBy(
+        "l_returnflag", F.shiftright("c", _OS_SHIFT).alias("b")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    cum_b = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = coarse.select(
+        "l_returnflag",
+        "b",
+        (F.sum("nb").over(cum_b) - F.col("nb")).alias("start"),
+        F.sum("nb").over(cum_b).alias("end"),
+    )
+    tgt = targets.toDF("tg", "tag", "r")
+    crossing = (
+        cum.join(
+            F.broadcast(tgt),
+            (cum["l_returnflag"] == tgt["tg"])
+            & (tgt["r"] > cum["start"])
+            & (tgt["r"] <= cum["end"]),
+        )
+        .select("l_returnflag", "tag", "r", "b", "start")
+    )
+    gate = crossing.select(
+        F.col("l_returnflag").alias("g"), F.col("b").alias("gb"), "start"
+    ).distinct()
+    fine = (
+        w.join(
+            F.broadcast(gate),
+            (w["l_returnflag"] == gate["g"])
+            & (F.shiftright(w["c"], _OS_SHIFT) == gate["gb"]),
+        )
+        .groupBy("l_returnflag", "gb", "c", "start")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cum_c = (
+        Window.partitionBy("l_returnflag", "gb")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fcum = fine.select(
+        "l_returnflag",
+        "gb",
+        "c",
+        (F.col("start") + F.sum("m").over(cum_c) - F.col("m")).alias("vs"),
+        (F.col("start") + F.sum("m").over(cum_c)).alias("ve"),
+    )
+    cr = crossing.select(
+        F.col("l_returnflag").alias("cg"), "tag", "r", F.col("b").alias("cb")
+    )
+    return (
+        fcum.join(
+            F.broadcast(cr),
+            (fcum["l_returnflag"] == cr["cg"])
+            & (fcum["gb"] == cr["cb"])
+            & (cr["r"] > fcum["vs"])
+            & (cr["r"] <= fcum["ve"]),
+        )
+        .select("l_returnflag", "tag", "c")
+    )
+
+
+_SQL_CENTS = (
+    "SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c"
+    " FROM lineitem"
+)
+_SQL_RANKED = f"""
+    w AS ({_SQL_CENTS}),
+    r AS (SELECT l_returnflag, c,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY c)
+                     AS rk,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM w)
+"""
+
+
+@query(
+    "agg_decile_bounds",
+    oracle=f"""
+    WITH {_SQL_RANKED}
+    SELECT l_returnflag, CAST(d.d AS BIGINT) AS decile, c AS decile_value_c
+    FROM r, unnest(generate_series(1, 9)) AS d(d)
+    WHERE rk = (d.d * n + 9) // 10
+    ORDER BY l_returnflag, decile
+    """,
+    tags=("agg", "order-stats", "quantile"),
+)
+def agg_decile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine EXACT decile boundaries per group in one plan — the
+    equi-depth histogram / SLA-percentile report (p10..p90 at once).
+    Boundary d is the value at rank ceil(d*n/10) (pure integer
+    arithmetic, cross-engine exact on the cent grid).
+
+    Plan: the multi-target generalization of agg_weighted_median's
+    histogram drill-down — ONE coarse-bucket aggregate serves all nine
+    targets (their crossing buckets come from one window over the tiny
+    bucket frame), and one broadcast-gated fine scan covers the <= 9
+    distinct crossing buckets per group. Asking for more quantiles adds
+    rows to a 27-row broadcast frame, not passes over the data — the
+    property that matters when a 100 TB profiling job wants p1..p99."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = _cents(li)
+    tot = w.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    deciles = spark.range(1, 10).select(F.col("id").alias("d"))
+    targets = tot.crossJoin(F.broadcast(deciles)).select(
+        "l_returnflag",
+        F.col("d").alias("tag"),
+        ((F.col("d") * F.col("n") + 9) / 10).cast("long").alias("r"),
+    )
+    return (
+        _values_at_ranks(w, targets)
+        .select(
+            "l_returnflag",
+            F.col("tag").cast("long").alias("decile"),
+            F.col("c").alias("decile_value_c"),
+        )
+        .orderBy("l_returnflag", "decile")
+    )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle=f"""
+    WITH {_SQL_RANKED},
+    p AS (SELECT l_returnflag,
+                 min(CASE WHEN rk = (n + 9) // 10 THEN c END) AS lo_c,
+                 min(CASE WHEN rk = (9 * n + 9) // 10 THEN c END) AS hi_c
+          FROM r GROUP BY l_returnflag)
+    SELECT w.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           p.lo_c, p.hi_c,
+           round(CAST(sum(GREATEST(p.lo_c, LEAST(p.hi_c, w.c)))
+                      AS DOUBLE) / count(*), 6) AS winsorized_mean_c
+    FROM w JOIN p USING (l_returnflag)
+    GROUP BY w.l_returnflag, p.lo_c, p.hi_c
+    """,
+    tags=("agg", "robust-stats", "order-stats"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% winsorized mean per group — agg_trimmed_mean's sibling that
+    CLAMPS the tails to the p10/p90 values instead of dropping them
+    (the robust location estimate that keeps n constant). p10/p90 are
+    the values at ranks ceil(n/10) / ceil(9n/10).
+
+    Plan: the two boundary values come from the shared rank drill-down
+    (no row-level ranking); the winsorized sum is then ONE more linear
+    pass — clamp every value against the broadcast 3-row (lo, hi) frame
+    and sum exact integers. Two scans + key-only exchanges total,
+    nothing quadratic, nothing single-task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = _cents(li)
+    tot = w.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    targets = tot.select(
+        "l_returnflag", F.lit(1).alias("tag"),
+        ((F.col("n") + 9) / 10).cast("long").alias("r"),
+    ).unionByName(
+        tot.select(
+            "l_returnflag", F.lit(9).alias("tag"),
+            ((9 * F.col("n") + 9) / 10).cast("long").alias("r"),
+        )
+    )
+    vals = _values_at_ranks(w, targets)
+    bounds = vals.groupBy(F.col("l_returnflag").alias("pg")).agg(
+        F.min(F.when(F.col("tag") == 1, F.col("c"))).alias("lo_c"),
+        F.min(F.when(F.col("tag") == 9, F.col("c"))).alias("hi_c"),
+    )
+    clamped = w.join(
+        F.broadcast(bounds), w["l_returnflag"] == bounds["pg"]
+    ).select(
+        "l_returnflag",
+        "lo_c",
+        "hi_c",
+        F.greatest("lo_c", F.least("hi_c", F.col("c"))).alias("cc"),
+    )
+    return clamped.groupBy("l_returnflag", "lo_c", "hi_c").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum("cc").cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsorized_mean_c"),
+    ).select(
+        "l_returnflag", "n_rows", "lo_c", "hi_c", "winsorized_mean_c"
+    )

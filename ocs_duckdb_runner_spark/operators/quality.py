@@ -188,3 +188,63 @@ def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     ).orderBy("column_name")
+
+
+# canonical per-row rendering for the checksum: every column reduced to a
+# deterministic string/integer form both engines produce byte-identically
+_CHECKSUM_SQL_ROW = (
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+    " CAST(round(o_totalprice * 100) AS BIGINT),"
+    " CAST(epoch(o_orderdate) AS BIGINT), o_orderpriority)"
+)
+
+
+@query(
+    "table_checksum_compare",
+    oracle=f"""
+    WITH rows_c AS (
+        SELECT CAST(concat('0x', substr(md5({_CHECKSUM_SQL_ROW}), 1, 8))
+                    AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+    FROM rows_c
+    """,
+    tags=("quality", "checksum", "migration"),
+)
+def table_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum — the migration /
+    replication validator: render each row to one canonical string
+    (integers as-is, money on the cent grid, timestamps as UTC epoch
+    seconds), md5 it, fold the first 32 bits into BOTH a sum and a xor.
+    Two engines holding the same multiset of rows produce the same
+    (n_rows, sum, xor) triple regardless of row order, partitioning, or
+    file layout — which is exactly what this repo's own DuckDB-oracle
+    harness needs, expressed as an in-engine operator a user can run
+    against any pair of systems.
+
+    Plan: ONE scan, ONE 1-row aggregate; md5 and the hex fold are
+    map-side JVM expressions, sum and bit_xor are commutative-
+    associative registers that partial-aggregate per partition before a
+    1-row exchange — the checksum of 100 TB costs one linear pass and
+    merges like any distributed aggregate. 32-bit prefixes keep
+    sum(h) < 2^55 at 8B rows (no BIGINT overflow), and sum+xor together
+    make silent collision-cancellation vanishingly unlikely."""
+    o = load_table(spark, sf_dir, "orders")
+    row_s = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("long"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_s), 1, 8), 16, 10).cast("long")
+    return o.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("h").cast("long").alias("checksum_sum"),
+        F.expr("bit_xor(h)").cast("long").alias("checksum_xor"),
+    )

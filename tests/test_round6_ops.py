@@ -394,3 +394,54 @@ def test_mattr_window_counts_and_bounds(spark):
         assert 0 < row["mattr"] <= 1
         checked += 1
     assert checked >= 10
+
+
+def test_decile_bounds_are_monotone_and_bracket_median(spark):
+    dec = run(spark, "agg_decile_bounds")
+    med = run(spark, "agg_weighted_median")  # weighted, sanity bracket only
+    for flag, grp in dec.groupby("l_returnflag"):
+        vals = grp.sort_values("decile")["decile_value_c"].tolist()
+        assert vals == sorted(vals)  # monotone p10..p90
+        assert len(vals) == 9
+    # p50 from the decile report equals the value-at-rank median used by
+    # the winsorized oracle family (same rank rule, unweighted)
+    w = run(spark, "agg_winsorized_mean")
+    for _, row in w.iterrows():
+        grp = dec[dec["l_returnflag"] == row["l_returnflag"]]
+        assert row["lo_c"] == grp[grp["decile"] == 1].iloc[0]["decile_value_c"]
+        assert row["hi_c"] == grp[grp["decile"] == 9].iloc[0]["decile_value_c"]
+
+
+def test_winsorized_mean_between_bounds_and_robust(spark):
+    w = run(spark, "agg_winsorized_mean")
+    for _, row in w.iterrows():
+        assert row["lo_c"] <= row["winsorized_mean_c"] <= row["hi_c"]
+
+
+def test_checksum_is_order_and_layout_insensitive(spark):
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.operators.quality import (
+        table_checksum_compare,
+    )
+
+    base = run(spark, "table_checksum_compare")
+    # same rows, different partitioning/order => identical triple
+    import ocs_duckdb_runner_spark.registry as reg
+
+    o = reg.load_table(spark, SF_DIR, "orders").orderBy(
+        F.col("o_totalprice").desc()
+    ).repartition(7)
+    tmp = "/tmp/ocs_checksum_shuffled"
+    o.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    # symlink the untouched tables so load_table resolves
+    import os
+    for t in reg.TABLES:
+        src = f"{SF_DIR}/{t}.parquet"
+        dst = f"{tmp}/{t}.parquet"
+        if t != "orders" and os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    got = table_checksum_compare(spark, tmp).toPandas()
+    assert got.iloc[0]["n_rows"] == base.iloc[0]["n_rows"]
+    assert got.iloc[0]["checksum_sum"] == base.iloc[0]["checksum_sum"]
+    assert got.iloc[0]["checksum_xor"] == base.iloc[0]["checksum_xor"]
