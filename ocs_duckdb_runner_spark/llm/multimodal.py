@@ -652,3 +652,126 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         " mean_px double",
     )
     return out
+
+
+def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched perceptual block-hash of P5 payloads: decode,
+    bincount pixel sums/counts onto a 4x4 cell grid, then 12 horizontal
+    + 12 vertical neighbor comparisons -> 24-bit hash. Comparisons use
+    the integer cross-multiply s_a*n_b > s_b*n_a (cell MEANS compared
+    without ever forming a float), so the hash is bit-exact against the
+    SQL oracle."""
+    for pdf in it:
+        ids, hashes = [], []
+        for did, b in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(b)
+            m = _PNM_HEADER.match(buf)
+            if not m or m.group(1) != b"P5":
+                raise ValueError("phash expects a P5 payload")
+            w, h = int(m.group(2)), int(m.group(3))
+            px = np.frombuffer(buf, dtype=np.uint8, offset=m.end())[
+                : w * h
+            ].astype(np.int64)
+            idx = np.arange(px.size)
+            cell = (idx // w * 4) // h * 4 + (idx % w * 4) // w
+            s = np.bincount(cell, weights=px, minlength=16).astype(np.int64)
+            n = np.bincount(cell, minlength=16).astype(np.int64)
+            ph = 0
+            for rr in range(4):
+                for cc in range(3):
+                    a, bb = rr * 4 + cc, rr * 4 + cc + 1
+                    if s[a] * n[bb] > s[bb] * n[a]:
+                        ph |= 1 << (rr * 3 + cc)
+            for rr in range(3):
+                for cc in range(4):
+                    a, bb = rr * 4 + cc, (rr + 1) * 4 + cc
+                    if s[a] * n[bb] > s[bb] * n[a]:
+                        ph |= 1 << (12 + rr * 4 + cc)
+            ids.append(did)
+            hashes.append(ph)
+        yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+
+@query(
+    "mm_image_phash",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS blen,
+             4 + doc_id % 8 AS w
+      FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % {_CORRUPT_EVERY} <> 0),
+    q AS (SELECT *, greatest(1, CAST(floor(blen / w) AS BIGINT)) AS h FROM p),
+    px AS (
+      SELECT q.doc_id, q.w, q.h, ((t.i - 1) // q.w) AS r,
+             ((t.i - 1) % q.w) AS c,
+             (strpos('0123456789ABCDEF',
+                     substring(q.hx, CAST(2 * t.i - 1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF',
+                      substring(q.hx, CAST(2 * t.i AS INT), 1)) - 1 AS v
+      FROM q, unnest(generate_series(1, q.w * q.h)) AS t(i)),
+    cells AS (
+      SELECT doc_id, (r * 4) // h AS rc, (c * 4) // w AS cc,
+             CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM px GROUP BY doc_id, rc, cc),
+    hbits AS (
+      SELECT a.doc_id,
+             CAST(coalesce(sum(CASE WHEN a.s * b.n > b.s * a.n
+                  THEN CAST(1 AS BIGINT) << CAST(a.rc * 3 + a.cc AS INT)
+                  ELSE 0 END), 0) AS BIGINT) AS hb
+      FROM cells a JOIN cells b
+        ON a.doc_id = b.doc_id AND a.rc = b.rc AND b.cc = a.cc + 1
+      GROUP BY a.doc_id),
+    vbits AS (
+      SELECT a.doc_id,
+             CAST(coalesce(sum(CASE WHEN a.s * b.n > b.s * a.n
+                  THEN CAST(1 AS BIGINT) << CAST(12 + a.rc * 4 + a.cc AS INT)
+                  ELSE 0 END), 0) AS BIGINT) AS vb
+      FROM cells a JOIN cells b
+        ON a.doc_id = b.doc_id AND b.rc = a.rc + 1 AND a.cc = b.cc
+      GROUP BY a.doc_id),
+    ph AS (SELECT h.doc_id, h.hb + v.vb AS phash
+           FROM hbits h JOIN vbits v USING (doc_id)),
+    canon AS (SELECT phash, min(doc_id) AS keeper FROM ph GROUP BY phash)
+    SELECT ph.doc_id, ph.phash,
+           CASE WHEN c.keeper < ph.doc_id THEN c.keeper END AS dup_of,
+           c.keeper < ph.doc_id AS is_dup
+    FROM ph JOIN canon c USING (phash)
+    """,
+    tags=("llm", "multimodal", "dedup", "phash"),
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup — the vision analog of dedup_simhash: each
+    P5 image reduces to a 24-bit block-hash (4x4 cell-mean grid, one bit
+    per horizontal/vertical neighbor ordering), and images sharing a
+    hash collapse to the lowest doc_id keeper. Block-hash survives
+    re-encoding and brightness-preserving noise exactly the way a
+    training-data pipeline needs for near-identical frame/thumbnail
+    collapse; a production variant widens the grid (pHash/dHash 64-bit)
+    and adds a hamming-ball band join — same plumbing.
+
+    Exactness: cell means are never formed — bit b compares integer
+    cross-products s_a*n_b vs s_b*n_a, so the hash, the keeper, and the
+    dup flags are bit-identical to the byte-true DuckDB oracle (which
+    rebuilds pixels from the hex dump).
+
+    Plan: encode + gate JVM-side, ONE Arrow mapInPandas pass for the
+    hash (numpy bincount per payload, no per-byte Python), then a
+    key-only groupBy/join on the 24-bit hash — the dedup collapse
+    shuffles 12-byte rows regardless of image size. At 100 TB of
+    images the hash pass is embarrassingly parallel and the join is a
+    bounded-key exchange."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % _CORRUPT_EVERY != 0)
+    )
+    payload = _with_pnm_payload(d).select("doc_id", "payload")
+    ph = payload.mapInPandas(_phash_batches, "doc_id long, phash long")
+    canon = ph.groupBy("phash").agg(F.min("doc_id").alias("keeper"))
+    return ph.join(canon, "phash").select(
+        "doc_id",
+        "phash",
+        F.when(F.col("keeper") < F.col("doc_id"), F.col("keeper")).alias(
+            "dup_of"
+        ),
+        (F.col("keeper") < F.col("doc_id")).alias("is_dup"),
+    )

@@ -248,3 +248,67 @@ def table_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("long").alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("long").alias("checksum_xor"),
     )
+
+
+_SKEW_BUCKETS = 32
+
+
+@query(
+    "table_partition_skew",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+               % {_SKEW_BUCKETS} AS bucket,
+               count(*) AS n
+        FROM lineitem GROUP BY bucket
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6)
+               AS skew_ratio
+    FROM b
+    """,
+    tags=("quality", "skew", "diagnostics"),
+)
+def table_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-balance diagnostic: hash the prospective shuffle key
+    (l_orderkey) into {_SKEW_BUCKETS} buckets with an engine-neutral
+    md5-prefix hash and report the bucket-occupancy spread —
+    skew_ratio = max_bucket * n_buckets / total, the factor by which the
+    hottest reducer exceeds the average. This is the pre-flight check a
+    100 TB job runs before choosing a join strategy: ratio ~1 means the
+    key hash-distributes cleanly; >>1 means salting / AQE skew-join
+    handling is required (see join_skew_salted for the remedy this
+    diagnostic motivates).
+
+    Plan: one scan, one {_SKEW_BUCKETS}-key hash aggregate (map-side
+    combined), one 1-row reduction — the diagnostic costs a linear pass
+    no matter the table size, and the md5-prefix bucket rule is the
+    same one table_checksum_compare uses, hash-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _SKEW_BUCKETS
+    )
+    per = li.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.round(
+            F.max("n").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("n"),
+            6,
+        ).alias("skew_ratio"),
+    )
