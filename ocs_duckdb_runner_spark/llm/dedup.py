@@ -1431,3 +1431,65 @@ def dedup_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("template_fp").asc())
         .limit(20)
     )
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    first AS (
+        SELECT shingle, min(doc_id) AS first_doc
+        FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9)
+               AS novelty_ratio
+    FROM sh JOIN first f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    tags=("llm", "corpus", "novelty", "dedup"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the redundancy-growth curve of a
+    corpus in ingestion order: a doc's 3-gram shingle is NOVEL if no
+    lower-id document contains it, and novelty_ratio is the fraction of
+    the doc's distinct shingles it introduces. Curation uses this the
+    way Zipf/Heaps curves are used ([corpus_heaps_curve] measures the
+    vocabulary analog): a falling novelty curve says new data is
+    repeating the corpus and the token budget is better spent elsewhere;
+    per-doc scores feed dedup-adjacent filtering of boilerplate-heavy
+    tails.
+
+    Plan: one shingle explode (map-side lateral), ONE exchange keyed on
+    the shingle string to find each shingle's first-introducing doc
+    (min aggregate), then the novelty flags ride the SAME shingle-keyed
+    partitioning through the join before a doc-keyed re-aggregate — two
+    key-only shuffles total, no pairs, no windows; at 100 TB this is
+    exactly the inverted-index pass dedup_fingerprint already scales."""
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("novelty_ratio"),
+        )
+    )

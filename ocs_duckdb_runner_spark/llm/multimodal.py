@@ -692,10 +692,11 @@ def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
 
-@query(
-    "mm_image_phash",
-    oracle=f"""
-    WITH p AS (
+# the full phash pipeline as a reusable oracle CTE chain (ends at
+# `ph AS (doc_id, phash)`) — shared by mm_image_phash and the banded
+# hamming-pair join below
+_SQL_PHASH = f"""
+    p AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS blen,
              4 + doc_id % 8 AS w
@@ -731,7 +732,24 @@ def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ON a.doc_id = b.doc_id AND b.rc = a.rc + 1 AND a.cc = b.cc
       GROUP BY a.doc_id),
     ph AS (SELECT h.doc_id, h.hb + v.vb AS phash
-           FROM hbits h JOIN vbits v USING (doc_id)),
+           FROM hbits h JOIN vbits v USING (doc_id))
+"""
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) for the clean P5 subset — the Spark twin of the
+    `ph` oracle CTE."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % _CORRUPT_EVERY != 0)
+    )
+    payload = _with_pnm_payload(d).select("doc_id", "payload")
+    return payload.mapInPandas(_phash_batches, "doc_id long, phash long")
+
+
+@query(
+    "mm_image_phash",
+    oracle=f"""
+    WITH {_SQL_PHASH},
     canon AS (SELECT phash, min(doc_id) AS keeper FROM ph GROUP BY phash)
     SELECT ph.doc_id, ph.phash,
            CASE WHEN c.keeper < ph.doc_id THEN c.keeper END AS dup_of,
@@ -761,11 +779,7 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles 12-byte rows regardless of image size. At 100 TB of
     images the hash pass is embarrassingly parallel and the join is a
     bounded-key exchange."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % _CORRUPT_EVERY != 0)
-    )
-    payload = _with_pnm_payload(d).select("doc_id", "payload")
-    ph = payload.mapInPandas(_phash_batches, "doc_id long, phash long")
+    ph = _phash_frame(spark, sf_dir)
     canon = ph.groupBy("phash").agg(F.min("doc_id").alias("keeper"))
     return ph.join(canon, "phash").select(
         "doc_id",
@@ -774,4 +788,67 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of"
         ),
         (F.col("keeper") < F.col("doc_id")).alias("is_dup"),
+    )
+
+
+_HAM_BANDS = 3  # 3 bands x 8 bits over the 24-bit hash
+_HAM_MAX = 2  # pigeonhole: d <= bands-1 pairs always share a band
+
+
+@query(
+    "mm_phash_hamming_pairs",
+    oracle=f"""
+    WITH {_SQL_PHASH},
+    bands AS (
+        SELECT doc_id, phash, t.j,
+               (phash >> CAST(8 * t.j AS INT)) & 255 AS bv
+        FROM ph, unnest(generate_series(0, {_HAM_BANDS - 1})) AS t(j)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS pa, b.phash AS pb
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= {_HAM_MAX}
+    """,
+    tags=("llm", "multimodal", "dedup", "phash", "lsh"),
+)
+def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs under Hamming distance <= {_HAM_MAX} on
+    the 24-bit block-hash — the banded LSH join that turns mm_image_phash
+    from exact-collision dedup into perceptual-radius dedup (one or two
+    flipped comparison bits = slight brightness/noise change). The
+    3-bands-of-8-bits split is the pigeonhole guarantee: any pair within
+    distance 2 agrees on at least one full band, so candidates = pairs
+    sharing a band value and recall at the radius is exactly 1 — the
+    same band trick dedup_minhash uses for Jaccard, applied to Hamming
+    space.
+
+    Plan: the hash frame (one Arrow pass) explodes to {_HAM_BANDS} band
+    rows per image; candidates come from an equi-join on (band index,
+    band value) — never an all-pairs product — then one map-side
+    bit_count(xor) gate. Candidate volume is sum of squared bucket
+    sizes, the LSH-bounded quantity; at 100 TB the band join is the
+    identical shuffle the MinHash path already scales, with 16-byte
+    rows."""
+    ph = _phash_frame(spark, sf_dir)
+    jdx = spark.range(_HAM_BANDS).select(F.col("id").alias("j"))
+    bands = ph.crossJoin(F.broadcast(jdx)).select(
+        "doc_id",
+        "phash",
+        "j",
+        F.expr("shiftright(phash, CAST(8 * j AS INT)) & 255").alias("bv"),
+    )
+    a = bands.toDF("doc_a", "pa", "j", "bv")
+    b = bands.toDF("doc_b", "pb", "j", "bv")
+    cand = (
+        a.join(b, ["j", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return cand.filter(ham <= _HAM_MAX).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
     )
