@@ -940,6 +940,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("p").alias("raw"))
         )
         mx = raw.agg(F.max("raw").alias("mx"))
+        # truncate lineage per half-step (25-row frame): `raw` is
+        # referenced twice (mx + the left join) so an un-checkpointed
+        # score chain re-executes every prior half-step per reference —
+        # 2^steps plan blowup, measured 19.8s at sf0.1 before this
         return (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(mx))
@@ -950,6 +954,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" * {_HITS_MICRO} DIV mx AS BIGINT)"
                 ).alias("s"),
             )
+            .repartition(1)  # 25-row frame: one task, not 64 empties
+            .localCheckpoint(eager=True)
         )
 
     h = nodes.select("node", F.lit(_HITS_MICRO).cast("long").alias("s"))
