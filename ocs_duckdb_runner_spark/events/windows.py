@@ -477,3 +477,69 @@ def event_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("best_start", "yyyy-MM-dd").alias("best_start"),
         )
     )
+
+
+@query(
+    "event_audience_overlap",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           round(CAST(count(*) AS DOUBLE)
+                 / (sa.n + sb.n - count(*)), 9) AS jaccard
+    FROM d a
+    JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sizes sa ON sa.event_type = a.event_type
+    JOIN sizes sb ON sb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type, sa.n, sb.n
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "audience", "overlap"),
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix — for every pair of event types, how many
+    users did BOTH (plus Jaccard): the campaign/feature-reach overlap
+    report every growth team asks for, and the exact form of the
+    audience-intersection problem agg_distinct_bitmap solves with
+    bitmaps when type cardinality explodes.
+
+    Plan: ONE distinct over (type, user) — key-only exchange — then a
+    self-join ON user_id: each user contributes only their own type
+    pairs (<= T²/2 rows per user, T = 5 types), never a cross product;
+    the pair aggregate and the broadcast size join are bounded by T².
+    At 100 TB the user-keyed equi-join is the standard co-grouping
+    shuffle, and nothing wider than (type, type) crosses the final
+    exchange."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("event_type", "user_id").distinct()
+    sizes = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = d.toDF("type_a", "user_id")
+    b = d.toDF("type_b", "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sa = sizes.toDF("type_a", "n_a")
+    sb = sizes.toDF("type_b", "n_b")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -852,3 +852,121 @@ def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= _HAM_MAX).select(
         "doc_a", "doc_b", ham.cast("long").alias("hamming")
     )
+
+
+_VAD_FRAME = 160  # samples per analysis frame (10-20 ms at 8-16 kHz)
+_VAD_T = 2500  # mean-square activity threshold (integer grid)
+
+
+def _vad_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched activity segmentation: decode WAV, frame the sample
+    stream, frame energy = integer sum of squared centered samples,
+    active iff energy > _VAD_T * frame_len (integer cross-multiply, no
+    float), then run-length the active mask for segment stats."""
+    for pdf in it:
+        rows = {
+            "doc_id": pdf["doc_id"], "n_frames": [], "n_active": [],
+            "n_segments": [], "longest_run": [],
+        }
+        for b in pdf["payload"]:
+            d = decode_wav(bytes(b))
+            n = d["n_samples"]
+            # reconstruct centered samples for framing
+            buf = bytes(b)
+            pos = buf.index(b"data") + 8
+            samples = np.frombuffer(
+                buf, dtype=np.uint8, count=n, offset=pos
+            ).astype(np.int64) - 128
+            nf = -(-n // _VAD_FRAME) if n else 0
+            e = np.zeros(nf, dtype=np.int64)
+            cnt = np.zeros(nf, dtype=np.int64)
+            if n:
+                fidx = np.arange(n) // _VAD_FRAME
+                np.add.at(e, fidx, samples * samples)
+                np.add.at(cnt, fidx, 1)
+            act = e > _VAD_T * cnt
+            starts = int(
+                (act & ~np.concatenate(([False], act[:-1]))).sum()
+            )
+            longest = 0
+            run = 0
+            for a in act:
+                run = run + 1 if a else 0
+                longest = max(longest, run)
+            rows["n_frames"].append(nf)
+            rows["n_active"].append(int(act.sum()))
+            rows["n_segments"].append(starts)
+            rows["longest_run"].append(longest)
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+    px AS (
+        SELECT p.doc_id, (t.i - 1) // {_VAD_FRAME} AS f,
+               (strpos('0123456789ABCDEF',
+                       substring(p.hx, CAST(2 * t.i - 1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF',
+                        substring(p.hx, CAST(2 * t.i AS INT), 1)) - 1 - 128
+                   AS v
+        FROM p, unnest(generate_series(1, p.n)) AS t(i)),
+    frames AS (
+        SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e,
+               CAST(count(*) AS BIGINT) AS nf
+        FROM px GROUP BY doc_id, f),
+    flag AS (SELECT *, e > {_VAD_T} * nf AS act FROM frames),
+    isl AS (
+        SELECT doc_id, f,
+               f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM flag WHERE act),
+    seg AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+            FROM isl GROUP BY doc_id, grp),
+    per_seg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(max(len) AS BIGINT) AS longest_run
+        FROM seg GROUP BY doc_id),
+    per_frame AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN act THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_active
+        FROM flag GROUP BY doc_id)
+    SELECT p.doc_id,
+           coalesce(pf.n_frames, 0) AS n_frames,
+           coalesce(pf.n_active, 0) AS n_active,
+           coalesce(ps.n_segments, 0) AS n_segments,
+           coalesce(ps.longest_run, 0) AS longest_run
+    FROM p
+    LEFT JOIN per_frame pf USING (doc_id)
+    LEFT JOIN per_seg ps USING (doc_id)
+    """,
+    tags=("llm", "multimodal", "audio", "vad"),
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation over audio payloads — the VAD-shaped pass a
+    speech-data pipeline runs to cut silence and measure usable speech:
+    frame the 8-bit PCM stream ({_VAD_FRAME} samples/frame), mark frames
+    whose mean-square energy clears a threshold (compared as the integer
+    cross-product energy > T*len — no float forms), then run-length the
+    active mask into segments (count, longest run). A real VAD
+    (webrtcvad / silero) slots into the identical per-payload batch
+    contract; the framing, thresholding, and run-length bookkeeping are
+    what the engine owns either way.
+
+    Plan: ONE Arrow mapInPandas pass, zero shuffle — framing and
+    run-length are numpy per payload; the oracle rebuilds frames from
+    the hex dump and runs the classic gaps-and-islands SQL. Per-doc
+    stats stay embarrassingly parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    p = spread(_with_wav_payload(d))
+    return p.mapInPandas(
+        _vad_batches,
+        schema=(
+            "doc_id long, n_frames long, n_active long,"
+            " n_segments long, longest_run long"
+        ),
+    )

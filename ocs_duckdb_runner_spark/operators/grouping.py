@@ -1449,3 +1449,54 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", "n_rows", "lo_c", "hi_c", "winsorized_mean_c"
     )
+
+
+@query(
+    "agg_bitwise_flags",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag,
+               CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+                    + CASE WHEN l_discount > 0.05 THEN 2 ELSE 0 END
+                    + CASE WHEN l_tax > 0.04 THEN 4 ELSE 0 END
+                    + (l_linenumber % 4) * 8 AS BIGINT) AS flags
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(bit_and(flags) AS BIGINT) AS flags_all,
+           CAST(bit_or(flags) AS BIGINT) AS flags_any,
+           CAST(bit_xor(flags) AS BIGINT) AS flags_parity,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM f GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitwise", "functions"),
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface — AND/OR/XOR folds over a derived flag
+    bitmap per group: flags_all (invariants that hold for EVERY row),
+    flags_any (feature coverage), flags_parity (the xor fold backing
+    checksum/parity schemes like table_checksum_compare's register).
+    Flag encoding packs three predicates + a 2-bit enum into one long,
+    the compact-audit idiom for wide boolean feature sets.
+
+    Plan: the bitmap is one map-side expression; all three bit folds are
+    commutative-associative registers in ONE hash aggregate (map-side
+    partial combine, key-only exchange) — adding predicates widens no
+    row and adds no pass, exactly like table_constraint_audit's
+    conditional counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = (
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+        + F.when(F.col("l_discount") > 0.05, 2).otherwise(0)
+        + F.when(F.col("l_tax") > 0.04, 4).otherwise(0)
+        + (F.col("l_linenumber") % 4) * 8
+    ).cast("long")
+    return (
+        li.select("l_returnflag", flags.alias("flags"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("bit_and(flags)").cast("long").alias("flags_all"),
+            F.expr("bit_or(flags)").cast("long").alias("flags_any"),
+            F.expr("bit_xor(flags)").cast("long").alias("flags_parity"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

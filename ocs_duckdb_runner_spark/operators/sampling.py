@@ -300,3 +300,71 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k") * F.col("x")).cast("long").alias("total_chars"),
         )
     )
+
+
+_AB_ARMS = 2  # 50/50 experiment split
+
+
+@query(
+    "sample_ab_assignment",
+    oracle=f"""
+    WITH arms AS (
+        SELECT o_custkey,
+               CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % {_AB_ARMS} AS arm
+        FROM (SELECT DISTINCT o_custkey FROM orders)
+    ),
+    counts AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n FROM arms GROUP BY arm
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+    SELECT c.arm, c.n,
+           round(CAST(c.n AS DOUBLE) / t.t, 9) AS share,
+           round(power(c.n - CAST(t.t AS DOUBLE) / {_AB_ARMS}, 2)
+                 / (CAST(t.t AS DOUBLE) / {_AB_ARMS}), 9) AS chi2_term
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.arm
+    """,
+    tags=("sampling", "experiment", "ab-test"),
+)
+def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment bucketing + sample-ratio-mismatch check:
+    each customer hashes to one of {_AB_ARMS} arms via the engine-neutral
+    md5-prefix rule (sticky across runs, clusters, and days — the property
+    an A/B platform cannot live without), and the report carries each
+    arm's count, share, and chi-square SRM term against the intended
+    uniform split (sum the terms, compare to the chi2 critical value:
+    an imbalanced randomizer is the most common silent experiment
+    killer).
+
+    Plan: one distinct on the unit key (key-only exchange), one
+    {_AB_ARMS}-key aggregate, one broadcast total — unit count never
+    matters; the assignment column itself is a map-side expression any
+    downstream query can reuse without a join."""
+    o = load_table(spark, sf_dir, "orders")
+    units = o.select("o_custkey").distinct()
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _AB_ARMS
+    )
+    counts = units.select(arm.alias("arm")).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    exp = F.col("t").cast("double") / _AB_ARMS
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 9).alias("share"),
+            F.round(
+                F.pow(F.col("n") - exp, 2) / exp, 9
+            ).alias("chi2_term"),
+        )
+        .orderBy("arm")
+    )
