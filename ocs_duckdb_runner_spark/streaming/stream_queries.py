@@ -115,6 +115,29 @@ def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(agg, "complete"))
 
 
+@query("stream_sliding_wm", oracle=None, tags=("streaming",))
+def stream_sliding_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window aggregation (1 hour every 30 minutes)
+    with a 10-minute watermark — the streaming twin of event_sliding:
+    each event lands in exactly two overlapping windows, the state
+    store carries both, and the watermark bounds how long each window
+    stays open. Same exact fixed-point sum as the batch twin; complete
+    mode so the single fixture micro-batch emits every window;
+    rows-only driver check, batch-twin equality locked in
+    tests/test_streaming.py."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_c"
+        )
+    )
+    return spark.table(_run_to_memory(agg, "complete"))
+
+
 def _user_totals_state(key, pdfs, state):
     """Custom stateful operator body (applyInPandasWithState): per-user
     running (event count, exact value-cents sum) carried in the state

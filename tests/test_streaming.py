@@ -237,3 +237,15 @@ def test_stream_incremental_mv_matches_batch_twin(spark):
         cols,
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_sliding_matches_batch_twin(spark):
+    """stream_sliding_wm ≡ event_sliding: overlapping 1h/30min windows
+    under a watermark carry the same per-window state the batch
+    operator derives (each event in exactly two windows)."""
+    from ocs_duckdb_runner_spark.registry import get_query
+
+    cols = ["window_start", "event_type", "n", "sum_value_c"]
+    got = _rows(get_query("stream_sliding_wm").fn(spark, SF_DIR), cols)
+    want = _rows(get_query("event_sliding").fn(spark, SF_DIR), cols)
+    assert got == want and len(want) > 0
