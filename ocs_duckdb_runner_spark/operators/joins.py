@@ -878,3 +878,116 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist2").asc(), F.col("a_key").asc(), F.col("b_key").asc())
         .limit(20)
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ord_d AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    bk AS (SELECT e.event_id, o.o_orderkey AS k2, o.o_orderdate AS t2
+           FROM e ASOF LEFT JOIN ord_d o
+             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+    fw AS (SELECT e.event_id, o.o_orderkey AS k2, o.o_orderdate AS t2
+           FROM e ASOF LEFT JOIN ord_d o
+             ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate)
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN bk.k2 IS NOT NULL AND (fw.k2 IS NULL
+                     OR epoch_us(e.ts) - epoch_us(bk.t2)
+                        <= epoch_us(fw.t2) - epoch_us(e.ts))
+                THEN bk.k2 ELSE fw.k2 END AS nearest_orderkey,
+           CASE WHEN bk.k2 IS NOT NULL AND (fw.k2 IS NULL
+                     OR epoch_us(e.ts) - epoch_us(bk.t2)
+                        <= epoch_us(fw.t2) - epoch_us(e.ts))
+                THEN epoch_us(e.ts) - epoch_us(bk.t2)
+                WHEN fw.k2 IS NOT NULL
+                THEN epoch_us(fw.t2) - epoch_us(e.ts) END AS dist_us
+    FROM e
+    LEFT JOIN bk USING (event_id)
+    LEFT JOIN fw USING (event_id)
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join — each event pairs with the closest order
+    in time on EITHER side (ties to the earlier order), the sensor-
+    alignment / feature-matching variant of join_asof's backward-only
+    rule. Spark has no native ASOF; the scalable formulation runs the
+    union + window trick twice over ONE key exchange: an ascending pass
+    carries the most recent earlier order forward (backward candidate),
+    a descending pass carries the earliest later order backward (forward
+    candidate, same-instant orders excluded — they belong to the
+    backward side), and a map-side CASE picks the smaller µs distance.
+    The oracle is two native DuckDB ASOF joins + the same CASE — two
+    different algorithms, same rows. No range-join blowup, no pandas:
+    at 100 TB the cost is one user-keyed shuffle and two sorted window
+    passes over it."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(1).alias("is_event"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(0).alias("is_event"),
+    )
+    merged = ev.unionAll(od)
+    # backward: orders sort BEFORE events at equal t (>= semantics)
+    w_bk = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: walk time downward; events sort before orders at equal t
+    # in the reversed order, so same-instant orders stay backward-only
+    w_fw = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").desc(), F.col("is_event").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col("t").cast("timestamp"))
+    ann = merged.select(
+        "k",
+        "t",
+        "event_id",
+        "is_event",
+        F.last("okey", ignorenulls=True).over(w_bk).alias("bk_key"),
+        F.last(F.when(F.col("okey").isNotNull(), us), ignorenulls=True)
+        .over(w_bk)
+        .alias("bk_us"),
+        F.last("okey", ignorenulls=True).over(w_fw).alias("fw_key"),
+        F.last(F.when(F.col("okey").isNotNull(), us), ignorenulls=True)
+        .over(w_fw)
+        .alias("fw_us"),
+    )
+    ev_us = F.unix_micros(F.col("t").cast("timestamp"))
+    bk_d = ev_us - F.col("bk_us")
+    fw_d = F.col("fw_us") - ev_us
+    take_bk = F.col("bk_key").isNotNull() & (
+        F.col("fw_key").isNull() | (bk_d <= fw_d)
+    )
+    return ann.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(take_bk, F.col("bk_key"))
+        .otherwise(F.col("fw_key"))
+        .alias("nearest_orderkey"),
+        F.when(take_bk, bk_d)
+        .when(F.col("fw_key").isNotNull(), fw_d)
+        .alias("dist_us"),
+    )
