@@ -970,3 +970,81 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_segments long, longest_run long"
         ),
     )
+
+
+def _mm_feat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One decode per payload serving both consumers: the block-hash and
+    the header geometry come out of the same Arrow batch pass."""
+    for pdf in it:
+        hashed = next(_phash_batches(iter([pdf])))
+        dims = [decode_pnm(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": hashed["phash"],
+                "width": [f["width"] for f in dims],
+                "height": [f["height"] for f in dims],
+            }
+        )
+
+
+@query(
+    "pipeline_mm_curation",
+    oracle=f"""
+    WITH {_SQL_PHASH},
+    canon AS (SELECT phash, min(doc_id) AS keeper FROM ph GROUP BY phash),
+    keep AS (
+        SELECT ph.doc_id, ph.phash FROM ph
+        JOIN canon c USING (phash) WHERE c.keeper = ph.doc_id),
+    audio AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               CAST(8000 + doc_id % 4 * 4000 AS INT) AS rate
+        FROM documents)
+    SELECT k.doc_id, k.phash,
+           CAST(p.w AS INTEGER) AS width,
+           CAST(q.h AS INTEGER) AS height,
+           CAST(a.n * 1000 // a.rate AS BIGINT) AS duration_ms
+    FROM keep k
+    JOIN p ON p.doc_id = k.doc_id
+    JOIN q ON q.doc_id = k.doc_id
+    JOIN audio a ON a.doc_id = k.doc_id
+    """,
+    tags=("llm", "multimodal", "pipeline", "dedup"),
+)
+def pipeline_mm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation end-to-end — the composed pass a training-data
+    pipeline runs over a mixed media corpus: decode the image payloads
+    (real Netpbm parse), collapse perceptual duplicates to their lowest-
+    id keeper (block-hash groupBy), and emit a per-keeper manifest row
+    joining image geometry with the audio leg's decoded duration — one
+    row per surviving asset, ready for an export sharder.
+
+    Plan: two independent Arrow decode passes (image hash+dims, audio
+    stats) that never shuffle, one key-only hash join on the 24-bit
+    phash for the keeper set, and doc_id equi-joins for the manifest —
+    the composition adds NO new shuffle class beyond its parts, which
+    is the property that lets these pipelines stack at 100 TB. The
+    oracle rebuilds the keeper set from the shared byte-true phash CTE
+    chain and the geometry/duration from the container grammar."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % _CORRUPT_EVERY != 0)
+    )
+    payload = _with_pnm_payload(d).select("doc_id", "payload")
+    feats = payload.mapInPandas(
+        _mm_feat_batches, "doc_id long, phash long, width int, height int"
+    )
+    canon = feats.groupBy("phash").agg(F.min("doc_id").alias("keeper"))
+    keep = feats.join(canon, "phash").filter(
+        F.col("keeper") == F.col("doc_id")
+    )
+    audio = spread(_with_wav_payload(d)).mapInPandas(
+        _decode_wav_stats,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, duration_ms long, "
+            "mean_amp double, peak int, energy long"
+        ),
+    ).select("doc_id", "duration_ms")
+    return keep.join(audio, "doc_id").select(
+        "doc_id", "phash", "width", "height", "duration_ms"
+    )
