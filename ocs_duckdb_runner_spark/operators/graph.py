@@ -1047,3 +1047,85 @@ def assoc_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos2_ppm").desc(), "a", "b")
         .limit(20)
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_SQL_ASSOC},
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY a),
+    ends AS (
+        SELECT da.d AS x, db.d AS y
+        FROM sym e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM ends)
+    SELECT n AS n_edge_ends,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 9) AS assortativity
+    FROM m
+    """,
+    tags=("graph", "stats"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the association graph — the Pearson
+    correlation of endpoint degrees over all directed edge ends, the
+    one-number summary of whether hubs attach to hubs (assortative,
+    social-graph-like) or to leaves (disassortative, web/biology-like).
+    It decides which scale hazards apply: disassortative graphs
+    concentrate wedge work on hub-leaf stars (why
+    graph_common_neighbors carries a degree cap), assortative ones
+    concentrate triangle mass.
+
+    Plan: degrees are one key-only aggregate; endpoint degree pairs are
+    two broadcast-scale joins on the (support-filtered, tiny) edge set;
+    the correlation folds into ONE 1-row aggregate of exact integer
+    moments (the agg_ols/corr_matrix policy — sums are
+    order-independent integers, the final r is one identical double
+    expression per engine)."""
+    edges = _assoc_edges(spark, sf_dir).repartition(8).persist()
+    edges.count()
+    sym = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ends = (
+        sym.join(deg.toDF("a", "x"), "a")
+        .join(deg.toDF("b", "y"), "b")
+        .select("x", "y")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    out = m.select(
+        F.col("n").alias("n_edge_ends"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            9,
+        ).alias("assortativity"),
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
