@@ -2154,3 +2154,61 @@ def event_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr(_holt_case("vals", spark_dialect=True)).alias("holt_forecast_c"),
     )
+
+
+@query(
+    "event_pattern_vshape",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               lag(CAST(round(value * 100) AS BIGINT), 2)
+                   OVER w AS v2,
+               lag(CAST(round(value * 100) AS BIGINT), 1)
+                   OVER w AS v1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN v2 > v1 AND v1 < v THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vshapes
+    FROM s GROUP BY user_id
+    HAVING sum(CASE WHEN v2 > v1 AND v1 < v THEN 1 ELSE 0 END) >= 3
+    """,
+    tags=("events", "pattern", "sequence"),
+)
+def event_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-lite): count strict
+    V-shapes (down, then up: v[t-2] > v[t-1] < v[t]) in each user's
+    value sequence and keep users with >= 3 — the dip-and-recover motif
+    behind bounce detection, cart-abandon-return, and sensor glitch
+    screens. Spark has no MATCH_RECOGNIZE; two lag() taps over one
+    ordered window express the fixed-length pattern exactly, and values
+    compare on the integer cent grid so both engines see identical
+    strict inequalities (ties break the pattern identically).
+
+    Plan: ONE (user_id) window exchange — per-user partitions, never a
+    global sort — then the same partitioning feeds the count aggregate;
+    at 100 TB this is the bounded-per-key window every sessionization
+    query already pays, with two extra lag registers."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.round(F.col("value") * 100).cast("long")
+    s = e.select(
+        "user_id",
+        v.alias("v"),
+        F.lag(v, 2).over(w).alias("v2"),
+        F.lag(v, 1).over(w).alias("v1"),
+    )
+    hit = F.when(
+        (F.col("v2") > F.col("v1")) & (F.col("v1") < F.col("v")), 1
+    ).otherwise(0)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(hit).cast("long").alias("n_vshapes"),
+        )
+        .filter(F.col("n_vshapes") >= 3)
+    )
