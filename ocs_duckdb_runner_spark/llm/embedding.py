@@ -266,9 +266,13 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     stats AS (
+        -- both moments EXACT (HUGEINT) before ONE cast to double: a
+        -- float sum of squares is partition-order-dependent, and the
+        -- n*s2 - s1^2 cancellation amplifies those last-ulp differences
+        -- into the 4th digit (measured at the 10x probe)
         SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(sq_norm_u) AS DOUBLE) AS s1,
-               CAST(sum(CAST(sq_norm_u AS DOUBLE) * CAST(sq_norm_u AS DOUBLE))
+               CAST(sum(CAST(sq_norm_u AS HUGEINT)) AS DOUBLE) AS s1,
+               CAST(sum(CAST(sq_norm_u AS HUGEINT) * sq_norm_u)
                     AS DOUBLE) AS s2
         FROM fp
     ),
@@ -315,12 +319,14 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     fp = e.select("vec_id", sq.alias("sq_norm_u"))
+    # exact decimal(38,0) moments, ONE cast to double each (see oracle
+    # comment: float-summed s2 + variance cancellation broke the 10x
+    # probe hash in the 4th digit)
+    sqd = F.col("sq_norm_u").cast("decimal(38,0)")
     stats = fp.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("sq_norm_u").cast("double").alias("s1"),
-        F.sum(
-            F.col("sq_norm_u").cast("double") * F.col("sq_norm_u").cast("double")
-        ).alias("s2"),
+        F.sum(sqd).cast("double").alias("s1"),
+        F.sum(sqd * F.col("sq_norm_u")).cast("double").alias("s2"),
     )
     z = fp.crossJoin(F.broadcast(stats)).withColumn(
         "zscore",
