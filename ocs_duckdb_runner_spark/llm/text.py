@@ -1367,3 +1367,67 @@ def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text,
+                    '[bcdfghjklmnpqrstvwxyz]*[aeiou]+')) AS BIGINT)
+                   AS subwords,
+               CAST(length(text) AS BIGINT) AS chars
+        FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(subwords) AS BIGINT) AS n_subwords,
+           round(CAST(sum(subwords) AS DOUBLE) / sum(words), 9) AS fertility,
+           round(CAST(sum(chars) AS DOUBLE) / sum(subwords), 9)
+               AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "text", "tokens", "fertility"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — subword tokens emitted per
+    whitespace word, the first number checked when a tokenizer meets a
+    new language mix (fertility >> baseline means the language is being
+    shredded into characters, inflating sequence length and cost; the
+    companion chars-per-token is the budget planner's constant). Uses
+    the same BPE-ish syllable regex as text_token_count so the two
+    reports share a token definition.
+
+    Plan: per-doc counts are map-side regexp folds (text never crosses
+    an exchange); the per-language report is ONE hash aggregate of
+    exact integer sums, with the two ratios as single double divisions
+    — the agg_* exactness policy applied to tokenizer QA."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " ")).cast("long")
+    subwords = F.size(
+        F.expr(
+            "regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]*[aeiou]+', 0)"
+        )
+    ).cast("long")
+    chars = F.length("text").cast("long")
+    t = d.select(
+        "lang", words.alias("words"), subwords.alias("subwords"),
+        chars.alias("chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").cast("long").alias("n_words"),
+            F.sum("subwords").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("subwords").cast("double") / F.sum("words"), 9
+            ).alias("fertility"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("subwords"), 9
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -733,3 +733,88 @@ def src_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at("tags", 1) + 0).cast("long").alias("tag0"),
         (F.element_at("tags", 2) * 10).cast("long").alias("tag1"),
     )
+
+
+@query(
+    "sink_vacuum_retention",
+    oracle="""
+    SELECT 1 AS version,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
+           CAST(2 AS BIGINT) AS n_files_live,
+           CAST(4 AS BIGINT) AS n_files_deleted
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("sink", "versioned", "vacuum"),
+)
+def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with retention — the garbage-collection half of the
+    transaction-log story sink_versioned_snapshot starts: v0 writes the
+    open orders as 4 data files; v1 REWRITES the table (compaction-style,
+    2 files) so v0's files become unreferenced-but-present (that is what
+    keeps time travel alive); vacuum then deletes every data file the
+    retained manifest set (latest only) does not reference. The report
+    carries the post-vacuum snapshot's exact content proof PLUS the
+    pinned file accounting (2 live, 4 deleted) — the oracle states both,
+    so a vacuum that deleted a live file (content drift) or missed an
+    orphan (count drift) fails the hash. At 100 TB vacuum is what keeps
+    object-store cost linear in LIVE data, and the manifest-difference
+    formulation is exactly Delta/Iceberg's: no directory listing, the
+    log names every candidate.
+
+    Plan: two bounded writes + one manifest set-difference on the driver
+    (file NAMES, never data) + one read of the 2 live files."""
+    import glob
+    import json as _json
+
+    base = _roundtrip_dir(sf_dir, "vacuum")
+    data, logd = f"{base}/data", f"{base}/_log"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderstatus") == "O")
+    if not os.path.exists(f"{logd}/vacuum.json"):
+        os.makedirs(logd, exist_ok=True)
+        o.repartition(4).write.mode("overwrite").parquet(f"{data}/b0")
+        v0_files = sorted(glob.glob(f"{data}/b0/*.parquet"))
+        with open(f"{logd}/v0.json", "w") as fh:
+            _json.dump({"version": 0, "files": v0_files}, fh)
+        spark.read.parquet(f"{data}/b0").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(f"{data}/b1")
+        v1_files = sorted(glob.glob(f"{data}/b1/*.parquet"))
+        with open(f"{logd}/v1.json", "w") as fh:
+            _json.dump({"version": 1, "files": v1_files}, fh)
+        # vacuum: delete data files not referenced by the retained set
+        live = set(v1_files)
+        orphans = [
+            p
+            for p in glob.glob(f"{data}/*/*.parquet")
+            if p not in live
+        ]
+        for p in orphans:
+            os.remove(p)
+        with open(f"{logd}/vacuum.json", "w") as fh:
+            _json.dump(
+                {"n_files_live": len(live), "n_files_deleted": len(orphans)},
+                fh,
+            )
+    with open(f"{logd}/vacuum.json") as fh:
+        rep = _json.load(fh)
+    with open(f"{logd}/v1.json") as fh:
+        manifest = _json.load(fh)
+    df = spark.read.parquet(*manifest["files"])
+    return df.agg(
+        F.lit(1).cast("int").alias("version"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_c"),
+        F.lit(rep["n_files_live"]).cast("long").alias("n_files_live"),
+        F.lit(rep["n_files_deleted"]).cast("long").alias("n_files_deleted"),
+    ).select(
+        "version", "n", "n_keys", "sum_price_c", "n_files_live",
+        "n_files_deleted",
+    )
