@@ -2212,3 +2212,89 @@ def event_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_vshapes") >= 3)
     )
+
+
+@query(
+    "event_spc_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    lim AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS s1,
+               CAST(sum(n * n) AS BIGINT) AS s2
+        FROM daily),
+    z AS (
+        SELECT d.day, d.n,
+               (d.n - CAST(l.s1 AS DOUBLE) / l.k)
+               / sqrt((l.k * CAST(l.s2 AS DOUBLE) - CAST(l.s1 AS DOUBLE) * l.s1)
+                      / (CAST(l.k AS DOUBLE) * (l.k - 1))) AS zz
+        FROM daily d CROSS JOIN lim l),
+    runs AS (
+        SELECT day, n, zz,
+               CAST(sum(CASE WHEN zz > 0 THEN 0 ELSE 1 END)
+                    OVER (ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS brk8
+        FROM z)
+    SELECT day, n,
+           round(zz, 9) AS zscore,
+           abs(zz) > 3 AS rule1_beyond_3sigma,
+           (brk8 = 0 AND row_number() OVER (ORDER BY day) >= 8)
+               AS rule4_run8_above
+    FROM runs
+    ORDER BY day
+    """,
+    tags=("events", "spc", "anomaly"),
+)
+def event_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control chart over the daily event rate — the
+    ops-monitoring classic: z-score each day against the whole-series
+    mean/σ (Shewhart), flag Rule 1 (beyond 3σ) and the Western-Electric
+    Rule 4 run test (8 consecutive points above the centerline — drift
+    a 3σ gate never fires on). Moments are exact integer (k, Σn, Σn²)
+    so the z denominators are identical doubles per engine (the
+    embed_norm_outliers lesson applied pre-emptively); the run test is
+    an integer window count.
+
+    Plan: the daily rollup is one hash aggregate (map-side combined);
+    limits are a 1-row broadcast; the z pass and the 8-point run window
+    ride one tiny day-keyed frame (hundreds of rows per YEAR of data —
+    the window is over the AGGREGATE, never the events)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lim = daily.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    z = daily.crossJoin(F.broadcast(lim)).withColumn(
+        "zz",
+        (F.col("n") - F.col("s1").cast("double") / F.col("k"))
+        / F.sqrt(
+            (F.col("k") * F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1"))
+            / (F.col("k").cast("double") * (F.col("k") - 1))
+        ),
+    )
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+    wr = Window.orderBy("day")
+    runs = z.withColumn(
+        "brk8",
+        F.sum(F.when(F.col("zz") > 0, 0).otherwise(1)).over(w8),
+    ).withColumn("rn", F.row_number().over(wr))
+    return runs.select(
+        "day",
+        "n",
+        F.round("zz", 9).alias("zscore"),
+        (F.abs(F.col("zz")) > 3).alias("rule1_beyond_3sigma"),
+        ((F.col("brk8") == 0) & (F.col("rn") >= 8)).alias("rule4_run8_above"),
+    ).orderBy("day")
