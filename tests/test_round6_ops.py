@@ -445,3 +445,84 @@ def test_checksum_is_order_and_layout_insensitive(spark):
     assert got.iloc[0]["n_rows"] == base.iloc[0]["n_rows"]
     assert got.iloc[0]["checksum_sum"] == base.iloc[0]["checksum_sum"]
     assert got.iloc[0]["checksum_xor"] == base.iloc[0]["checksum_xor"]
+
+
+def test_asof_nearest_matches_bruteforce_sample(spark):
+    """join_asof_nearest vs an O(n*m) pandas brute force on sf0.001 —
+    locks the nearest/tie semantics independently of both engines."""
+    import pandas as pd
+
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    got = run(spark, "join_asof_nearest", "/root/testdata/sf0.001")
+    orders = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .toPandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .agg(o_orderkey=("o_orderkey", "max"))
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events").toPandas()
+    by_user = {k: g for k, g in orders.groupby("o_custkey")}
+    checked = 0
+    for _, ev in events.sample(n=50, random_state=7).iterrows():
+        g = by_user.get(ev["user_id"])
+        row = got[got["event_id"] == ev["event_id"]].iloc[0]
+        if g is None:
+            assert pd.isna(row["nearest_orderkey"])
+            continue
+        dts = (g["o_orderdate"] - ev["ts"]).dt.total_seconds() * 1e6
+        dist = dts.abs()
+        best = dist.min()
+        # candidates at the min distance; tie -> backward (dt <= 0)
+        cands = g[dist == best]
+        back = cands[(cands["o_orderdate"] <= ev["ts"])]
+        want = (back if len(back) else cands).iloc[0]["o_orderkey"]
+        assert row["nearest_orderkey"] == want, ev["event_id"]
+        assert row["dist_us"] == int(round(best))
+        checked += 1
+    assert checked > 30
+
+
+def test_decile_bounds_match_numpy(spark):
+    """agg_decile_bounds vs numpy's ceil-rank order statistic."""
+    import numpy as np
+
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    dec = run(spark, "agg_decile_bounds", "/root/testdata/sf0.001")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").toPandas()
+    li["c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        vals = np.sort(g["c"].to_numpy())
+        n = len(vals)
+        for d in range(1, 10):
+            want = vals[-(-d * n // 10) - 1]  # ceil(d*n/10), 1-indexed
+            gotv = dec[
+                (dec["l_returnflag"] == flag) & (dec["decile"] == d)
+            ].iloc[0]["decile_value_c"]
+            assert gotv == want, (flag, d)
+
+
+def test_vad_segments_match_python_reference(spark):
+    """mm_audio_vad_segments vs a direct python run-length reference."""
+    import numpy as np
+
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    out = run(spark, "mm_audio_vad_segments", "/root/testdata/sf0.001")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").toPandas()
+    sample = docs.sample(n=25, random_state=3)
+    idx = out.set_index("doc_id")
+    for _, d in sample.iterrows():
+        sm = np.frombuffer(d["text"].encode(), dtype=np.uint8).astype(
+            np.int64
+        ) - 128
+        frames = [sm[i : i + 160] for i in range(0, len(sm), 160)]
+        act = [int((f * f).sum()) > 2500 * len(f) for f in frames]
+        segs = sum(
+            1 for i, a in enumerate(act) if a and (i == 0 or not act[i - 1])
+        )
+        row = idx.loc[d["doc_id"]]
+        assert row["n_frames"] == len(frames)
+        assert row["n_active"] == sum(act)
+        assert row["n_segments"] == segs
