@@ -141,6 +141,19 @@ HEADLINE = [
     "dedup_template_detect",
     "agg_ship_latency_histogram",
     "embed_pca_power_iter",
+    # round-6 late additions: the drill-down order stats, the graph
+    # iteration fixes, and the new multimodal/dedup surface
+    "agg_weighted_median",
+    "agg_trimmed_mean",
+    "agg_decile_bounds",
+    "graph_kcore_peel",
+    "graph_hits",
+    "mm_image_phash",
+    "mm_phash_hamming_pairs",
+    "mm_audio_vad_segments",
+    "corpus_ngram_novelty",
+    "join_asof_nearest",
+    "table_checksum_compare",
 ]
 
 
