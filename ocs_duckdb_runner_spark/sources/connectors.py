@@ -818,3 +818,67 @@ def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version", "n", "n_keys", "sum_price_c", "n_files_live",
         "n_files_deleted",
     )
+
+
+_TYPE_CANON_SQL = """
+    CASE column_type
+        WHEN 'INTEGER' THEN 'int'
+        WHEN 'BIGINT' THEN 'bigint'
+        WHEN 'VARCHAR' THEN 'string'
+        WHEN 'DOUBLE' THEN 'double'
+        WHEN 'FLOAT' THEN 'float'
+        WHEN 'TIMESTAMP' THEN 'timestamp'
+        WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+        WHEN 'FLOAT[]' THEN 'array<float>'
+        ELSE lower(column_type)
+    END
+"""
+
+
+def _catalog_oracle() -> str:
+    from ocs_duckdb_runner_spark.registry import TABLES
+
+    per = " UNION ALL ".join(
+        f"""
+        SELECT '{t}' AS table_name, column_name,
+               CAST(row_number() OVER () AS BIGINT) AS ordinal,
+               {_TYPE_CANON_SQL} AS data_type
+        FROM (DESCRIBE {t})"""
+        for t in TABLES
+    )
+    return f"SELECT * FROM ({per}) ORDER BY table_name, ordinal"
+
+
+@query(
+    "catalog_describe",
+    oracle=_catalog_oracle(),
+    tags=("catalog", "metadata"),
+)
+def catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection — one row per (table, column) with ordinal
+    and a CANONICAL type name, for every fixture table: the
+    SHOW-TABLES/DESCRIBE surface a user points BI tools and schema-drift
+    monitors at. The interesting part is the cross-engine type
+    canonicalization (Spark `timestamp_ntz`/DuckDB `TIMESTAMP_NS` both
+    normalize to `timestamp`, `FLOAT[]` to `array<float>`) — the same
+    mapping a migration off the reference needs, stated once and
+    oracle-checked.
+
+    Plan: pure metadata — parquet FOOTERS only on the Spark side (one
+    schema probe per table through the normalizing loader, no data
+    scan), assembled driver-side into a local frame; the oracle runs
+    DESCRIBE per registered view."""
+    from ocs_duckdb_runner_spark.registry import TABLES, load_table
+
+    rows = []
+    for t in TABLES:
+        schema = load_table(spark, sf_dir, t).schema
+        for i, f in enumerate(schema.fields, start=1):
+            dt = f.dataType.simpleString()
+            if dt == "timestamp_ntz":
+                dt = "timestamp"
+            rows.append((t, f.name, i, dt))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal long,"
+        " data_type string"
+    ).orderBy("table_name", "ordinal")
