@@ -24,7 +24,7 @@ Scale notes (the 100 TB plan for each shape):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.registry import load_table, query
@@ -919,3 +919,71 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_order_backlog_curve",
+    oracle="""
+    WITH pts AS (
+        SELECT date_trunc('month', o.o_orderdate) AS m, 1 AS d
+        FROM orders o
+        UNION ALL
+        SELECT date_trunc('month', l.l_shipdate + INTERVAL 1 MONTH), -1
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_linenumber = 1
+    ),
+    monthly AS (
+        SELECT m, CAST(sum(d) AS BIGINT) AS delta FROM pts GROUP BY m
+    )
+    SELECT CAST(m AS TIMESTAMP) AS month,
+           delta,
+           CAST(sum(delta) OVER (ORDER BY m
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+    FROM monthly ORDER BY month
+    """,
+    tags=("agg", "backlog", "sweepline"),
+)
+def agg_order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the operations curve 'how many
+    orders were placed but not yet (first-line) shipped, by month',
+    computed as a SWEEP-LINE: +1 at the order month, −1 the month after
+    the first line ships, cumulative-summed over the tiny monthly frame.
+    The same endpoint-delta identity event_concurrency_sweepline uses,
+    applied to a business interval (order→ship) instead of a session —
+    and the reason neither needs the quadratic month×order interval
+    join.
+
+    Plan: the ship-side endpoint needs one key-only join (line 1 →
+    order); both endpoint streams partial-aggregate map-side onto month
+    keys; the running sum is a window over #months rows. At 100 TB the
+    only data-sized operation is the equi-join; everything after is
+    bounded by the calendar."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") == 1
+    )
+    opens = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.lit(1).alias("d"),
+    )
+    closes = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.date_trunc(
+                "month", F.col("l_shipdate") + F.expr("INTERVAL 1 MONTH")
+            ).alias("m"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    monthly = (
+        opens.unionAll(closes)
+        .groupBy("m")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        F.col("m").cast("timestamp").alias("month"),
+        "delta",
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    ).orderBy("month")

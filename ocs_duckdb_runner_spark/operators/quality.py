@@ -312,3 +312,89 @@ def table_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "table_reconcile_diff",
+    oracle="""
+    WITH restated AS (
+        SELECT CASE WHEN o_orderkey % 103 = 0 THEN -o_orderkey
+                    ELSE o_orderkey END AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS price_c
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    j AS (
+        SELECT b.k AS bk, r.k AS rk, b.price_c AS bp, r.price_c AS rp
+        FROM base b FULL OUTER JOIN restated r ON b.k = r.k
+    )
+    SELECT CAST(sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS only_in_base,
+           CAST(sum(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS only_in_restated,
+           CAST(sum(CASE WHEN bk IS NOT NULL AND rk IS NOT NULL
+                          AND bp <> rp THEN 1 ELSE 0 END) AS BIGINT)
+               AS value_mismatches,
+           CAST(sum(CASE WHEN bp = rp THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_matches,
+           CAST(sum(CASE WHEN bk IS NOT NULL AND rk IS NOT NULL
+                    THEN abs(bp - rp) ELSE 0 END) AS BIGINT)
+               AS abs_cent_drift
+    FROM j
+    """,
+    tags=("quality", "reconciliation", "migration"),
+)
+def table_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation — the LOCATING half of the migration story
+    table_checksum_compare only DETECTS: full-outer join a base table
+    against a restated copy (here derived deterministically: 1-cent
+    drift on keys %97, rows dropped at %101, synthetic extras at %103)
+    and classify every key — missing, extra, value-mismatched, exact —
+    plus the total absolute cent drift. This is the daily-close /
+    post-migration report a finance pipeline runs between source and
+    replica.
+
+    Plan: ONE full-outer equi-join on the 8-byte key carrying one
+    integer measure per side (never the row bodies), folded into a
+    1-row conditional-count aggregate — the audit costs a key-only
+    shuffle at any width, and widening the compared column set adds
+    registers, not joins."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(F.col("o_orderkey").alias("k"), cents.alias("bp"))
+    restated = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 103 == 0, -F.col("o_orderkey")
+            ).otherwise(F.col("o_orderkey")).alias("k"),
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 97 == 0, 1).otherwise(0)
+            ).alias("rp"),
+        )
+    )
+    j = base.join(restated, "k", "full_outer")
+    both = F.col("bp").isNotNull() & F.col("rp").isNotNull()
+    return j.agg(
+        F.sum(F.when(F.col("rp").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("only_in_base"),
+        F.sum(F.when(F.col("bp").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("only_in_restated"),
+        F.sum(F.when(both & (F.col("bp") != F.col("rp")), 1).otherwise(0))
+        .cast("long")
+        .alias("value_mismatches"),
+        F.sum(F.when(F.col("bp") == F.col("rp"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_matches"),
+        F.sum(F.when(both, F.abs(F.col("bp") - F.col("rp"))).otherwise(0))
+        .cast("long")
+        .alias("abs_cent_drift"),
+    )
