@@ -543,3 +543,48 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "event_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_c
+    FROM events
+    GROUP BY 1, 2 ORDER BY dow, hod
+    """,
+    tags=("events", "heatmap", "calendar"),
+)
+def event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (events, distinct
+    users, exact value cents per cell) — the calendar grid behind every
+    product-analytics dashboard and the load-shaping input for capacity
+    planning. Cross-engine gotcha handled: Spark's dayofweek and
+    DuckDB's dayofweek are offset (Sun=1 vs Sun=0), so both sides are
+    pinned to the same convention explicitly.
+
+    Plan: ONE hash aggregate onto a ≤ 168-cell key space — partial
+    combine collapses everything map-side, the exchange carries at most
+    168 rows per partition regardless of input size; the distinct-user
+    register is the only state that scales, and the bitmap/HLL swap
+    (agg_distinct_bitmap / agg_approx_distinct) is the documented knob
+    if user cardinality per cell explodes."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        e.groupBy(
+            F.dayofweek(ts).alias("dow"), F.hour(ts).alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_c"),
+        )
+        .orderBy("dow", "hod")
+    )
