@@ -1289,6 +1289,9 @@ def _values_at_ranks(w: DataFrame, targets: DataFrame) -> DataFrame:
             & (tgt["r"] <= cum["end"]),
         )
         .select("l_returnflag", "tag", "r", "b", "start")
+        # <= targets rows; referenced twice (gate + final pick) — the
+        # eager checkpoint stops its lineage re-scanning the fact table
+        .localCheckpoint(eager=True)
     )
     gate = crossing.select(
         F.col("l_returnflag").alias("g"), F.col("b").alias("gb"), "start"

@@ -592,3 +592,49 @@ def test_trimmed_mean_is_histogram_drilldown(spark):
     assert "SortMergeJoin" not in plan
     head = plan.split("Window")[0]
     assert "HashAggregate" in head
+
+
+def test_decile_bounds_histogram_multi_target(spark):
+    # nine rank targets must come from coarse aggregates + broadcast
+    # drill joins — never a row_number/rank over raw rows, and the fine
+    # scan is gated (bounded scan count: coarse + totals + fine)
+    plan = plan_of(spark, "agg_decile_bounds")
+    assert "BroadcastHashJoin" in plan
+    assert "row_number" not in plan
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_phash_hamming_pairs_band_equi_join(spark):
+    # the radius-2 pair search must be a (band, value) equi-join on the
+    # hash frame — a cartesian product is the all-pairs plan that dies
+    plan = plan_of(spark, "mm_phash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_ngram_novelty_shuffles_shingle_keys(spark):
+    # the first-occurrence join must be shingle-keyed (inverted index),
+    # and no window may touch raw rows
+    plan = plan_of(spark, "corpus_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_audience_overlap_user_cogroup_not_cross(spark):
+    plan = plan_of(spark, "event_audience_overlap")
+    assert "CartesianProduct" not in plan
+
+
+def test_reconcile_diff_single_key_join(spark):
+    # one full-outer key join + a 1-row conditional-count aggregate
+    plan = plan_of(spark, "table_reconcile_diff")
+    assert "FullOuter" in plan
+    assert plan.count("Scan parquet") <= 4  # orders twice (tree+detail)
+
+
+def test_asof_nearest_one_key_exchange_two_windows(spark):
+    # both direction passes must ride ONE user-keyed exchange; a range
+    # join or cartesian here is the blowup the union trick avoids
+    plan = plan_of(spark, "join_asof_nearest")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
