@@ -2298,3 +2298,77 @@ def event_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("zz")) > 3).alias("rule1_beyond_3sigma"),
         ((F.col("brk8") == 0) & (F.col("rn") >= 8)).alias("rule4_run8_above"),
     ).orderBy("day")
+
+
+_SLO_TARGET_PPM = 10_000  # SLO: <= 1% of events may be errors (ppm scale)
+
+
+@query(
+    "event_error_budget_burn",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1),
+    rolled AS (
+        SELECT h, n, errs,
+               CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+               CAST(sum(errs) OVER w6 AS BIGINT) AS e6
+        FROM hourly
+        WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT h AS hour, n, errs,
+           round(CAST(e6 AS DOUBLE) * 1000000 / n6, 6) AS rate_ppm_6h,
+           round(CAST(e6 AS DOUBLE) * 1000000 / n6 / {_SLO_TARGET_PPM}, 6)
+               AS burn_rate_6h,
+           e6 * 1000000 > CAST({_SLO_TARGET_PPM} AS BIGINT) * n6 * 2
+               AS page_fast_burn
+    FROM rolled ORDER BY hour
+    """,
+    tags=("events", "slo", "sre"),
+)
+def event_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate — the multiwindow-burn-alert input SRE
+    runbooks page on: hourly error share over a trailing 6-hour window,
+    expressed as a multiple of the 1% SLO (burn rate 1.0 = budget spent
+    exactly on schedule; the page gate fires at 2x). The paging
+    comparison is INTEGER cross-multiplied (e6*1e6 > slo*n6*2), so the
+    alert boundary cannot drift between engines even when the reported
+    double rate rounds.
+
+    Plan: one hash aggregate onto hour keys (map-side combined), one
+    6-row trailing window over the tiny hourly frame — the events table
+    is touched exactly once, and everything after is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("long").alias("errs"),
+        )
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    rolled = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("n").over(w6).cast("long").alias("n6"),
+        F.sum("errs").over(w6).cast("long").alias("e6"),
+    )
+    rate = F.col("e6").cast("double") * 1000000 / F.col("n6")
+    return rolled.select(
+        F.col("h").alias("hour"),
+        "n",
+        "errs",
+        F.round(rate, 6).alias("rate_ppm_6h"),
+        F.round(rate / _SLO_TARGET_PPM, 6).alias("burn_rate_6h"),
+        (
+            F.col("e6") * 1000000
+            > F.lit(_SLO_TARGET_PPM).cast("long") * F.col("n6") * 2
+        ).alias("page_fast_burn"),
+    ).orderBy("hour")
