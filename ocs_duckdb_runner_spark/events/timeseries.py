@@ -2372,3 +2372,110 @@ def event_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_SLO_TARGET_PPM).cast("long") * F.col("n6") * 2
         ).alias("page_fast_burn"),
     ).orderBy("hour")
+
+
+_DID_CUTOVER = "2024-01-16 00:00:00"  # treatment ships mid-series
+
+
+@query(
+    "event_did_incrementality",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 2 AS arm,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         >= TIMESTAMP '{_DID_CUTOVER}'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s_c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT arm, post, n, s_c,
+               CAST(s_c AS DOUBLE) / n AS mean_c
+        FROM cells
+    )
+    SELECT t1.mean_c AS treat_post, t0.mean_c AS treat_pre,
+           c1.mean_c AS ctrl_post, c0.mean_c AS ctrl_pre,
+           t1.n + t0.n + c1.n + c0.n AS n_total,
+           round((t1.mean_c - t0.mean_c) - (c1.mean_c - c0.mean_c), 9)
+               AS did_estimate_c
+    FROM m t1, m t0, m c1, m c0
+    WHERE t1.arm = 1 AND t1.post = 1 AND t0.arm = 1 AND t0.post = 0
+      AND c1.arm = 0 AND c1.post = 1 AND c0.arm = 0 AND c0.post = 0
+    """,
+    tags=("events", "causal", "ab-test"),
+)
+def event_did_incrementality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences incrementality estimate — the causal
+    workhorse when a clean A/B is impossible: users hash into
+    treatment/control arms (same sticky md5 rule as
+    sample_ab_assignment), a mid-series cutover splits pre/post, and
+    the treatment effect on purchase value is (ΔT) − (ΔC) — the
+    parallel-trends-adjusted lift that subtracts seasonality both arms
+    share. All four cell means come from exact integer (n, Σcents)
+    pairs, so the estimate is one deterministic double expression.
+
+    Plan: ONE filtered scan folds into a 4-cell hash aggregate
+    (map-side combined — the shuffle carries 4 rows per partition);
+    the DiD combination is a driver-free 4-way join of a 4-row frame.
+    At 100 TB this is a single linear pass, the cheapest causal
+    readout there is."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    post = F.when(
+        F.col("ts").cast("timestamp") >= F.lit(_DID_CUTOVER).cast("timestamp"),
+        1,
+    ).otherwise(0)
+    cells = (
+        e.select(arm.alias("arm"), post.alias("post"), "value")
+        .groupBy("arm", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("s_c"),
+        )
+        .withColumn("mean_c", F.col("s_c").cast("double") / F.col("n"))
+    )
+
+    def cell(a: int, p: int, name: str):
+        return cells.filter(
+            (F.col("arm") == a) & (F.col("post") == p)
+        ).select(
+            F.col("mean_c").alias(f"{name}"), F.col("n").alias(f"n_{name}")
+        )
+
+    t1, t0 = cell(1, 1, "treat_post"), cell(1, 0, "treat_pre")
+    c1, c0 = cell(0, 1, "ctrl_post"), cell(0, 0, "ctrl_pre")
+    return (
+        t1.crossJoin(t0)
+        .crossJoin(c1)
+        .crossJoin(c0)
+        .select(
+            "treat_post",
+            "treat_pre",
+            "ctrl_post",
+            "ctrl_pre",
+            (
+                F.col("n_treat_post")
+                + F.col("n_treat_pre")
+                + F.col("n_ctrl_post")
+                + F.col("n_ctrl_pre")
+            ).alias("n_total"),
+            F.round(
+                (F.col("treat_post") - F.col("treat_pre"))
+                - (F.col("ctrl_post") - F.col("ctrl_pre")),
+                9,
+            ).alias("did_estimate_c"),
+        )
+    )

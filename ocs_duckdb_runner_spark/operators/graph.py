@@ -674,7 +674,9 @@ def _adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> str:
+    """The shared LPA CTE chain (edges -> adj -> l0..l{rounds}) used by
+    the label-propagation oracle and the modularity oracle."""
     step = """
     , f{i} AS (
         SELECT adj.node AS node, l.lbl AS lbl, count(*) AS cnt
@@ -689,15 +691,51 @@ def _lpa_oracle() -> str:
             FROM f{i})
         WHERE rn = 1
     )"""
-    body = "".join(step.format(i=i, p=i - 1) for i in range(1, _LPA_ROUNDS + 1))
+    body = "".join(
+        step.format(i=i, p=i - 1) for i in range(1, _LPA_ROUNDS + 1)
+    )
+    return (
+        f"{_SQL_ASSOC.strip()}, {_SQL_ADJ.strip()},\n"
+        f"    l0 AS (SELECT DISTINCT node, node AS lbl FROM adj){body}"
+    )
+
+
+def _lpa_oracle() -> str:
     return f"""
-    WITH {_SQL_ASSOC.strip()}, {_SQL_ADJ.strip()},
-    l0 AS (SELECT DISTINCT node, node AS lbl FROM adj){body},
+    WITH {_lpa_ctes()},
     sizes AS (SELECT lbl, count(*) AS sz FROM l{_LPA_ROUNDS} GROUP BY lbl)
     SELECT CAST(sz AS BIGINT) AS community_size,
            CAST(count(*) AS BIGINT) AS n_communities
     FROM sizes GROUP BY sz ORDER BY community_size
     """
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Run the deterministic synchronous LPA rounds; returns (labels,
+    adj) with labels = (node, lbl) after _LPA_ROUNDS and adj still
+    persisted (caller unpersists). Per-round lineage truncation — see
+    graph_kcore_peel; the label frame is one row per node, and without
+    the checkpoint round r's plan re-executes rounds 1..r-1 for every
+    downstream reference."""
+    from pyspark.sql.window import Window
+
+    adj = _adjacency(spark, sf_dir)
+    labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(_LPA_ROUNDS):
+        lab = labels.toDF("lnode", "lbl")
+        freq = (
+            adj.join(lab, adj.nbr == lab.lnode)
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels, adj
 
 
 @query("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "community"))
@@ -720,27 +758,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed on the join key so every round reuses one co-located
     layout. The unrolled form is the same policy as graph_pagerank /
     graph_kcore_peel."""
-    from pyspark.sql.window import Window
-
-    adj = _adjacency(spark, sf_dir)
-    labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
-    for _ in range(_LPA_ROUNDS):
-        lab = labels.toDF("lnode", "lbl")
-        freq = (
-            adj.join(lab, adj.nbr == lab.lnode)
-            .groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        # per-round lineage truncation — see graph_kcore_peel; the label
-        # frame is one row per node, and without the checkpoint round r's
-        # plan re-executes rounds 1..r-1 for every downstream reference
-        labels = (
-            freq.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
-            .localCheckpoint(eager=True)
-        )
+    labels, adj = _lpa_labels(spark, sf_dir)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
     out = (
         sizes.groupBy("community_size")
@@ -1128,4 +1146,89 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("assortativity"),
     ).localCheckpoint(eager=True)
     edges.unpersist()
+    return out
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_lpa_ctes()},
+    lab AS (SELECT node, lbl FROM l{_LPA_ROUNDS}),
+    m2 AS (SELECT CAST(count(*) AS BIGINT) AS ends FROM adj),
+    w AS (SELECT CAST(count(*) AS BIGINT) AS within
+          FROM adj a
+          JOIN lab x ON x.node = a.node
+          JOIN lab y ON y.node = a.nbr
+          WHERE x.lbl = y.lbl),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY node),
+    dc AS (SELECT x.lbl, CAST(sum(d.d) AS BIGINT) AS dsum
+           FROM deg d JOIN lab x ON x.node = d.node GROUP BY x.lbl),
+    dsq AS (SELECT CAST(sum(CAST(dsum AS HUGEINT) * dsum) AS DOUBLE) AS s,
+                   CAST(count(*) AS BIGINT) AS n_comm
+            FROM dc)
+    SELECT dsq.n_comm AS n_communities,
+           m2.ends // 2 AS n_edges,
+           w.within AS within_ends,
+           round(CAST(w.within AS DOUBLE) / m2.ends
+                 - dsq.s / (CAST(m2.ends AS DOUBLE) * m2.ends), 9)
+               AS modularity
+    FROM m2, w, dsq
+    """,
+    tags=("graph", "community", "modularity"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score that
+    says whether graph_label_propagation's partition is real structure
+    or noise: Q = W/2m − Σ_c (D_c/2m)² over the symmetrized association
+    graph (W = within-community directed edge ends, D_c = community
+    degree mass). Q is computed from exact integers (edge-end counts,
+    degree sums, a HUGEINT/decimal square sum) with two final double
+    divisions, so the score hash-matches the oracle, which re-runs the
+    identical deterministic LPA chain as CTEs.
+
+    Plan: labels come from the shared unrolled LPA (checkpointed per
+    round); modularity adds one label equi-join over the tiny adjacency
+    (within count), one degree aggregate, and a community-keyed square
+    sum — all bounded by the support-filtered graph; nothing touches
+    the fact table beyond the shared edge build."""
+    labels, adj = _lpa_labels(spark, sf_dir)
+    lx = labels.toDF("node", "xl")
+    ly = labels.toDF("nbr", "yl")
+    ends = adj.agg(F.count(F.lit(1)).alias("ends"))
+    within = (
+        adj.join(F.broadcast(lx), "node")
+        .join(F.broadcast(ly), "nbr")
+        .filter(F.col("xl") == F.col("yl"))
+        .agg(F.count(F.lit(1)).alias("within"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        deg.join(F.broadcast(lx), "node")
+        .groupBy("xl")
+        .agg(F.sum("d").cast("long").alias("dsum"))
+    )
+    dsq = dc.agg(
+        F.sum(
+            F.col("dsum").cast("decimal(38,0)") * F.col("dsum")
+        ).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n_comm"),
+    )
+    out = (
+        dsq.crossJoin(F.broadcast(ends))
+        .crossJoin(F.broadcast(within))
+        .select(
+            F.col("n_comm").alias("n_communities"),
+            (F.col("ends") / 2).cast("long").alias("n_edges"),
+            F.col("within").alias("within_ends"),
+            F.round(
+                F.col("within").cast("double") / F.col("ends")
+                - F.col("s")
+                / (F.col("ends").cast("double") * F.col("ends")),
+                9,
+            ).alias("modularity"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
     return out
