@@ -2479,3 +2479,100 @@ def event_did_incrementality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("did_estimate_c"),
         )
     )
+
+
+# SPRT parameters: H0 p=0.18 vs H1 p=0.22 purchase share, alpha=beta=0.05.
+# The per-observation log-likelihood increments are CONSTANTS, folded to
+# the integer micro-nat grid once here and embedded as literals on both
+# engines — no runtime ln() can drift.
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_C1_U = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1_000_000)  # success
+_SPRT_C2_U = round(
+    _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1_000_000
+)  # failure
+_SPRT_BOUND_U = round(_math.log(19.0) * 1_000_000)  # ln((1-b)/a), a=b=.05
+
+
+@query(
+    "event_sprt_sequential",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               CAST(count(*) AS BIGINT) AS trials,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS successes
+        FROM events
+        WHERE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 = 1
+        GROUP BY 1),
+    llr AS (
+        SELECT day, trials, successes,
+               CAST(sum(successes * ({_SPRT_C1_U})
+                        + (trials - successes) * ({_SPRT_C2_U}))
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_llr_u
+        FROM daily)
+    SELECT day, trials, successes, cum_llr_u,
+           CASE WHEN cum_llr_u >= {_SPRT_BOUND_U} THEN 'accept_h1'
+                WHEN cum_llr_u <= -{_SPRT_BOUND_U} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY day
+    """,
+    tags=("events", "sequential-test", "ab-test"),
+)
+def event_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test over the treatment arm's daily
+    purchase share — Wald's SPRT, the always-valid alternative to the
+    fixed-horizon t-test that lets an experiment STOP the day the
+    evidence clears the bound instead of waiting out the calendar.
+    Cumulative LLR = Σ (s·ln(p1/p0) + f·ln(q1/q0)); both per-observation
+    increments are constants, folded to the integer micro-nat grid at
+    DEFINITION time and embedded as literals in both engines, so the
+    running sum is pure integer arithmetic and the accept/continue
+    decision boundaries cannot drift cross-engine.
+
+    Plan: one filtered scan → daily (trials, successes) hash aggregate
+    (map-side combined), one cumulative window over the tiny day frame —
+    the sequential test costs the same linear pass as any daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    daily = (
+        e.filter(arm == 1)
+        .groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("trials"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("successes"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr = daily.select(
+        "day",
+        "trials",
+        "successes",
+        F.sum(
+            F.col("successes") * F.lit(_SPRT_C1_U)
+            + (F.col("trials") - F.col("successes")) * F.lit(_SPRT_C2_U)
+        ).over(w).cast("long").alias("cum_llr_u"),
+    )
+    return llr.select(
+        "day",
+        "trials",
+        "successes",
+        "cum_llr_u",
+        F.when(F.col("cum_llr_u") >= _SPRT_BOUND_U, "accept_h1")
+        .when(F.col("cum_llr_u") <= -_SPRT_BOUND_U, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
