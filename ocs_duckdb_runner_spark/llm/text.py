@@ -1431,3 +1431,69 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_FH_DIM = 64  # feature-hash buckets
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+    b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                   % {_FH_DIM} AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE t <> '' GROUP BY doc_id, bucket)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           string_agg(bucket || ':' || c, ' ' ORDER BY bucket)
+               AS sparse_vec
+    FROM b GROUP BY doc_id
+    """,
+    tags=("llm", "text", "features", "hashing-trick"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — each document rendered as a {_FH_DIM}-bucket
+    sparse count vector (bucket = md5(token) mod dim), the fixed-width,
+    vocabulary-free featurization linear classifiers and quality/spam
+    gates train on at corpus scale (no vocab build, no OOV problem,
+    stable across shards and days because the hash IS the feature id).
+    The sparse form is serialized 'bucket:count' in bucket order so the
+    vector is one canonical string both engines must reproduce.
+
+    Plan: tokenize map-side, ONE (doc, bucket) hash aggregate with
+    map-side combine (the shuffle carries <= {_FH_DIM} rows per doc,
+    never tokens), then a per-doc ordered fold — collect_list of
+    (bucket, count) structs sorted with array_sort, a deterministic
+    integer ordering. Text never crosses an exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % _FH_DIM
+    )
+    b = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    vec = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "c"))
+            ),
+            lambda s: F.concat_ws(":", s.bucket.cast("string"),
+                                  s.c.cast("string")),
+        ),
+        " ",
+    )
+    return b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        vec.alias("sparse_vec"),
+    )
