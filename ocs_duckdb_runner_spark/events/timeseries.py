@@ -2576,3 +2576,82 @@ def event_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+_BOT_MIN_EVENTS = 40  # volume gate
+_BOT_CV2_PPM = 200_000  # flag if var/mean^2 of gaps < 0.2 (too regular)
+
+
+@query(
+    "event_bot_regularity",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+    m AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS s1,
+               CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING count(*) >= {_BOT_MIN_EVENTS})
+    SELECT user_id, n_gaps,
+           CAST(s1 // n_gaps AS BIGINT) AS mean_gap_us,
+           round((CAST(n_gaps AS DOUBLE) * s2
+                  - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(s1 AS DOUBLE) * s1), 9) AS cv2,
+           (CAST(n_gaps AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+               * 1000000 < {_BOT_CV2_PPM} * CAST(s1 AS DOUBLE) * s1
+               AS is_bot_like
+    FROM m ORDER BY user_id
+    """,
+    tags=("events", "bot", "curation"),
+)
+def event_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-event regularity — the traffic-
+    filtering stage every behavioral dataset (and every pretraining
+    pipeline ingesting logs) runs: humans have bursty, heavy-tailed
+    inter-event gaps; schedulers tick. Per user with >= {_BOT_MIN_EVENTS}
+    gaps, the squared coefficient of variation cv² = n·Σg² / (Σg)² − 1
+    of the µs gap sequence; cv² below 0.2 flags metronomic traffic. The
+    flag comparison is cross-multiplied so the boundary is one
+    deterministic double product per engine, and both moments are exact
+    integers (HUGEINT/decimal second moment — the embed_norm_outliers
+    policy).
+
+    Plan: one (user_id) window for the lag gaps, then a key-only
+    moments aggregate riding the same partitioning — one exchange
+    total; per-user windows are the bounded kind sessionization
+    already pays."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(38,0)")
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").cast("long").alias("s1"),
+            F.sum(gd * F.col("gap")).cast("double").alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= _BOT_MIN_EVENTS)
+    )
+    var_num = (
+        F.col("n_gaps").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    )
+    s1sq = F.col("s1").cast("double") * F.col("s1")
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.expr("s1 div n_gaps").alias("mean_gap_us"),
+        F.round(var_num / s1sq, 9).alias("cv2"),
+        (var_num * 1000000 < F.lit(_BOT_CV2_PPM) * s1sq).alias("is_bot_like"),
+    ).orderBy("user_id")

@@ -1826,3 +1826,88 @@ def eval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_vec_id")
     )
+
+
+@query(
+    "embed_centroid_classifier",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, {_SQL_FP.format(v='embedding')} AS v
+        FROM embeddings
+    ), tr AS (SELECT * FROM vecs WHERE vec_id % 2 = 0),
+    s AS (
+        SELECT label, t.i AS i, CAST(sum(v[t.i]) AS BIGINT) AS s, count(*) AS n
+        FROM tr CROSS JOIN range(1, {DIM + 1}) t(i)
+        GROUP BY label, t.i
+    ), cents AS (
+        SELECT label AS clabel,
+               list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY i) AS c
+        FROM s GROUP BY label
+    ), ev AS (SELECT * FROM vecs WHERE vec_id % 2 = 1),
+    pred AS (
+        SELECT vec_id, label, (m).clabel AS pred FROM (
+            SELECT vec_id, label,
+                   min({{'d2': {_SQL_D2.format(dim=DIM, a='v', b='c')},
+                        'clabel': clabel}}) AS m
+            FROM ev CROSS JOIN cents
+            GROUP BY vec_id, label, v)
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(pred AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY label, pred
+    """,
+    tags=("llm", "embedding", "classifier", "eval"),
+)
+def embed_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier trained and evaluated
+    in-engine — the embedding-space twin of nb_lang_confusion and the
+    standard cheap probe of representation quality: even vec_ids train
+    one integer-regridded centroid per label, odd vec_ids classify by
+    exact-integer argmin distance (ties to the lowest label), output is
+    the confusion matrix. A linear-probe upgrade keeps the identical
+    data flow with a solve in place of the mean.
+
+    Plan: centroid training is the kmeans_recompute shape — posexplode
+    to (label, dim) partial sums, ONE shuffle of label*DIM tiny rows;
+    scoring broadcasts the <= #labels centroid frame and argmins
+    map-side; the confusion matrix is a labels² hash aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "label", fp_vec(F.col("embedding")).alias("v"))
+    tr = vecs.filter(F.col("vec_id") % 2 == 0)
+    sums = (
+        tr.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    elem = F.round(F.col("s").cast("double") / F.col("n")).cast("long")
+    cents = (
+        sums.select(F.col("label").alias("clabel"), "pos", elem.alias("e"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("e")))
+                ),
+                lambda st: st.getField("e"),
+            ).alias("c")
+        )
+    )
+    ev = vecs.filter(F.col("vec_id") % 2 == 1)
+    pick = F.min(
+        F.struct(
+            _d2(F.col("v"), F.col("c")).alias("d2"),
+            F.col("clabel").alias("clabel"),
+        )
+    ).alias("m")
+    pred = (
+        ev.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id", "label")
+        .agg(pick)
+        .select("label", F.col("m.clabel").alias("pred"))
+    )
+    return pred.groupBy(
+        F.col("label").cast("long").alias("true_label"),
+        F.col("pred").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
