@@ -2655,3 +2655,64 @@ def event_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_num / s1sq, 9).alias("cv2"),
         (var_num * 1000000 < F.lit(_BOT_CV2_PPM) * s1sq).alias("is_bot_like"),
     ).orderBy("user_id")
+
+
+@query(
+    "event_new_vs_returning",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day
+        FROM events),
+    first_seen AS (
+        SELECT user_id, min(day) AS f FROM days GROUP BY user_id),
+    tagged AS (
+        SELECT d.day, d.user_id, d.day = fs.f AS is_new
+        FROM (SELECT DISTINCT user_id, day FROM days) d
+        JOIN first_seen fs USING (user_id))
+    SELECT day,
+           CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+               AS returning_users,
+           round(CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 9) AS new_share
+    FROM tagged GROUP BY day ORDER BY day
+    """,
+    tags=("events", "growth", "retention"),
+)
+def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users — the growth-accounting split
+    every product dashboard leads with: a user's first-seen day tags
+    them 'new' exactly once; every later active day counts as
+    returning. Complements event_retention_cohort (which follows
+    cohorts forward) by reading the same facts as a daily composition.
+
+    Plan: distinct (user, day) map-side, one key-only min aggregate for
+    first-seen, one user-keyed equi-join back, and a day-keyed
+    composition aggregate — three key-only exchanges, no windows, no
+    per-day scans."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).distinct()
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("f"))
+    tagged = days.join(first_seen, "user_id").select(
+        "day", (F.col("day") == F.col("f")).alias("is_new")
+    )
+    new_c = F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+    return (
+        tagged.groupBy("day")
+        .agg(
+            new_c.cast("long").alias("new_users"),
+            F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+            .cast("long")
+            .alias("returning_users"),
+            F.round(new_c.cast("double") / F.count(F.lit(1)), 9).alias(
+                "new_share"
+            ),
+        )
+        .orderBy("day")
+    )

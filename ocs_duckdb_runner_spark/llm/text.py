@@ -1497,3 +1497,68 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_tokens"),
         vec.alias("sparse_vec"),
     )
+
+
+# deliberately innocuous demo lexicon over the fixture vocabulary — the
+# plumbing (set-membership scan, per-source risk report, doc flags) is
+# what a real safety/blocklist pass reuses with its own term list
+_RISK_LEXICON = ("error", "slow", "crash", "fail", "leak")
+
+
+@query(
+    "text_lexicon_risk",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, source,
+               CAST(len(list_intersect(
+                    list_distinct(string_split(text, ' ')),
+                    [{", ".join(repr(w) for w in _RISK_LEXICON)}]))
+                    AS BIGINT) AS n_terms
+        FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_terms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(n_terms) AS BIGINT) AS total_term_hits,
+           round(CAST(sum(CASE WHEN n_terms > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 9) AS flagged_share
+    FROM hits GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "safety", "curation"),
+)
+def text_lexicon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based content screening — the blocklist/safety-term pass
+    a curation pipeline runs before anything subtler (and keeps running
+    after, as the cheap first gate): per source, how many documents
+    contain any term from the screening lexicon, plus total term hits
+    and the flagged share. The lexicon here is an innocuous demo list;
+    the operator IS the set-membership scan + per-source risk report a
+    real safety list drops into.
+
+    Plan: distinct-token set intersection is a map-side array op (text
+    never crosses an exchange — the text_zipf discipline); the report
+    is one source-keyed hash aggregate. Growing the lexicon to
+    thousands of terms swaps the array literal for a broadcast join
+    against an exploded token frame — same shape as
+    decontaminate_ngram."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = F.array(*[F.lit(w) for w in _RISK_LEXICON])
+    n_terms = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.col("text"), " ")), lex
+        )
+    ).cast("long")
+    hits = d.select("source", n_terms.alias("n_terms"))
+    flagged = F.sum(F.when(F.col("n_terms") > 0, 1).otherwise(0))
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flagged.cast("long").alias("n_flagged"),
+            F.sum("n_terms").cast("long").alias("total_term_hits"),
+            F.round(
+                flagged.cast("double") / F.count(F.lit(1)), 9
+            ).alias("flagged_share"),
+        )
+        .orderBy("source")
+    )
