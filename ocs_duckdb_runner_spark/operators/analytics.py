@@ -987,3 +987,82 @@ def agg_order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         F.sum("delta").over(w).cast("long").alias("open_orders"),
     ).orderBy("month")
+
+
+@query(
+    "agg_price_index_laspeyres",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey,
+               date_trunc('month', l_shipdate) AS m,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_quantity) AS BIGINT) AS q
+        FROM lineitem),
+    bounds AS (SELECT min(m) AS m0, max(m) AS m1 FROM li),
+    per AS (
+        SELECT l_partkey, m,
+               CAST(sum(pc) AS BIGINT) AS sc,
+               CAST(sum(q) AS BIGINT) AS sq
+        FROM li GROUP BY l_partkey, m),
+    p0 AS (SELECT per.* FROM per, bounds WHERE per.m = bounds.m0),
+    p1 AS (SELECT per.* FROM per, bounds WHERE per.m = bounds.m1),
+    terms AS (
+        SELECT p0.sc AS base_spend_c,
+               CAST(round(CAST(p1.sc AS DOUBLE) * p0.sq / p1.sq)
+                    AS BIGINT) AS repriced_c
+        FROM p0 JOIN p1 USING (l_partkey))
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(base_spend_c) AS BIGINT) AS base_spend_c,
+           CAST(sum(repriced_c) AS BIGINT) AS repriced_c,
+           round(CAST(sum(repriced_c) AS DOUBLE) / sum(base_spend_c), 9)
+               AS laspeyres_index
+    FROM terms
+    """,
+    tags=("agg", "economics", "index"),
+)
+def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index between the first and last shipping month —
+    the fixed-basket inflation measure (what would period-0's basket
+    cost at period-1 prices): Σp₁q₀ / Σp₀q₀ over parts traded in both
+    periods. Exactness: Σp₀q₀ per part IS its period-0 spend (no
+    division ever happens on the base side); the repriced term
+    p₁·q₀ = s1c·s0q/s1q is rounded to integer cents PER PART before
+    summation — the one double expression is per-key deterministic, so
+    the sum is exact integer and immune to partition-order float drift
+    (the embed_norm_outliers lesson, applied at design time).
+
+    Plan: one (part, month) hash aggregate (map-side combined), a
+    broadcast 1-row bounds frame, one part-keyed equi-join of the two
+    period slices, one 1-row reduction — linear in the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+    )
+    bounds = li.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    per = li.groupBy("l_partkey", "m").agg(
+        F.sum("pc").cast("long").alias("sc"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    pb = per.crossJoin(F.broadcast(bounds))
+    p0 = pb.filter(F.col("m") == F.col("m0")).select(
+        "l_partkey", F.col("sc").alias("s0c"), F.col("sq").alias("s0q")
+    )
+    p1 = pb.filter(F.col("m") == F.col("m1")).select(
+        "l_partkey", F.col("sc").alias("s1c"), F.col("sq").alias("s1q")
+    )
+    terms = p0.join(p1, "l_partkey").select(
+        F.col("s0c").alias("base_spend_c"),
+        F.round(
+            F.col("s1c").cast("double") * F.col("s0q") / F.col("s1q")
+        ).cast("long").alias("repriced_c"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("base_spend_c").cast("long").alias("base_spend_c"),
+        F.sum("repriced_c").cast("long").alias("repriced_c"),
+        F.round(
+            F.sum("repriced_c").cast("double") / F.sum("base_spend_c"), 9
+        ).alias("laspeyres_index"),
+    )
