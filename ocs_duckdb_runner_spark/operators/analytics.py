@@ -1066,3 +1066,101 @@ def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("repriced_c").cast("double") / F.sum("base_spend_c"), 9
         ).alias("laspeyres_index"),
     )
+
+
+@query(
+    "agg_price_index_fisher",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey,
+               date_trunc('month', l_shipdate) AS m,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_quantity) AS BIGINT) AS q
+        FROM lineitem),
+    bounds AS (SELECT min(m) AS m0, max(m) AS m1 FROM li),
+    per AS (
+        SELECT l_partkey, m,
+               CAST(sum(pc) AS BIGINT) AS sc,
+               CAST(sum(q) AS BIGINT) AS sq
+        FROM li GROUP BY l_partkey, m),
+    p0 AS (SELECT per.* FROM per, bounds WHERE per.m = bounds.m0),
+    p1 AS (SELECT per.* FROM per, bounds WHERE per.m = bounds.m1),
+    terms AS (
+        SELECT p0.sc AS l_den,
+               CAST(round(CAST(p1.sc AS DOUBLE) * p0.sq / p1.sq)
+                    AS BIGINT) AS l_num,
+               p1.sc AS p_num,
+               CAST(round(CAST(p0.sc AS DOUBLE) * p1.sq / p0.sq)
+                    AS BIGINT) AS p_den
+        FROM p0 JOIN p1 USING (l_partkey)),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(l_num) AS BIGINT) AS ln_, CAST(sum(l_den) AS BIGINT) AS ld,
+               CAST(sum(p_num) AS BIGINT) AS pn, CAST(sum(p_den) AS BIGINT) AS pd
+        FROM terms)
+    SELECT n_parts,
+           round(CAST(ln_ AS DOUBLE) / ld, 9) AS laspeyres,
+           round(CAST(pn AS DOUBLE) / pd, 9) AS paasche,
+           round(sqrt((CAST(ln_ AS DOUBLE) / ld)
+                      * (CAST(pn AS DOUBLE) / pd)), 9) AS fisher
+    FROM s
+    """,
+    tags=("agg", "economics", "index"),
+)
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index-number triple: Laspeyres (period-0 basket at new
+    prices — overstates inflation under substitution), Paasche
+    (period-1 basket at old prices — understates it), and Fisher's
+    ideal index (their geometric mean, the superlative index national
+    accounts use). Same exactness discipline as
+    agg_price_index_laspeyres: each basket side that CAN be a pure
+    integer spend stays one (Σp₀q₀ = period-0 spend, Σp₁q₁ = period-1
+    spend), and each repriced term rounds to integer cents per part
+    before summation — no float crosses an aggregate.
+
+    Plan: identical to the Laspeyres plan (one (part, month) aggregate,
+    broadcast bounds, one part-keyed join); all three indexes fold from
+    one 1-row exact-integer frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+    )
+    bounds = li.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    per = li.groupBy("l_partkey", "m").agg(
+        F.sum("pc").cast("long").alias("sc"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    pb = per.crossJoin(F.broadcast(bounds))
+    p0 = pb.filter(F.col("m") == F.col("m0")).select(
+        "l_partkey", F.col("sc").alias("s0c"), F.col("sq").alias("s0q")
+    )
+    p1 = pb.filter(F.col("m") == F.col("m1")).select(
+        "l_partkey", F.col("sc").alias("s1c"), F.col("sq").alias("s1q")
+    )
+    terms = p0.join(p1, "l_partkey").select(
+        F.col("s0c").alias("l_den"),
+        F.round(F.col("s1c").cast("double") * F.col("s0q") / F.col("s1q"))
+        .cast("long")
+        .alias("l_num"),
+        F.col("s1c").alias("p_num"),
+        F.round(F.col("s0c").cast("double") * F.col("s1q") / F.col("s0q"))
+        .cast("long")
+        .alias("p_den"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("l_num").cast("long").alias("ln_"),
+        F.sum("l_den").cast("long").alias("ld"),
+        F.sum("p_num").cast("long").alias("pn"),
+        F.sum("p_den").cast("long").alias("pd"),
+    )
+    lasp = F.col("ln_").cast("double") / F.col("ld")
+    paas = F.col("pn").cast("double") / F.col("pd")
+    return s.select(
+        "n_parts",
+        F.round(lasp, 9).alias("laspeyres"),
+        F.round(paas, 9).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 9).alias("fisher"),
+    )
