@@ -1164,3 +1164,73 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 9).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 9).alias("fisher"),
     )
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, r,
+               CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM rev),
+    classed AS (
+        SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                    WHEN cum * 100 <= t * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               r
+        FROM ranked, tot)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS BIGINT) AS revenue_c
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    tags=("agg", "abc", "inventory"),
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — parts bucketed by cumulative
+    revenue share (A: first 80%, B: to 95%, C: tail), the Pareto cut
+    procurement and warehouse-slotting run on every catalog; the class
+    report is agg_pareto_share's sibling with assignments instead of a
+    single threshold. Class boundaries compare integer cross-products
+    (cum*100 vs t*80), so no float boundary can flip a part's class
+    between engines; the (revenue desc, partkey) order makes the cumsum
+    deterministic under revenue ties.
+
+    Plan: one part-keyed revenue aggregate (map-side combined), one
+    ordered cumulative window over the PART frame (catalog-sized, not
+    fact-sized; the band-histogram decomposition documented at
+    agg_pareto_share is the 100 TB form), one 3-key class rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("r")
+    )
+    tot = rev.agg(F.sum("r").cast("long").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "r", F.sum("r").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").cast("long").alias("revenue_c"),
+        )
+        .orderBy("abc_class")
+    )
