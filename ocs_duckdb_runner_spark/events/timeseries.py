@@ -2716,3 +2716,98 @@ def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# two-sided alpha=0.05, power=0.80: z constants folded to micro grid once
+_PWR_ZA_U = 1_959_964  # z_{0.975}
+_PWR_ZB_U = 841_621  # z_{0.80}
+
+
+@query(
+    "event_power_analysis_mde",
+    oracle=f"""
+    WITH arms AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+    m AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s1,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2
+        FROM arms GROUP BY arm),
+    pooled AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+               CAST(min(n) AS BIGINT) AS n_min,
+               (CAST(sum(n) AS DOUBLE) * sum(s2)
+                - CAST(sum(s1) AS DOUBLE) * sum(s1))
+               / (CAST(sum(n) AS DOUBLE) * (sum(n) - 1)) AS var_c
+        FROM m)
+    SELECT n_tot, n_min,
+           round(sqrt(var_c), 9) AS sd_c,
+           round(CAST({_PWR_ZA_U} + {_PWR_ZB_U} AS DOUBLE) / 1000000
+                 * sqrt(2 * var_c / n_min), 9) AS mde_c,
+           round(CAST({_PWR_ZA_U} + {_PWR_ZB_U} AS DOUBLE) / 1000000
+                 * sqrt(2 * var_c / n_min)
+                 / (CAST((SELECT sum(s1) FROM m) AS DOUBLE)
+                    / (SELECT sum(n) FROM m)) * 100, 9) AS mde_pct
+    FROM pooled
+    """,
+    tags=("events", "power", "ab-test"),
+)
+def event_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis — the minimum detectable effect at
+    alpha=0.05 / power=0.80 for the purchase-value metric under the
+    current arm sizes: MDE = (z_a+z_b)*sqrt(2 sigma^2 / n_min), the
+    go/no-go number every experiment review asks for BEFORE launch
+    (completes the toolkit: sample_ab_assignment -> this ->
+    event_sprt_sequential / agg_ab_welch_t -> event_did_incrementality).
+    The z constants fold to the micro grid at definition time; the
+    pooled variance comes from exact integer (n, sum, HUGEINT sum-sq)
+    moments so the whole readout is deterministic double expressions
+    over identical operands.
+
+    Plan: one filtered scan -> 2-cell moments aggregate -> 1-row
+    combine; linear in the fact table, nothing else."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    m = e.select(arm.alias("arm"), v.alias("v")).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("double")
+        .alias("s2"),
+    )
+    pooled = m.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.min("n").cast("long").alias("n_min"),
+        F.sum("s1").cast("long").alias("s1t"),
+        F.sum("s2").alias("s2t"),
+    ).select(
+        "n_tot",
+        "n_min",
+        "s1t",
+        (
+            (F.col("n_tot").cast("double") * F.col("s2t")
+             - F.col("s1t").cast("double") * F.col("s1t"))
+            / (F.col("n_tot").cast("double") * (F.col("n_tot") - 1))
+        ).alias("var_c"),
+    )
+    z = F.lit(_PWR_ZA_U + _PWR_ZB_U).cast("double") / 1000000
+    mde = z * F.sqrt(2 * F.col("var_c") / F.col("n_min"))
+    mean_c = F.col("s1t").cast("double") / F.col("n_tot")
+    return pooled.select(
+        "n_tot",
+        "n_min",
+        F.round(F.sqrt("var_c"), 9).alias("sd_c"),
+        F.round(mde, 9).alias("mde_c"),
+        F.round(mde / mean_c * 100, 9).alias("mde_pct"),
+    )

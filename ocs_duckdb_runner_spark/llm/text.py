@@ -1562,3 +1562,76 @@ def text_lexicon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_char_ngram_entropy",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, substring(text, CAST(i AS INT), 3) AS g
+        FROM documents,
+             unnest(generate_series(1, length(text) - 2)) AS t(i)
+        WHERE length(text) >= 3),
+    cnt AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM tri GROUP BY doc_id, g),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                    AS BIGINT) AS s_u
+        FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n AS n_trigrams, n_distinct,
+           round(ln(n) - CAST(s_u AS DOUBLE) / n / 1000000, 9)
+               AS entropy_nats
+    FROM agg
+    """,
+    tags=("llm", "text", "entropy", "quality"),
+)
+def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram entropy per document — the gibberish/encoding-
+    junk detector that works below the word level (mojibake, base64
+    blobs, and keyboard mash all have entropy profiles no stopword
+    ratio catches): H = ln(n) − Σc·ln(c)/n over the doc's trigram
+    counts. Each ln(c) is folded to the integer micro-nat grid (c is a
+    small integer, so both engines grid the identical double), making
+    the per-doc sum exact integer arithmetic and the final H one
+    deterministic double expression — the nb_lang_confusion exactness
+    policy applied to a quality score.
+
+    Plan: trigram explosion is a map-side Generate over substrings;
+    counts are ONE (doc, gram) hash aggregate with map-side combine
+    (the shuffle carries hashed gram keys, never text); the entropy
+    fold is a doc-keyed re-aggregate on the same partitioning."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    cnt = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    s_u = F.sum(
+        F.col("c") * F.round(F.log("c") * 1000000).cast("long")
+    ).cast("long")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        s_u.alias("s_u"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        F.round(
+            F.log("n_trigrams")
+            - F.col("s_u").cast("double") / F.col("n_trigrams") / 1000000,
+            9,
+        ).alias("entropy_nats"),
+    )
