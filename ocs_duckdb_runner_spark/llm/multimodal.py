@@ -1048,3 +1048,67 @@ def pipeline_mm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.join(audio, "doc_id").select(
         "doc_id", "phash", "width", "height", "duration_ms"
     )
+
+
+@query(
+    "mm_frame_reuse_across_docs",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, text,
+                      octet_length(encode(text)) AS byte_len
+               FROM documents),
+    frames AS (
+        SELECT doc_id,
+               md5(substring(text, CAST(i * {FRAME_STRIDE} + 1 AS INT),
+                             {FRAME_BYTES})) AS frame_md5
+        FROM p, unnest(generate_series(0,
+               CAST(floor((byte_len - {FRAME_BYTES}) / {FRAME_STRIDE})
+                    AS BIGINT))) AS t(i)
+        WHERE byte_len >= {FRAME_BYTES})
+    SELECT frame_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM frames
+    GROUP BY frame_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("llm", "multimodal", "dedup", "reuse"),
+)
+def mm_frame_reuse_across_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document frame reuse — which byte-level frames appear
+    verbatim in MORE THAN ONE asset: the stock-footage / re-encoded-
+    segment detector that catches partial copies whole-file hashing
+    (dedup_exact) and whole-image hashing (mm_image_phash) both miss.
+    Reuses mm_frame_sample's fingerprint grid; a frame shared by >= 2
+    distinct documents is reported with its spread and earliest source.
+
+    Plan: the frame explode is map-side; ONE hash aggregate keyed on
+    the 16-byte frame fingerprint (map-side combine collapses
+    within-doc repeats first) — the shuffle carries fingerprints, never
+    payload bytes, the inverted-index shape every dedup operator here
+    scales on."""
+    d = load_table(spark, sf_dir, "documents")
+    p = _with_payload(d).filter(F.col("byte_len") >= FRAME_BYTES)
+    n_frames = F.floor(
+        (F.col("byte_len") - F.lit(FRAME_BYTES)) / F.lit(FRAME_STRIDE)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx")
+    frames = p.select("doc_id", "payload", idx).select(
+        "doc_id",
+        F.md5(
+            F.substring(
+                F.col("payload"),
+                F.col("frame_idx") * FRAME_STRIDE + 1,
+                FRAME_BYTES,
+            )
+        ).alias("frame_md5"),
+    )
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

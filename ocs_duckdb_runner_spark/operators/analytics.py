@@ -1234,3 +1234,80 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "join_conformed_date_dim",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(date_trunc('day', o_orderdate)) AS TIMESTAMP) AS d0,
+               CAST(max(date_trunc('day', o_orderdate)) AS TIMESTAMP) AS d1
+        FROM orders),
+    dim AS (
+        SELECT CAST(d0 + to_days(CAST(i AS INT)) AS TIMESTAMP) AS day,
+               dayofweek(d0 + to_days(CAST(i AS INT))) + 1 AS dow,
+               dayofweek(d0 + to_days(CAST(i AS INT))) + 1 IN (1, 7)
+                   AS is_weekend
+        FROM bounds,
+             unnest(generate_series(0,
+                 CAST(date_diff('day', d0, d1) AS BIGINT))) AS t(i)),
+    facts AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders)
+    SELECT dim.is_weekend,
+           CAST(count(DISTINCT dim.day) AS BIGINT) AS n_days,
+           CAST(count(f.pc) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(f.pc), 0) AS BIGINT) AS revenue_c
+    FROM dim LEFT JOIN facts f USING (day)
+    GROUP BY dim.is_weekend ORDER BY dim.is_weekend
+    """,
+    tags=("join", "date-dim", "star-schema"),
+)
+def join_conformed_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformed date dimension built IN-ENGINE and joined back to the
+    facts — the warehouse spine pattern: generate every calendar day
+    between the fact bounds (so zero-activity days exist — the LEFT
+    side no GROUP BY on raw facts can produce), attribute it (dow,
+    weekend flag, pinned to one cross-engine convention), and report
+    the weekend/weekday revenue split with day coverage. This is the
+    dimension event_gap_fill's spine logic generalizes from; any
+    holiday table would join onto the same dim.
+
+    Plan: the dim is a generated lateral from a broadcast 1-row bounds
+    frame (hundreds of rows per year — never data-sized); the fact join
+    is day-keyed; the report is a 2-key rollup. At 100 TB the dim stays
+    calendar-sized and broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    bounds = o.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    dim = bounds.select(
+        "d0",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.datediff(F.col("d1"), F.col("d0")).cast("int"),
+            )
+        ).alias("i"),
+    ).select(F.expr("d0 + make_interval(0, 0, 0, i, 0, 0, 0)").alias("day"))
+    dim = dim.select(
+        "day",
+        F.dayofweek("day").alias("dow"),
+        F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+    )
+    facts = o.select(
+        day.cast("timestamp").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    return (
+        dim.join(facts, "day", "left")
+        .groupBy("is_weekend")
+        .agg(
+            F.countDistinct("day").alias("n_days"),
+            F.count("pc").alias("n_orders"),
+            F.coalesce(F.sum("pc"), F.lit(0)).cast("long").alias("revenue_c"),
+        )
+        .orderBy("is_weekend")
+    )
