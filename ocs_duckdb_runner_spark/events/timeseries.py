@@ -2811,3 +2811,88 @@ def event_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 9).alias("mde_c"),
         F.round(mde / mean_c * 100, 9).alias("mde_pct"),
     )
+
+
+@query(
+    "event_rolling_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1),
+    w AS (
+        SELECT day, x, y,
+               CAST(count(*) OVER win AS BIGINT) AS k,
+               CAST(sum(x) OVER win AS BIGINT) AS sx,
+               CAST(sum(y) OVER win AS BIGINT) AS sy,
+               CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER win AS BIGINT) AS syy
+        FROM daily
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                       AND CURRENT ROW))
+    SELECT day, x AS views, y AS purchases,
+           CASE WHEN k >= 7 THEN
+             round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(k AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(k AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 9)
+           END AS corr_7d
+    FROM w ORDER BY day
+    """,
+    tags=("events", "correlation", "rolling"),
+)
+def event_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the view and purchase
+    daily series — the relationship-stability monitor behind funnel
+    health ('did purchases decouple from traffic this week?'), the
+    windowed sibling of event_autocorr_daily. All five window moments
+    are exact integer sums over the trailing frame, so the correlation
+    is one deterministic double expression per day; partial windows
+    (< 7 days) report NULL rather than an unstable estimate.
+
+    Plan: one hash aggregate onto day keys, then five integer window
+    registers over the tiny daily frame share ONE window spec — the
+    fact table is touched once, everything after is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("y"),
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-6, 0)
+    w = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).cast("long").alias("k"),
+        F.sum("x").over(win).cast("long").alias("sx"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    corr = (kd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (kd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return w.select(
+        "day",
+        F.col("x").alias("views"),
+        F.col("y").alias("purchases"),
+        F.when(F.col("k") >= 7, F.round(corr, 9)).alias("corr_7d"),
+    ).orderBy("day")

@@ -182,3 +182,54 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM orders o WHERE o.o_custkey = c.c_custkey) t
         """
     )
+
+
+@query(
+    "subquery_quantified",
+    oracle="""
+    WITH march AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
+        WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1998-03-01')
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+               > ALL (SELECT pc FROM march) AS above_all_march,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+               > ANY (SELECT pc FROM march) AS above_any_march
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery", "quantified"),
+)
+def subquery_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified subquery comparisons (> ALL / > ANY) — the SQL surface
+    Spark lacks as syntax, expressed by its algebraic reduction:
+    x > ALL(S) ⟺ x > max(S), x > ANY(S) ⟺ x > min(S) (for non-empty S
+    — the fixture guarantees March orders exist; the empty-set
+    vacuous-truth case is a documented semantic difference a production
+    rewrite guards with a count). The oracle runs DuckDB's NATIVE
+    quantified forms, so the reduction itself is what is verified.
+
+    Plan: the subquery collapses to a broadcast 1-row (min, max) frame
+    crossJoined into a map-side projection — the reduction turns a
+    quantified comparison into O(1) state, which is also why it is the
+    right plan at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = F.round(F.col("o_totalprice") * 100).cast("long")
+    march = o.filter(
+        F.date_trunc("month", F.col("o_orderdate"))
+        == F.lit("1998-03-01").cast("timestamp")
+    ).agg(F.max(pc).alias("mx"), F.min(pc).alias("mn"))
+    return (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .crossJoin(F.broadcast(march))
+        .select(
+            "o_orderkey",
+            pc.alias("price_c"),
+            (pc > F.col("mx")).alias("above_all_march"),
+            (pc > F.col("mn")).alias("above_any_march"),
+        )
+        .orderBy("o_orderkey")
+    )
