@@ -2896,3 +2896,69 @@ def event_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("purchases"),
         F.when(F.col("k") >= 7, F.round(corr, 9)).alias("corr_7d"),
     ).orderBy("day")
+
+
+@query(
+    "event_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v_us,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p_us
+        FROM events GROUP BY user_id),
+    lags AS (
+        SELECT user_id, p_us - v_us AS lag_us
+        FROM firsts
+        WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us),
+    b AS (
+        SELECT CAST(floor(log2(1 + lag_us // 1000000)) AS BIGINT)
+                   AS lag_bucket_log2s,
+               lag_us
+        FROM lags)
+    SELECT lag_bucket_log2s,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us
+    FROM b GROUP BY lag_bucket_log2s ORDER BY lag_bucket_log2s
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def event_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase conversion lag, log2-bucketed — the
+    funnel-latency distribution behind attribution-window and retention-
+    bucket choices (how long does intent take to convert: seconds,
+    hours, or days — a linear histogram can't hold all three regimes).
+    Lags are exact integer µs; the log2 second-scale bucket is one
+    deterministic double per user (the floor(log2(1+s)) fixed-grid
+    rule), so bucket membership cannot drift cross-engine.
+
+    Plan: ONE conditional-min aggregate per user (map-side combined —
+    the 'first event of each type' pattern without a window), a
+    map-side lag + bucket projection, and a bucket-keyed rollup — two
+    key-only exchanges, no windows, no joins."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    lags = firsts.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("v_us"))
+    ).select((F.col("p_us") - F.col("v_us")).alias("lag_us"))
+    bucket = F.floor(
+        F.log2(1 + F.expr("lag_us div 1000000"))
+    ).cast("long")
+    return (
+        lags.select(bucket.alias("lag_bucket_log2s"), "lag_us")
+        .groupBy("lag_bucket_log2s")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lag_us").cast("long").alias("min_lag_us"),
+            F.max("lag_us").cast("long").alias("max_lag_us"),
+        )
+        .orderBy("lag_bucket_log2s")
+    )
