@@ -1911,3 +1911,75 @@ def embed_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("true_label"),
         F.col("pred").cast("long").alias("pred_label"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sim_reciprocal_nn",
+    oracle=f"""
+    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
+                FROM embeddings),
+    b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp),
+    pairs AS (
+        SELECT a.vec_id AS src, x.vec_id AS dst,
+               {_sql_cosine('a.ev', 'x.ev')} AS cos_sim
+        FROM b a JOIN b x
+          ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+    nn1 AS (
+        SELECT src, dst, cos_sim FROM (
+            SELECT src, dst, cos_sim,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos_sim DESC, dst) AS rk
+            FROM pairs) WHERE rk = 1)
+    SELECT a.src AS vec_a, a.dst AS vec_b,
+           round(a.cos_sim, 9) AS cos_sim
+    FROM nn1 a JOIN nn1 b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst
+    ORDER BY vec_a
+    """,
+    tags=("llm", "similarity", "matching"),
+)
+def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs — vectors that are EACH OTHER'S
+    1-NN within their LSH bucket: the mutual-match criterion behind
+    high-precision alignment and dedup pairing (RNN matching is how
+    bitext mining and cross-encoder candidate selection cut the
+    asymmetric-neighbor false positives a plain kNN edge list carries).
+    Same bucket-bounded candidate space as sim_knn_graph, integer-exact
+    cosines, deterministic ties.
+
+    Plan: the bucket self-join bounds candidates (never all-pairs); the
+    per-source argmax is one WindowGroupLimit-able rank; mutuality is a
+    self-join of the 1-row-per-vector NN frame on the reversed key —
+    key-only, linear in N."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
+    b = fp.select("vec_id", "ev", lsh_bucket(F.col("ev")).alias("bucket"))
+    a = b.toDF("src", "a_ev", "bucket")
+    x = b.toDF("dst", "x_ev", "bucket")
+    pairs = (
+        a.join(x, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", cosine(F.col("a_ev"), F.col("x_ev")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    nn1 = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("src", "dst", "cos_sim")
+    )
+    rev = nn1.toDF("r_src", "r_dst", "r_cos")
+    return (
+        nn1.join(
+            rev,
+            (rev["r_src"] == nn1["dst"]) & (rev["r_dst"] == nn1["src"]),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            F.round("cos_sim", 9).alias("cos_sim"),
+        )
+        .orderBy("vec_a")
+    )
