@@ -615,7 +615,7 @@ def _resize_pnm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                      substring(q.hx, CAST(2 * t.i - 1 AS INT), 1)) - 1) * 16
              + strpos('0123456789ABCDEF',
                       substring(q.hx, CAST(2 * t.i AS INT), 1)) - 1 AS v
-      FROM q, unnest(generate_series(1, q.w * q.h)) AS t(i)),
+      FROM q, unnest(generate_series(1, least(q.blen, q.w * q.h))) AS t(i)),
     kept AS (SELECT * FROM px WHERE r % 2 = 0 AND c % 2 = 0)
     SELECT doc_id,
            CAST((any_value(w) + 1) // 2 AS BIGINT) AS out_w,
@@ -710,7 +710,7 @@ _SQL_PHASH = f"""
                      substring(q.hx, CAST(2 * t.i - 1 AS INT), 1)) - 1) * 16
              + strpos('0123456789ABCDEF',
                       substring(q.hx, CAST(2 * t.i AS INT), 1)) - 1 AS v
-      FROM q, unnest(generate_series(1, q.w * q.h)) AS t(i)),
+      FROM q, unnest(generate_series(1, least(q.blen, q.w * q.h))) AS t(i)),
     cells AS (
       SELECT doc_id, (r * 4) // h AS rc, (c * 4) // w AS cc,
              CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n

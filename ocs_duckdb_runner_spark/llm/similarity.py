@@ -27,13 +27,39 @@ from pyspark.sql import functions as F
 from ocs_duckdb_runner_spark.registry import load_table, query
 
 DIM = 64
-N_PLANES = 8  # 256 buckets
+# SRP-LSH plane count SCALES WITH CORPUS SIZE (r6 verdict #1): a fixed
+# count caps the bucket space, so within-bucket self-join pairs grow
+# (N/2^planes)^2 — the same fixed-constant hazard as SemDeDup's old SEM_K.
+# planes = clamp(ceil(log2(ceil(N / LSH_TARGET_BUCKET))), MIN, MAX),
+# derived from one cheap corpus count on the Spark side and the identical
+# integer CASE chain in the oracle (see _SQL_NP_CTE), so bucket ids stay
+# bit-identical cross-engine at every scale. Per-bucket size then holds
+# near LSH_TARGET_BUCKET, making total candidate-pair work ~N·TARGET —
+# linear in N up to 2^MAX_PLANES buckets.
+MIN_PLANES = 4
+MAX_PLANES = 32
+LSH_TARGET_BUCKET = 16  # power of two: (b-1).bit_length() stays exact
 _rng = random.Random(7)
 # Rademacher (±1) hyperplanes: integer literals parse identically in Spark
 # SQL and DuckDB SQL, so one constant drives both engines.
 PLANES: list[list[int]] = [
-    [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)
+    [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(MAX_PLANES)
 ]
+
+
+def n_planes_for(n: int) -> int:
+    """Plane count for an n-vector corpus: smallest p with 2^p buckets
+    holding bucket size ≤ LSH_TARGET_BUCKET, clamped to [MIN, MAX]. Pure
+    integer math — mirrored exactly by the oracle's CASE chain."""
+    b = max(1, (n + LSH_TARGET_BUCKET - 1) // LSH_TARGET_BUCKET)
+    return min(MAX_PLANES, max(MIN_PLANES, (b - 1).bit_length()))
+
+
+def corpus_planes(emb: DataFrame) -> int:
+    """Derive the plane count from one cheap column-less count — the same
+    plan-time-parameter pattern as SemDeDup's K (llm/similarity.py
+    _semantic_build)."""
+    return n_planes_for(emb.select(F.lit(1)).count())
 
 QUERY_VEC_ID = 0  # deterministic query point: the embedding of vec_id 0
 
@@ -85,26 +111,57 @@ def _sql_plane_dot(vec_fp: str, plane: list[int]) -> str:
     )
 
 
+def _sql_np_cte() -> str:
+    """DuckDB CTE ``par(np)`` — the oracle-side twin of n_planes_for:
+    integer CASE chain over power-of-two bounds, driven by one scalar
+    count(*) subquery (the SEM_K pattern)."""
+    cases = " ".join(
+        f"WHEN b <= {1 << p} THEN {p}" for p in range(MIN_PLANES, MAX_PLANES)
+    )
+    return (
+        f"par AS (SELECT (CASE {cases} ELSE {MAX_PLANES} END) AS np FROM "
+        f"(SELECT greatest(1, (count(*) + {LSH_TARGET_BUCKET - 1}) // "
+        f"{LSH_TARGET_BUCKET}) AS b FROM embeddings))"
+    )
+
+
+_SQL_NP_CTE = _sql_np_cte()
+# fp CTE body carrying the derived plane count alongside each vector
+_SQL_FP_NP = (
+    f"SELECT vec_id, {{cols}}{_SQL_FP.format(v='embedding')} AS ev, par.np"
+    " FROM embeddings CROSS JOIN par"
+)
+
+
 def _sql_bucket(vec_fp: str) -> str:
+    """Bucket id with every bit i gated on ``np > i`` — the np column must
+    be in scope (carried by the fp CTE, see _SQL_FP_NP). CASE evaluates the
+    plane dot only for live bits, so the oracle does np dots per row, not
+    MAX_PLANES."""
     bits = [
-        f"(CASE WHEN {_sql_plane_dot(vec_fp, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN np > {i} AND {_sql_plane_dot(vec_fp, p)} > 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i, p in enumerate(PLANES)
     ]
     return "(" + " + ".join(bits) + ")"
 
 
-def lsh_bucket(vec_fp: Column) -> Column:
-    """Signed-random-projection bucket id (0..2^N_PLANES-1): bit i = sign of
-    the (exact integer) projection onto plane i."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(PLANES):
+def lsh_bucket(vec_fp: Column, n_planes: int) -> Column:
+    """Signed-random-projection bucket id (0..2^n_planes-1): bit i = sign
+    of the (exact integer) projection onto plane i. n_planes comes from
+    corpus_planes() — a plan-time parameter, so the Spark expression only
+    builds the live planes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(PLANES[:n_planes]):
         signs = F.array(*[F.lit(s) for s in plane])
         dot = F.aggregate(
             F.zip_with(vec_fp, signs, lambda x, s: x * s.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return bucket
 
 
@@ -143,8 +200,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_lsh_buckets",
     oracle=f"""
-    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
-                FROM embeddings)
+    WITH {_SQL_NP_CTE},
+    fp AS ({_SQL_FP_NP.format(cols='')})
     SELECT {_sql_bucket('ev')} AS bucket,
            CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(min(vec_id) AS BIGINT) AS min_vec_id
@@ -155,14 +212,17 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index itself: SRP-LSH bucket histogram. Bucket assignment is
-    deterministic (±1 planes, integer projections), so this IS
+    deterministic (±1 planes, integer projections) with the plane count
+    derived from the corpus size (corpus_planes), so this IS
     oracle-checked — both engines must place every vector in the same
-    bucket. At 100 TB this materialization (vec_id → bucket), written
-    partitioned by bucket, is the index you probe instead of scanning N."""
+    bucket at every scale. At 100 TB this materialization (vec_id →
+    bucket), written partitioned by bucket, is the index you probe instead
+    of scanning N."""
     e = load_table(spark, sf_dir, "embeddings")
+    np_ = corpus_planes(e)
     fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
     return (
-        fp.select("vec_id", lsh_bucket(F.col("ev")).alias("bucket"))
+        fp.select("vec_id", lsh_bucket(F.col("ev"), np_).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -174,8 +234,8 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ann_lsh_topk",
     oracle=f"""
-    WITH fp AS (SELECT vec_id, label, {_SQL_FP.format(v='embedding')} AS ev
-                FROM embeddings),
+    WITH {_SQL_NP_CTE},
+    fp AS ({_SQL_FP_NP.format(cols='label, ')}),
     b AS (SELECT vec_id, label, ev, {_sql_bucket('ev')} AS bucket FROM fp),
     q AS (SELECT ev AS qv, bucket AS qbucket FROM b
           WHERE vec_id = {QUERY_VEC_ID})
@@ -193,8 +253,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic planes + fixed-point math ⟹ even this approximate
     operator is oracle-checked exactly."""
     e = load_table(spark, sf_dir, "embeddings")
+    np_ = corpus_planes(e)
     fp = e.select("vec_id", "label", fp_vec(F.col("embedding")).alias("ev"))
-    b = fp.withColumn("bucket", lsh_bucket(F.col("ev")))
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"), np_))
     q = (
         b.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("ev").alias("qv"), F.col("bucket").alias("qbucket"))
@@ -210,8 +271,8 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
-                FROM embeddings),
+    WITH {_SQL_NP_CTE},
+    fp AS ({_SQL_FP_NP.format(cols='')}),
     b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp)
     SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
            {_sql_cosine('a.ev', 'x.ev')} AS cos_sim
@@ -226,8 +287,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings produce few/no pairs; planted-duplicate semantics are
     unit-tested (tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
+    np_ = corpus_planes(e)
     fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
-    b = fp.withColumn("bucket", lsh_bucket(F.col("ev")))
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"), np_))
     a, x = b.alias("a"), b.alias("x")
     cos = cosine(F.col("a.ev"), F.col("x.ev"))
     return (
@@ -1152,8 +1214,8 @@ KNN_K = 3
 @query(
     "sim_knn_graph",
     oracle=f"""
-    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
-                FROM embeddings),
+    WITH {_SQL_NP_CTE},
+    fp AS ({_SQL_FP_NP.format(cols='')}),
     b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp),
     pairs AS (
         SELECT a.vec_id AS src, x.vec_id AS dst,
@@ -1183,8 +1245,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    np_ = corpus_planes(e)
     fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
-    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"))).persist()
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"), np_)).persist()
     a, x = b.toDF("src", "aev", "abucket"), b.toDF("dst", "xev", "xbucket")
     pairs = a.join(
         x, (F.col("abucket") == F.col("xbucket")) & (F.col("src") != F.col("dst"))
@@ -1211,8 +1274,8 @@ RECALL_QUERIES = 10
 @query(
     "eval_ann_recall",
     oracle=f"""
-    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
-                FROM embeddings),
+    WITH {_SQL_NP_CTE},
+    fp AS ({_SQL_FP_NP.format(cols='')}),
     b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp),
     q AS (SELECT vec_id AS qid, ev AS qv, bucket AS qbucket FROM b
           WHERE vec_id < {RECALL_QUERIES}),
@@ -1257,8 +1320,9 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    np_ = corpus_planes(e)
     fp = e.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
-    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"))).persist()
+    b = fp.withColumn("bucket", lsh_bucket(F.col("ev"), np_)).persist()
     q = b.filter(F.col("vec_id") < RECALL_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("ev").alias("qv"),
@@ -1916,8 +1980,8 @@ def embed_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_reciprocal_nn",
     oracle=f"""
-    WITH fp AS (SELECT vec_id, {_SQL_FP.format(v='embedding')} AS ev
-                FROM embeddings),
+    WITH {_SQL_NP_CTE},
+    fp AS ({_SQL_FP_NP.format(cols='')}),
     b AS (SELECT vec_id, ev, {_sql_bucket('ev')} AS bucket FROM fp),
     pairs AS (
         SELECT a.vec_id AS src, x.vec_id AS dst,
@@ -1952,8 +2016,15 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join of the 1-row-per-vector NN frame on the reversed key —
     key-only, linear in N."""
     emb = load_table(spark, sf_dir, "embeddings")
+    np_ = corpus_planes(emb)
     fp = emb.select("vec_id", fp_vec(F.col("embedding")).alias("ev"))
-    b = fp.select("vec_id", "ev", lsh_bucket(F.col("ev")).alias("bucket"))
+    # persist the bucketed frame: the fp-vector + bucket expressions are
+    # ~np aggregate folds per row and feed BOTH sides of the self-join —
+    # without the pin Catalyst recomputes them per join input (the
+    # sim_knn_graph lesson; r6 probe wall 8.66 s was dominated by this)
+    b = fp.select(
+        "vec_id", "ev", lsh_bucket(F.col("ev"), np_).alias("bucket")
+    ).persist()
     a = b.toDF("src", "a_ev", "bucket")
     x = b.toDF("dst", "x_ev", "bucket")
     pairs = (
@@ -1970,7 +2041,7 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "cos_sim")
     )
     rev = nn1.toDF("r_src", "r_dst", "r_cos")
-    return (
+    out = (
         nn1.join(
             rev,
             (rev["r_src"] == nn1["dst"]) & (rev["r_dst"] == nn1["src"]),
@@ -1982,4 +2053,7 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 9).alias("cos_sim"),
         )
         .orderBy("vec_a")
+        .localCheckpoint(eager=True)
     )
+    b.unpersist()
+    return out

@@ -137,26 +137,8 @@ def _profile_oracle() -> str:
     return f"SELECT * FROM ({per_col}) ORDER BY column_name"
 
 
-@query("table_profile_columns", oracle=_profile_oracle(), tags=("quality", "profile"))
-def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-profile report over orders — per column: row count, null
-    count, distinct count, lexicographic min/max (every value rendered
-    as a canonical string so one schema fits all columns; money is
-    stringified on the cent grid to stay exact). This is the ANALYZE /
-    profiling pass that feeds both the optimizer's NDV stats and a data
-    catalog's column cards.
-
-    Plan: the Spark side computes ALL per-column measures in ONE scan +
-    ONE 1-row aggregate (count/sum/count-distinct/min/max per column are
-    independent aggregate registers), then unpivots the 1-row result to
-    the per-column report shape with a map-side stack — the oracle's
-    5-scan UNION ALL states the semantics, the engine pays one scan.
-    Distinct counts are the only registers that carry state (exact here;
-    the HLL swap — agg_approx_distinct — is the knob at extreme NDV).
-    The unpivot touches a 1-row frame, so the report costs nothing at
-    any scale."""
-    o = load_table(spark, sf_dir, "orders")
-    exprs = {
+def _profile_exprs() -> dict:
+    return {
         "o_orderkey": F.col("o_orderkey").cast("string"),
         "o_custkey": F.col("o_custkey").cast("string"),
         "o_orderstatus": F.col("o_orderstatus"),
@@ -165,13 +147,90 @@ def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string"),
         "o_orderpriority": F.col("o_orderpriority"),
     }
+
+
+@query("table_profile_columns", oracle=_profile_oracle(), tags=("quality", "profile"))
+def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over orders — per column: row count, null
+    count, EXACT distinct count, lexicographic min/max (every value
+    rendered as a canonical string so one schema fits all columns; money
+    is stringified on the cent grid to stay exact). This is the ANALYZE /
+    profiling pass that feeds both the optimizer's NDV stats and a data
+    catalog's column cards.
+
+    Plan (r6 verdict #2 fix): the old shape put five countDistinct
+    registers in ONE aggregate, which Catalyst rewrites via Expand —
+    every scan row multiplied ×(distincts+1), a full-table row blow-up
+    at 100 TB. Now the scan unpivots map-side to (column_name, value)
+    pairs (a Generate, no shuffle), partial-aggregates per (column,
+    value) BEFORE the exchange — so the shuffle carries at most the
+    per-column NDVs as key-only rows, never ×6 of the table — then one
+    tiny per-column aggregate folds counts/nulls/distinct/min/max. Exact
+    at any scale; the inherent cost of EXACT NDV on a unique key is one
+    NDV-sized shuffle, and when that is too much the HLL twin
+    table_profile_columns_approx is the default knob (one 1-row
+    aggregate, no Expand, ~0 shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    exprs = _profile_exprs()
+    stack_in = ", ".join(
+        f"'{name}', `__pv_{name}`" for name, _sql, _np in _PROFILE_COLS
+    )
+    pairs = o.select(
+        *[exprs[name].alias(f"__pv_{name}") for name, _s, _n in _PROFILE_COLS]
+    ).select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_in}) AS (column_name, value)"
+        )
+    )
+    lvl1 = pairs.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        lvl1.groupBy("column_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.count("value").cast("long").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "column_name", "n_rows", "n_nulls", "n_distinct",
+            "min_value", "max_value",
+        )
+        .orderBy("column_name")
+    )
+
+
+@query(
+    "table_profile_columns_approx",
+    oracle=None,  # HLL estimates are engine-specific — rows-only by design;
+    # estimate-vs-exact error is locked by a unit test (tests/test_round7_ops.py)
+    tags=("quality", "profile", "approx"),
+)
+def table_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-default profiling pass: same report as
+    table_profile_columns but NDV via approx_count_distinct (HLL++,
+    rsd 1%). Approx registers are plain declarative aggregates — no
+    DISTINCT rewrite, so ONE scan + ONE 1-row aggregate with NO Expand
+    and no NDV-sized shuffle: per-partition HLL sketches merge in a
+    1-row exchange. This is the plan you run first at 100 TB; the exact
+    twin is the audit path."""
+    o = load_table(spark, sf_dir, "orders")
+    exprs = _profile_exprs()
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, _sql, nullpred in _PROFILE_COLS:
         c = exprs[name]
         aggs.append(
-            F.sum(F.when(F.expr(nullpred), 1).otherwise(0)).alias(f"nn_{name}")
+            F.sum(F.when(F.expr(nullpred), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{name}")
         )
-        aggs.append(F.countDistinct(c).alias(f"nd_{name}"))
+        aggs.append(
+            F.approx_count_distinct(c, 0.01).alias(f"nd_{name}")
+        )
         aggs.append(F.min(c).alias(f"mn_{name}"))
         aggs.append(F.max(c).alias(f"mx_{name}"))
     one = o.agg(*aggs)
@@ -183,10 +242,11 @@ def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.expr(
             f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+            " AS (column_name, n_nulls, n_distinct_approx, min_value, max_value)"
         ),
     ).select(
-        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+        "column_name", "n_rows", "n_nulls", "n_distinct_approx",
+        "min_value", "max_value",
     ).orderBy("column_name")
 
 

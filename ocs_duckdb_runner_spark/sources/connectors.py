@@ -821,7 +821,7 @@ def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TYPE_CANON_SQL = """
-    CASE column_type
+    CASE data_type
         WHEN 'INTEGER' THEN 'int'
         WHEN 'BIGINT' THEN 'bigint'
         WHEN 'VARCHAR' THEN 'string'
@@ -836,17 +836,20 @@ _TYPE_CANON_SQL = """
 
 
 def _catalog_oracle() -> str:
+    # ordinal from information_schema.columns.ordinal_position — a defined
+    # ordering key; the previous row_number() OVER () on DESCRIBE output
+    # had no ordering guarantee (ADVICE r6)
     from ocs_duckdb_runner_spark.registry import TABLES
 
-    per = " UNION ALL ".join(
-        f"""
-        SELECT '{t}' AS table_name, column_name,
-               CAST(row_number() OVER () AS BIGINT) AS ordinal,
+    names = ", ".join(f"'{t}'" for t in TABLES)
+    return f"""
+        SELECT table_name, column_name,
+               CAST(ordinal_position AS BIGINT) AS ordinal,
                {_TYPE_CANON_SQL} AS data_type
-        FROM (DESCRIBE {t})"""
-        for t in TABLES
-    )
-    return f"SELECT * FROM ({per}) ORDER BY table_name, ordinal"
+        FROM information_schema.columns
+        WHERE table_name IN ({names})
+        ORDER BY table_name, ordinal
+    """
 
 
 @query(

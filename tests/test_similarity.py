@@ -58,9 +58,48 @@ def test_lsh_bucket_groups_near_vectors(vecs):
     buckets = {
         r.vec_id: r.bucket
         for r in vecs.select(
-            "vec_id", lsh_bucket(fp_vec(F.col("embedding"))).alias("bucket")
+            "vec_id", lsh_bucket(fp_vec(F.col("embedding")), 8).alias("bucket")
         ).collect()
     }
     assert buckets[0] == buckets[1]  # near-identical vectors share bucket
     # antipodal vector flips every plane sign → complementary bucket
     assert buckets[2] == (~buckets[0]) & 0xFF
+
+
+def test_n_planes_scales_with_corpus_size():
+    """The r6 verdict's fixed-constant hazard: plane count must GROW with
+    N so per-bucket pairs stay bounded — bucket count ≈ N/TARGET, i.e.
+    total candidate-pair work ~N·TARGET, linear in N."""
+    from ocs_duckdb_runner_spark.llm.similarity import (
+        LSH_TARGET_BUCKET,
+        MAX_PLANES,
+        MIN_PLANES,
+        n_planes_for,
+    )
+
+    assert n_planes_for(1) == MIN_PLANES
+    assert n_planes_for(500) == 5  # sf0.01 embeddings → 32 buckets
+    assert n_planes_for(2000) == 7  # sf0.1 (10× probe) → 128 buckets
+    # monotone non-decreasing, and bucket size stays near TARGET
+    prev = 0
+    for n in (10, 100, 10_000, 10_000_000, 10_000_000_000):
+        p = n_planes_for(n)
+        assert p >= prev
+        prev = p
+        if p < MAX_PLANES:
+            assert n / (1 << p) <= LSH_TARGET_BUCKET
+    assert n_planes_for(10**12) == MAX_PLANES  # clamped, never unbounded
+
+
+def test_sql_np_cte_matches_python(duck):
+    """The oracle's CASE chain must agree with n_planes_for on every
+    corpus size — the cross-engine contract behind dynamic plane count."""
+    from ocs_duckdb_runner_spark.llm.similarity import _SQL_NP_CTE, n_planes_for
+
+    for n in (1, 15, 16, 17, 500, 2000, 65_536, 10**9):
+        sql = (
+            "WITH embeddings AS (SELECT * FROM range(%d)), %s SELECT np FROM par"
+            % (n, _SQL_NP_CTE)
+        )
+        got = duck.sql(sql).fetchone()[0]
+        assert got == n_planes_for(n), n
