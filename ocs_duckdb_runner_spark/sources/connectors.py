@@ -830,7 +830,7 @@ _TYPE_CANON_SQL = """
         WHEN 'TIMESTAMP' THEN 'timestamp'
         WHEN 'TIMESTAMP_NS' THEN 'timestamp'
         WHEN 'FLOAT[]' THEN 'array<float>'
-        ELSE lower(column_type)
+        ELSE lower(data_type)
     END
 """
 
