@@ -579,22 +579,31 @@ def _resize_pnm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     pipeline uses before feature extraction."""
     for pdf in it:
         rows = {
-            "doc_id": pdf["doc_id"], "out_w": [], "out_h": [],
+            "doc_id": [], "out_w": [], "out_h": [],
             "n_out": [], "sum_px": [], "mean_px": [],
         }
-        for b in pdf["payload"]:
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(b)
             m = _PNM_HEADER.match(buf)
             if not m or m.group(1) != b"P5":
                 raise ValueError("resize expects a P5 payload")
             w, h = int(m.group(2)), int(m.group(3))
+            # plane may be truncated below w*h (blen < w clamps h to 1):
+            # keep-by-index arithmetic matches the oracle's r/c derivation
+            # for partial planes and equals reshape(h, w)[::2, ::2] on full
+            # ones; zero-pixel payloads drop out like the oracle's empty
+            # generate_series
             px = np.frombuffer(buf, dtype=np.uint8, offset=m.end())[: w * h]
-            small = px.reshape(h, w)[::2, ::2]
-            rows["out_w"].append(small.shape[1])
-            rows["out_h"].append(small.shape[0])
-            rows["n_out"].append(int(small.size))
-            rows["sum_px"].append(int(small.astype(np.int64).sum()))
-            rows["mean_px"].append(round(float(small.mean()), 9))
+            idx = np.arange(px.size)
+            kept = px[((idx // w) % 2 == 0) & ((idx % w) % 2 == 0)]
+            if kept.size == 0:
+                continue
+            rows["doc_id"].append(doc_id)
+            rows["out_w"].append((w + 1) // 2)
+            rows["out_h"].append((h + 1) // 2)
+            rows["n_out"].append(int(kept.size))
+            rows["sum_px"].append(int(kept.astype(np.int64).sum()))
+            rows["mean_px"].append(round(float(kept.mean()), 9))
         yield pd.DataFrame(rows)
 
 

@@ -800,10 +800,20 @@ def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"n_files_live": len(live), "n_files_deleted": len(orphans)},
                 fh,
             )
-    with open(f"{logd}/vacuum.json") as fh:
-        rep = _json.load(fh)
+    with open(f"{logd}/v0.json") as fh:
+        v0 = _json.load(fh)
     with open(f"{logd}/v1.json") as fh:
         manifest = _json.load(fh)
+    # measure the REAL post-vacuum filesystem state, not the report the
+    # vacuum step itself wrote (ADVICE r6: pinned literals on both sides
+    # made the count columns tautological): live = manifest files still on
+    # disk, deleted = manifest-named files vacuum actually removed. The
+    # oracle pins 2/4 from the fixture arithmetic, so a vacuum that ate a
+    # live file or missed an orphan drifts here and fails the hash.
+    on_disk = set(glob.glob(f"{data}/*/*.parquet"))
+    referenced = set(v0["files"]) | set(manifest["files"])
+    n_live = len(set(manifest["files"]) & on_disk)
+    n_deleted = len(referenced - on_disk)
     df = spark.read.parquet(*manifest["files"])
     return df.agg(
         F.lit(1).cast("int").alias("version"),
@@ -812,8 +822,8 @@ def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("sum_price_c"),
-        F.lit(rep["n_files_live"]).cast("long").alias("n_files_live"),
-        F.lit(rep["n_files_deleted"]).cast("long").alias("n_files_deleted"),
+        F.lit(n_live).cast("long").alias("n_files_live"),
+        F.lit(n_deleted).cast("long").alias("n_files_deleted"),
     ).select(
         "version", "n", "n_keys", "sum_price_c", "n_files_live",
         "n_files_deleted",

@@ -78,3 +78,25 @@ def test_decode_wav_rejects_junk():
         decode_wav(b"not a wav at all")
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF\x04\x00\x00\x00JUNK")
+
+
+def test_resize_handles_truncated_plane():
+    # ADVICE r7: a payload whose pixel plane is shorter than w*h (blen < w
+    # clamps h to 1) must not raise in reshape — the kept set is derived by
+    # index arithmetic exactly like the oracle's least(blen, w*h) cap
+    import pandas as pd
+
+    from ocs_duckdb_runner_spark.llm.multimodal import _resize_pnm_batches
+
+    full = b"P5 4 2 255 " + bytes(range(8))        # full 4x2 plane
+    trunc = b"P5 6 1 255 " + bytes([10, 20])       # 2 of 6 pixels present
+    empty = b"P5 5 1 255 "                          # zero pixels -> dropped
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "payload": [full, trunc, empty]})
+    out = pd.concat(list(_resize_pnm_batches(iter([pdf]))))
+    assert list(out["doc_id"]) == [1, 2]
+    r1 = out[out.doc_id == 1].iloc[0]
+    # full plane: rows 0, cols 0&2 kept -> pixels 0 and 2
+    assert (r1.out_w, r1.out_h, r1.n_out, r1.sum_px) == (2, 1, 2, 0 + 2)
+    r2 = out[out.doc_id == 2].iloc[0]
+    # truncated: only idx 0 (r=0,c=0) kept of the declared 6x1 grid
+    assert (r2.out_w, r2.out_h, r2.n_out, r2.sum_px) == (3, 1, 1, 10)

@@ -7,6 +7,8 @@ ruined — these tests pin the plan shape."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from ocs_duckdb_runner_spark.registry import get_query
@@ -553,12 +555,25 @@ def test_constraint_audit_one_scan_for_row_rules(spark):
     assert "LeftAnti" in plan
 
 
-def test_profile_columns_single_aggregate_stack(spark):
-    # all 5 columns' measures in ONE aggregate; the report unpivot is a
-    # map-side Generate/Expand on a 1-row frame
+def test_profile_columns_no_expand_partial_before_exchange(spark):
+    # r7 contract: the scan unpivots map-side (Generate), partial-aggregates
+    # per (column, value) BEFORE any exchange, and never uses the Expand
+    # node Catalyst emits for multi-countDistinct (the full-table row
+    # blow-up the rework removed)
     plan = plan_of(spark, "table_profile_columns")
     assert plan.count("Scan parquet") == 2  # ONE scan (tree + detail line)
     assert "Join" not in plan
+    assert "Expand" not in plan
+    # detail-section node ids are bottom-up: the partial HashAggregate must
+    # sit below (smaller id than) the first Exchange
+    ids = {
+        m.group(2): int(m.group(1))
+        for m in reversed(
+            list(re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE))
+        )
+    }  # reversed: keep the SMALLEST id per node type
+    assert "Generate" in ids and "HashAggregate" in ids and "Exchange" in ids
+    assert ids["Generate"] < ids["HashAggregate"] < ids["Exchange"]
 
 
 def test_pca_power_iter_no_python_no_sortmerge(spark):

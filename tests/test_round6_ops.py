@@ -398,7 +398,6 @@ def test_mattr_window_counts_and_bounds(spark):
 
 def test_decile_bounds_are_monotone_and_bracket_median(spark):
     dec = run(spark, "agg_decile_bounds")
-    med = run(spark, "agg_weighted_median")  # weighted, sanity bracket only
     for flag, grp in dec.groupby("l_returnflag"):
         vals = grp.sort_values("decile")["decile_value_c"].tolist()
         assert vals == sorted(vals)  # monotone p10..p90
