@@ -150,11 +150,13 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a crawl; body text does not). Per document: segment counts, boilerplate
     fraction, and tokens kept after dropping boilerplate segments.
 
-    Plan: segment explode is map-side; the corpus-frequency aggregate and
-    the join back both shuffle ONLY (seg_fp md5, doc_id, seg_len) — never
-    text. At 100 TB the segment-hash key space is uniform (md5), so no
-    skew; kept_tokens is NULL→0-free because every doc has >=1 segment
-    below threshold or the sum is NULL and coalesced by the caller."""
+    Plan: segment explode is map-side; the corpus-frequency aggregate
+    shuffles ONLY (seg_fp md5, doc_id) — never text — and the join back
+    carries just the FILTERED boiler fingerprint set (left join, hit =
+    boilerplate), which is eval-suite-sized, so AQE broadcasts it and a
+    viral seg_fp is a broadcast-probe hit instead of a skewed reducer.
+    kept_tokens is NULL→0-free because every doc has >=1 segment below
+    threshold or the sum is NULL and coalesced by the caller."""
     d = load_table(spark, sf_dir, "documents")
     n = F.size(_tokens())
     t = d.select(
@@ -181,12 +183,20 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seg_len"),
     )
-    freq = seg.groupBy("seg_fp").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # join back ONLY the boilerplate fingerprints: the set of seg_fps with
+    # n_docs >= threshold is tiny relative to the corpus (that is what
+    # boilerplate means), so the left join broadcasts at scale instead of
+    # re-shuffling every segment against the full frequency table — and a
+    # hot seg_fp hits a broadcast probe, never a skewed reducer
+    boiler_fps = (
+        seg.groupBy("seg_fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("seg_fp", F.lit(True).alias("is_boiler"))
     )
-    boiler = F.col("n_docs") >= BOILER_MIN_DOCS
+    boiler = F.col("is_boiler").isNotNull()
     return (
-        seg.join(freq, "seg_fp")
+        seg.join(boiler_fps, "seg_fp", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),

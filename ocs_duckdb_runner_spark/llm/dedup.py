@@ -311,32 +311,61 @@ _SQL_SHINGLES = """
 
 def _jaccard_from_tokens(token_frame: DataFrame) -> DataFrame:
     """(doc_id, toks) → materialized exact-Jaccard pairs. The shingle
-    ARRAY frame is what gets persisted: size() and explode() and both
+    ARRAY frame is what gets persisted: explode() and the df-cap and both
     self-join branches all read the cached arrays, so the expensive
-    shingle pipeline runs exactly once per doc (persisting the exploded
-    rows instead would re-run it for the size() column; computing size
-    inline would re-run it via projection collapse)."""
+    shingle pipeline runs exactly once per doc."""
     arr = token_frame.select(
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
     ).persist()
-    sh = arr.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
+    sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
     out = _jaccard_pairs_from_sh(sh).localCheckpoint(eager=True)
     arr.unpersist()
     return out
 
 
-def _jaccard_pairs_from_sh(sh: DataFrame) -> DataFrame:
-    """Exploded (doc_id, n_sh, shingle-hash) frame → exact Jaccard pairs
-    (doc_a, doc_b, shared, jaccard ≥ 0.2) via the inverted-index join:
-    only docs sharing ≥1 shingle ever meet, intersection by count. The
-    per-doc counts ride the explode as grouping keys, so the union
-    denominator needs NO counts aggregate and NO re-join — one self-join
-    + one aggregate total. Integer set arithmetic → the jaccard double is
-    bit-identical to the DuckDB oracle. Caller persists ``sh`` (read by
-    both join branches)."""
-    a, b = sh.alias("a"), sh.alias("b")
+# Hot-shingle document-frequency cap: a shingle present in d documents
+# yields d·(d-1)/2 candidate pairs in any inverted-index join, so ONE
+# viral boilerplate line at 100 TB is a quadratic straggler reducer. A
+# shingle shared by > SHINGLE_DF_CAP docs carries no near-dup signal
+# (it is corpus boilerplate, not document identity), so it is dropped
+# from the REPRESENTATION — candidate generation AND the n_sh set-size
+# denominators — identically in engine and oracle. Pair work per shingle
+# is then bounded by SHINGLE_DF_CAP², independent of corpus size. The
+# fixtures' max df is 25 at sf0.1, so capped results equal uncapped at
+# test scales; the cap's behavior is locked by the planted-hot-shingle
+# unit test (tests/test_dedup.py::test_df_cap_bounds_hot_shingle_pairs).
+SHINGLE_DF_CAP = 256
+
+
+def _capped_shingle_docs(sh: DataFrame, df_cap: int) -> DataFrame:
+    """(doc_id, shingle) exploded frame → the same frame restricted to
+    shingles with document frequency ≤ df_cap, with the per-doc KEPT
+    shingle count attached as n_sh. Two key-only shuffles (df aggregate
+    on shingle — reused by the exchange-dedup rule across both self-join
+    branches — and the per-doc count window on doc_id, a uniform key)."""
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(sdf.filter(F.col("df") <= df_cap), "shingle")
+        .select("doc_id", "shingle")
+        .withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+
+
+def _jaccard_pairs_from_sh(
+    sh: DataFrame, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Exploded (doc_id, shingle-hash) frame → exact Jaccard pairs
+    (doc_a, doc_b, shared, jaccard ≥ 0.2) via the df-capped inverted-index
+    join: shingles hotter than df_cap never enter candidate generation
+    (see SHINGLE_DF_CAP), and only docs sharing ≥1 kept shingle ever
+    meet; intersection by count. The per-doc kept counts ride the window
+    as grouping keys, so the union denominator needs NO re-join. Integer
+    set arithmetic → the jaccard double is bit-identical to the DuckDB
+    oracle. Caller persists the shingle-array frame feeding ``sh``."""
+    kept = _capped_shingle_docs(sh, df_cap)
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
             b,
@@ -359,10 +388,14 @@ def _jaccard_pairs_from_sh(sh: DataFrame) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.2)
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+def _sql_jaccard_capped(shingle_cte: str, cap: int) -> str:
+    """Oracle twin of _jaccard_pairs_from_sh: df-capped shingle universe,
+    kept-set counts, inverted-index pair join, jaccard ≥ 0.2."""
+    return f"""
+    WITH sh0 AS ({shingle_cte}),
+    shdf AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+           JOIN shdf USING (shingle) WHERE shdf.df <= {cap}),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -375,7 +408,12 @@ def _jaccard_pairs_from_sh(sh: DataFrame) -> DataFrame:
     JOIN counts ca ON ca.doc_id = p.doc_a
     JOIN counts cb ON cb.doc_id = p.doc_b
     WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_sql_jaccard_capped(_SQL_SHINGLES, SHINGLE_DF_CAP),
     tags=("llm", "dedup", "jaccard", "didactic"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +439,10 @@ CONTAIN_TAU = 0.5  # containment threshold: half of A's shingles appear in B
 @query(
     "dedup_containment",
     oracle=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    shdf AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+           JOIN shdf USING (shingle) WHERE shdf.df <= {SHINGLE_DF_CAP}),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -422,21 +463,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union denominator is dominated by the long doc). Ordered pairs
     (doc_a contained-in doc_b) at C ≥ {CONTAIN_TAU}.
 
-    Plan: the same inverted-index join as dedup_ngram_jaccard — only docs
-    sharing ≥1 shingle hash ever meet; per-doc shingle counts ride the
-    explode as grouping keys, so the denominator needs no extra join. The
-    ordered (<>) join emits each unordered pair in both directions, which
-    is the semantics (containment is directional), not blow-up: output is
+    Plan: the same df-capped inverted-index join as dedup_ngram_jaccard —
+    shingles hotter than SHINGLE_DF_CAP never enter candidate generation
+    (bounded d² per shingle), only docs sharing ≥1 kept shingle ever
+    meet, and the per-doc kept counts ride the count window as grouping
+    keys, so the denominator needs no extra join. The ordered (<>) join
+    emits each unordered pair in both directions, which is the semantics
+    (containment is directional), not blow-up: output is
     threshold-bounded. Shuffles carry 8-byte shingle hashes + longs only;
     at production multiplicity route through the exact-collapse first
     (dedup_ngram_jaccard_unique pattern) like the symmetric path."""
     arr = _doc_token_frame(spark, sf_dir).select(
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
     ).persist()
-    sh = arr.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
+    kept = _capped_shingle_docs(sh, SHINGLE_DF_CAP)
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
             b,
@@ -545,21 +587,52 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the jaccard-pairs query as a reusable oracle CTE body (doc_a, doc_b)
+_SQL_KEEPER_SHINGLES = """
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM (SELECT min(doc_id) AS doc_id, first(string_split(text, ' ')) AS toks
+            FROM documents GROUP BY md5(text))
+"""
+
+
+# The cluster-connectivity edge set as a reusable oracle CTE body: jp is
+# (doc_a, doc_b). Mirrors the engine's production path exactly — df-capped
+# jaccard pairs over the KEEPER (unique-text) universe (the cap must count
+# df over keepers, not raw docs: copy multiplicity is not shingle
+# hotness), plus one keeper→copy edge per exact duplicate from the
+# fingerprint map. Closure over these edges equals closure over all-docs
+# pairs (an exact copy has jaccard 1.0 with its keeper), with the
+# quadratic intra-cluster pair term gone.
 _SQL_JACCARD_PAIRS = f"""
-    sh AS ({_SQL_SHINGLES}),
+    sh0 AS ({_SQL_KEEPER_SHINGLES}),
+    shdf AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+           JOIN shdf USING (shingle) WHERE shdf.df <= {SHINGLE_DF_CAP}),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     rawpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS shared
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    jp AS (
+    jp0 AS (
       SELECT p.doc_a, p.doc_b
       FROM rawpairs p
       JOIN counts ca ON ca.doc_id = p.doc_a
       JOIN counts cb ON cb.doc_id = p.doc_b
-      WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2)
+      WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2),
+    fpmap AS (
+      SELECT k.keeper, d.doc_id
+      FROM documents d
+      JOIN (SELECT md5(text) AS fp, min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text)) k
+        ON md5(d.text) = k.fp
+      WHERE d.doc_id <> k.keeper),
+    jp AS (SELECT doc_a, doc_b FROM jp0
+           UNION ALL
+           SELECT keeper AS doc_a, doc_id AS doc_b FROM fpmap)
 """
 
 
@@ -699,8 +772,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact copy from the fingerprint map. Connectivity is provably identical
     to pairs-over-all-docs — an exact copy has jaccard 1.0 with its keeper,
     so every all-docs edge is recovered through keeper edges — but the
-    quadratic intra-cluster pair term is gone, so the oracle (a recursive
-    CTE over the all-docs pair set) is unchanged.
+    quadratic intra-cluster pair term is gone. The oracle mirrors this
+    path CTE-for-CTE (keeper-universe df-capped pairs + fingerprint
+    edges, _SQL_JACCARD_PAIRS), so the SHINGLE_DF_CAP semantics stay
+    aligned at any duplicate multiplicity.
 
     Component resolution is SIZE-GATED, the same way Spark itself gates
     broadcast vs shuffled joins: the near-dup edge set is orders of
@@ -826,17 +901,6 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_SQL_KEEPER_SHINGLES = """
-      SELECT doc_id,
-             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
-               list_transform(generate_series(1, len(toks) - 2),
-                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             ELSE [array_to_string(toks, ' ')] END)) AS shingle
-      FROM (SELECT min(doc_id) AS doc_id, first(string_split(text, ' ')) AS toks
-            FROM documents GROUP BY md5(text))
-"""
-
-
 def _keeper_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-dedup collapse every production near-dup stage runs
     first: one keeper per distinct text (min doc_id) with its token array.
@@ -864,21 +928,7 @@ def _keeper_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard_unique",
-    oracle=f"""
-    WITH sh AS ({_SQL_KEEPER_SHINGLES}),
-    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(count(*) AS BIGINT) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT p.doc_a, p.doc_b, p.shared,
-           CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) AS jaccard
-    FROM pairs p
-    JOIN counts ca ON ca.doc_id = p.doc_a
-    JOIN counts cb ON cb.doc_id = p.doc_b
-    WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.2
-    """,
+    oracle=_sql_jaccard_capped(_SQL_KEEPER_SHINGLES, SHINGLE_DF_CAP),
     tags=("llm", "dedup", "jaccard", "pipeline"),
 )
 def dedup_ngram_jaccard_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,9 +981,20 @@ def gram6_hashes() -> Column:
     )
 
 
+# Same hot-key guard as SHINGLE_DF_CAP, for the 6-gram decontamination
+# index: a gram in > GRAM_DF_CAP training docs is corpus boilerplate, not
+# benchmark contamination (6 tokens of genuinely contaminated text do not
+# recur across thousands of independent documents), and it is the one key
+# that would pile a corpus-sized row group on a single join reducer.
+# Dropped from the representation (join AND the n_grams denominator),
+# identically in the oracle. Fixture max gram df = 4, so capped results
+# equal uncapped at test scales.
+GRAM_DF_CAP = 256
+
+
 @query(
     "decontaminate_ngram",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), grams_arr AS (
@@ -945,16 +1006,25 @@ def gram6_hashes() -> Column:
     ), bench AS (
         SELECT DISTINCT unnest(gs) AS gram FROM grams_arr
         WHERE doc_id % 19 = 0
-    ), train AS (
-        SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
-               unnest(gs) AS gram
+    ), train0 AS (
+        SELECT doc_id, unnest(gs) AS gram
         FROM grams_arr WHERE doc_id % 19 <> 0
+    ), tdf AS (
+        SELECT gram, count(*) AS df FROM train0 GROUP BY gram
+    ), train AS (
+        SELECT t.doc_id, t.gram FROM train0 t
+        JOIN tdf USING (gram) WHERE tdf.df <= {GRAM_DF_CAP}
+    ), counts AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM train GROUP BY doc_id
     )
-    SELECT t.doc_id, t.n_grams,
+    SELECT t.doc_id, c.n_grams,
            CAST(count(*) AS BIGINT) AS n_shared,
-           count(*) / t.n_grams AS overlap_frac
-    FROM train t JOIN bench b ON b.gram = t.gram
-    GROUP BY t.doc_id, t.n_grams
+           count(*) / c.n_grams AS overlap_frac
+    FROM train t
+    JOIN bench b ON b.gram = t.gram
+    JOIN counts c ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, c.n_grams
     """,
     tags=("llm", "dedup", "decontamination"),
 )
@@ -969,7 +1039,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: per-doc DISTINCT 6-gram md5 keys (map-side array math below a
     spread() exchange, one split per doc), then an inverted-index inner
     join of training grams against the DISTINCT benchmark gram set, count
-    per doc. The shuffle carries 32-hex-char md5 keys, never text; the
+    per doc. Grams hotter than GRAM_DF_CAP training docs are dropped from
+    the representation first (join and denominator, mirrored in the
+    oracle) — they are boilerplate, not contamination, and they are the
+    hot join keys that would straggle a reducer at corpus scale. The shuffle carries 32-hex-char md5 keys, never text; the
     benchmark side is tiny by construction (an eval suite, not a corpus),
     so AQE broadcasts it and the "join" is a map-side hash probe — at
     100 TB this is one pass over the corpus. Pure-Spark deployments would
@@ -983,10 +1056,17 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("gs").alias("gram"))
         .distinct()
     )
-    train = gs.filter(F.col("doc_id") % 19 != 0).select(
-        "doc_id",
-        F.size("gs").cast("long").alias("n_grams"),
-        F.explode("gs").alias("gram"),
+    train0 = gs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", F.explode("gs").alias("gram")
+    )
+    tdf = train0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    train = (
+        train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram")
+        .select("doc_id", "gram")
+        .withColumn(
+            "n_grams",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long"),
+        )
     )
     out = (
         train.join(bench, "gram")

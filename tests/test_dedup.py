@@ -164,3 +164,27 @@ def test_fuzzy_hot_block_bounded(spark, tmp_path):
     assert (1000, 1001) in got        # rare-prefix pair found
     assert (2000, 2001) in got        # adjacency probe caught the straddle
     assert all(x >= 1000 for pair in got for x in pair)  # hot block: 0 pairs
+
+
+def test_df_cap_bounds_hot_shingle_pairs(spark):
+    # SHINGLE_DF_CAP contract: a shingle hotter than the cap contributes
+    # ZERO candidate pairs (it leaves the representation entirely — the
+    # n_sh denominators shrink with it), while sub-cap shingles behave
+    # exactly as uncapped. 50 docs sharing one viral shingle would emit
+    # C(50,2)=1225 pairs uncapped — the quadratic straggler the cap kills.
+    from ocs_duckdb_runner_spark.llm.dedup import _jaccard_pairs_from_sh
+
+    rows = []
+    for i in range(50):
+        rows.append((i, 777))        # the hot shingle, df=50
+        rows.append((i, 1000 + i))   # one unique shingle per doc
+    # a legitimate near-dup pair below the cap: docs 100/101 share 2 of 3
+    rows += [(100, 1), (100, 2), (100, 3), (101, 1), (101, 2), (101, 9)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+
+    uncapped = _jaccard_pairs_from_sh(sh, df_cap=10**9).collect()
+    assert len(uncapped) == 1225 + 1  # hot block all-pairs + planted pair
+
+    capped = _jaccard_pairs_from_sh(sh, df_cap=10).collect()
+    got = {(r.doc_a, r.doc_b): (r.shared, r.jaccard) for r in capped}
+    assert got == {(100, 101): (2, 0.5)}  # hot block gone, planted intact
