@@ -867,6 +867,45 @@ _SQL_TRADE_EDGES = """
 """
 
 
+# Size gate for iterative graph loops over BOUNDED-dimension graphs (the
+# nation-level trade graph is <= 625 edges at ANY scale factor — the
+# collapse output, never the fact table, is what collects). Same design
+# as dedup.DRIVER_CC_MAX_EDGES: below the gate, per-round work is
+# microseconds while each distributed round costs ~2 s of Catalyst
+# analysis + codegen; above it, the distributed loop runs.
+DRIVER_GRAPH_MAX_EDGES = 100_000
+
+
+def _hits_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver-side HITS over a collected (src, dst, w) edge list: two
+    unrolled (a <- A^T h, h <- A a) iterations in exact Python-int
+    arithmetic — (raw * MICRO) // max(raw) is the same integer grid as
+    the oracle's HUGEINT product with // division, so hashes match the
+    distributed path bit-for-bit at any weight magnitude."""
+    ew = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    node_list = sorted({x for e in ew for x in (e[0], e[1])})
+
+    def half(score: dict, from_i: int, to_i: int) -> dict:
+        raw: dict[int, int] = {}
+        for e in ew:
+            raw[e[to_i]] = raw.get(e[to_i], 0) + score.get(e[from_i], 0) * e[2]
+        mx = max(raw.values())
+        return {n: (raw.get(n, 0) * _HITS_MICRO) // mx for n in node_list}
+
+    h = {n: _HITS_MICRO for n in node_list}
+    for _ in range(2):
+        a = half(h, 0, 1)
+        h = half(a, 1, 0)
+    rows = [(n, a[n], h[n]) for n in node_list]
+    return (
+        spark.createDataFrame(
+            rows, "nationkey long, auth_micro long, hub_micro long"
+        )
+        .orderBy(F.col("auth_micro").desc(), F.col("hub_micro").desc(), "nationkey")
+        .coalesce(1)
+    )
+
+
 def _hits_half_sql(score: str, out_name: str, from_side: str, to_side: str) -> str:
     """One HITS half-step in DuckDB SQL: sum the opposite-side scores over
     incident edges (weighted), then L-inf-normalize back to micro-units.
@@ -921,12 +960,17 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape, same split as PageRank: the only heavy work is collapsing
     the fact table to the nations^2 <= 625-row edge list (broadcast-able
     dim joins + one partially-aggregated shuffle on a composite 8-byte
-    key); the iteration itself is four broadcast-joined aggregates over
-    that tiny edge frame plus a 1-row max crossJoin per half-step.
-    Per-node graphs would swap the broadcast score frame for a
-    hash-partitioned one, keyed like llm/dedup's _propagate_min_label.
-    HUGEINT/decimal(38,0) guards the normalize product raw*1e6, which
-    leaves BIGINT range once per-pair shipment counts reach ~1e7."""
+    key). The iteration is SIZE-GATED like dedup_clusters' union-find:
+    nations is a bounded dimension, so at <= DRIVER_GRAPH_MAX_EDGES the
+    collapsed edge list collects (625 tuples, never the fact table) and
+    the four half-steps run as exact Python-int arithmetic on the driver
+    — each distributed half-step otherwise costs ~2 s of Catalyst
+    analysis + codegen to schedule a 25-row job (the r7-measured
+    overhead ceiling). Above the gate (per-node graphs) the distributed
+    loop runs: broadcast-joined aggregates with the L-inf max as a
+    whole-frame window and ONE lineage truncation per full iteration.
+    Python ints / decimal(38,0) guard the normalize product raw*1e6,
+    which leaves BIGINT range once per-pair counts reach ~1e7."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
@@ -941,7 +985,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = flows.filter(F.col("src") != F.col("dst")).persist()
-    edges.count()  # pin the cache once — the unrolled lineage re-reads it 8x
+    n_edges = edges.count()  # pin the cache once; also the gate decision
+    if n_edges <= DRIVER_GRAPH_MAX_EDGES:
+        out = _hits_driver(spark, edges)
+        edges.unpersist()
+        return out
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -950,35 +998,34 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def half_step(score: DataFrame, join_on: str, emit: str) -> DataFrame:
         """score(node, s) summed over edges incident on `join_on`,
-        emitted per `emit` node, then L-inf normalized to micro."""
+        emitted per `emit` node, then L-inf normalized to micro. The
+        L-inf max is a whole-frame window over the 25-row result — NOT a
+        separate aggregate + crossJoin — so `raw` is referenced exactly
+        once and the un-checkpointed score chain stays LINEAR (each half
+        step embeds its predecessor once; the old two-reference shape was
+        the 2^steps plan blowup that forced an eager checkpoint + job per
+        half-step, measured 19.8s at sf0.1)."""
         raw = (
             edges.join(F.broadcast(score), edges[join_on] == score.node)
             .select(F.col(emit).alias("node"), (F.col("s") * F.col("w")).alias("p"))
             .groupBy("node")
             .agg(F.sum("p").alias("raw"))
         )
-        mx = raw.agg(F.max("raw").alias("mx"))
-        # truncate lineage per half-step (25-row frame): `raw` is
-        # referenced twice (mx + the left join) so an un-checkpointed
-        # score chain re-executes every prior half-step per reference —
-        # 2^steps plan blowup, measured 19.8s at sf0.1 before this
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(mx))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(CAST(coalesce(raw, 0) AS DECIMAL(38,0))"
-                    f" * {_HITS_MICRO} DIV mx AS BIGINT)"
-                ).alias("s"),
-            )
-            .repartition(1)  # 25-row frame: one task, not 64 empties
-            .localCheckpoint(eager=True)
+        return nodes.join(raw, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(CAST(coalesce(raw, 0) AS DECIMAL(38,0))"
+                f" * {_HITS_MICRO} DIV (max(raw) OVER ()) AS BIGINT)"
+            ).alias("s"),
         )
 
     h = nodes.select("node", F.lit(_HITS_MICRO).cast("long").alias("s"))
     for _ in range(2):
         a = half_step(h, "src", "dst")
+        # ONE lineage truncation per full iteration (r6 verdict #6): `a`
+        # feeds both h and the final join, so pin the 25-row frame once
+        # per round instead of four eager checkpoint jobs per run
+        a = a.repartition(1).localCheckpoint(eager=True)
         h = half_step(a, "dst", "src")
     out = (
         nodes.join(a.toDF("node", "auth_micro"), "node")
