@@ -1,0 +1,58 @@
+"""Un-gated mini oracle sweep at sf0.01 (r7 verdict Next #7): a fixed
+marker set spanning every module family, value-compared against DuckDB at
+10× the default test fixture on every plain `pytest tests/` run. The
+sf0.001 suite catches scale-independent breaks (binder errors, schema
+drift); a VALUE-level regression can alias at 6k rows — this net runs the
+same driver-style comparison where aggregates have enough mass to drift.
+Costs ~30 s; the full 351-query sweep stays behind --run-sweep.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from ocs_duckdb_runner_spark.registry import TABLES
+from tests.conftest import assert_matches_oracle
+
+MINI_SF_DIR = os.environ.get("SPARK_GRAFT_MINI_SF_DIR", "/root/testdata/sf0.01")
+
+# one representative oracle-bearing query per module family
+MINI_SET = [
+    "agg_weighted_median",        # operators/grouping: exact order stats
+    "tpch_q15_top_supplier",      # operators/tpch_suite: view + window max
+    "window_frame_agg",           # operators/windows
+    "join_theta_range",           # operators/joins: non-equi
+    "graph_pagerank",             # operators/graph: iterative integer PR
+    "table_profile_columns",      # operators/quality: profiling
+    "agg_corr_matrix",            # operators/analytics: stats layer
+    "event_sessionize",           # events: gap sessionization
+    "dedup_ngram_jaccard_unique", # llm/dedup: df-capped inverted index
+    "sim_ann_lsh_topk",           # llm/similarity: SRP-LSH ANN
+    "text_tfidf",                 # llm/text
+    "mm_image_resize",            # llm/multimodal codec
+    "corpus_token_budget",        # llm/curation
+    "catalog_describe",           # sources/connectors: catalog/sink leg
+]
+
+
+@pytest.fixture(scope="module")
+def duck_mini():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{MINI_SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", MINI_SET)
+def test_mini_sweep_sf001x10(spark, duck_mini, name):
+    if not os.path.isdir(MINI_SF_DIR):
+        pytest.skip(f"{MINI_SF_DIR} not present")
+    assert_matches_oracle(spark, duck_mini, name, MINI_SF_DIR)
