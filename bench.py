@@ -211,6 +211,34 @@ def main() -> int:
     runner.run(files)
     rep = runner.run(files)
 
+    # Fresh-session re-time of the 10 slowest queries (r7 verdict Next
+    # #6): in-suite numbers alias session pressure — codegen-cache/heap
+    # occupancy after ~120 prior plans lands on whichever query runs
+    # late, which is how r6/r7 flagged "regressions" in untouched code.
+    # A second JVM re-times the tail so round-over-round comparisons can
+    # separate plan regressions from suite noise. Primary times stay the
+    # in-suite ones for baseline comparability.
+    slowest = sorted(times, key=times.get, reverse=True)[:10]
+    spark.stop()
+    spark_fresh = build_spark(
+        app_name="ocs-duckdb-runner-spark-bench-fresh",
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    spark_fresh.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    if os.path.isdir(warm_dir):
+        for wq in slowest:
+            qs[wq](spark_fresh, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    fresh_times: dict[str, float] = {}
+    for name in slowest:
+        spark_fresh.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        qs[name](spark_fresh, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        fresh_times[name] = round(time.monotonic() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
     # Full per-query map: printed as its OWN stdout line (before the
@@ -218,7 +246,12 @@ def main() -> int:
     # per-query times, overflowed the driver's 2000-char tail capture, and
     # the round recorded "parsed": null — the headline line must stay small
     # enough to always fit the tail window (r5 verdict, What's wrong #2).
-    detail = {"kind": "per_query_sec", "sf": sf_val, "queries": times}
+    detail = {
+        "kind": "per_query_sec",
+        "sf": sf_val,
+        "queries": times,
+        "slowest_fresh_session": fresh_times,
+    }
     print(json.dumps(detail))
     try:
         with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as fh:

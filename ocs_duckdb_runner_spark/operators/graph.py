@@ -284,12 +284,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dropped (self-loops excluded), the standard simplified PR.
     Per-node graphs (billions of vertices) would swap the broadcast for a
     hash-partitioned label frame exactly like llm/dedup's
-    _propagate_min_label."""
+    _propagate_min_label.
+
+    Like graph_hits, the iteration is SIZE-GATED (DRIVER_GRAPH_MAX_EDGES):
+    the nations graph is bounded at <= 625 edges at every SF, so the
+    collapsed edge list collects and the two rounds run as exact
+    Python-int floor-division on the driver — scheduling 25-row
+    distributed jobs costs more than the arithmetic by ~10^6. The
+    distributed loop (_pagerank_build, plan-pinned by tests) is the
+    over-gate path."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    flows = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = flows.filter(F.col("src") != F.col("dst")).persist()
+    if edges.count() <= DRIVER_GRAPH_MAX_EDGES:
+        out = _pagerank_driver(spark, edges)
+        edges.unpersist()
+        return out
+    edges.unpersist()
     out, persisted = _pagerank_build(spark, sf_dir)
     out = out.localCheckpoint(eager=True)
     for df in persisted:
         df.unpersist()
     return out
+
+
+def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver-side weighted PageRank over a collected (src, dst, w) edge
+    list: two unrolled damped rounds in exact Python-int arithmetic —
+    contrib[dst] += pr[src] * w // out_w[src] per edge then
+    _PR_BASE + 85 * contrib // 100, the same integer grid as the
+    distributed path and the DuckDB oracle, so hashes match bit-for-bit."""
+    ew = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    node_list = sorted({x for e in ew for x in (e[0], e[1])})
+    out_w: dict[int, int] = {}
+    for src, _dst, w in ew:
+        out_w[src] = out_w.get(src, 0) + w
+    pr = {n: _PR_MICRO // 25 for n in node_list}
+    for _ in range(2):
+        contrib: dict[int, int] = {}
+        for src, dst, w in ew:
+            contrib[dst] = contrib.get(dst, 0) + (pr[src] * w) // out_w[src]
+        pr = {n: _PR_BASE + (85 * contrib.get(n, 0)) // 100 for n in node_list}
+    return (
+        spark.createDataFrame(
+            [(n, pr[n]) for n in node_list], "nationkey long, pr_micro long"
+        )
+        .orderBy(F.col("pr_micro").desc(), "nationkey")
+        .coalesce(1)
+    )
 
 
 def _pagerank_build(spark: SparkSession, sf_dir: str):

@@ -16,3 +16,12 @@ def test_hits_driver_and_distributed_paths_agree(spark, monkeypatch):
     key = lambda r: (r["nationkey"], r["auth_micro"], r["hub_micro"])
     assert sorted(map(key, gated)) == sorted(map(key, dist))
     assert len(gated) == 25
+
+
+def test_pagerank_driver_and_distributed_paths_agree(spark, monkeypatch):
+    gated = G.graph_pagerank(spark, SF_DIR).collect()
+    monkeypatch.setattr(G, "DRIVER_GRAPH_MAX_EDGES", 0)
+    dist = G.graph_pagerank(spark, SF_DIR).collect()
+    key = lambda r: (r["nationkey"], r["pr_micro"])
+    assert sorted(map(key, gated)) == sorted(map(key, dist))
+    assert len(gated) == 25
