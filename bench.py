@@ -204,12 +204,17 @@ def main() -> int:
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     runner = FanoutRunner(spark, threads=min(cpus, 8))
-    # one untimed warm-up over the SAME files, then the recorded run: the
-    # baseline's 0.33 s pays DuckDB spin-up only, not process boot — the
-    # fair comparison for a JVM engine is the warm steady state (codegen
-    # compiled, FAIR pools registered, OS page cache hot)
+    # one untimed warm-up over the SAME files, then the MEDIAN of three
+    # recorded runs: the baseline's 0.33 s pays DuckDB spin-up only, not
+    # process boot — the fair comparison for a JVM engine is the warm
+    # steady state (codegen compiled, FAIR pools registered, OS page
+    # cache hot) — and a single sample aliases GC/scheduler jitter of
+    # ±0.1 s onto a ~0.35 s measurement (r7→r8 headline drift was
+    # exactly that). Hits/bytes are identical across runs; only wall
+    # varies.
     runner.run(files)
-    rep = runner.run(files)
+    reps = [runner.run(files) for _ in range(3)]
+    rep = sorted(reps, key=lambda r: r["total_query_time_sec"])[1]
 
     # Fresh-session re-time of the 10 slowest queries (r7 verdict Next
     # #6): in-suite numbers alias session pressure — codegen-cache/heap

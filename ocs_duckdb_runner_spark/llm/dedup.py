@@ -339,17 +339,20 @@ SHINGLE_DF_CAP = 256
 
 def _capped_shingle_docs(sh: DataFrame, df_cap: int) -> DataFrame:
     """(doc_id, shingle) exploded frame → the same frame restricted to
-    shingles with document frequency ≤ df_cap, with the per-doc KEPT
-    shingle count attached as n_sh. Two key-only shuffles (df aggregate
-    on shingle — reused by the exchange-dedup rule across both self-join
-    branches — and the per-doc count window on doc_id, a uniform key)."""
+    shingles with document frequency ≤ df_cap. ONE corpus-sized shuffle
+    keyed on the shingle: the df aggregate and the join probe share the
+    child and the partitioning, so ReuseExchange collapses them, and the
+    returned frame STAYS hash-partitioned on shingle — the self-join
+    downstream needs no further exchange.
+
+    df is deliberately a groupBy+join, NOT a count window over the
+    shingle partition: the aggregate gets map-side partial combine, so a
+    viral shingle reaches the reducer as #partitions partial counts,
+    while a window would ship every occurrence of the hot key to one
+    task — re-creating the exact straggler the cap exists to remove."""
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        sh.join(sdf.filter(F.col("df") <= df_cap), "shingle")
-        .select("doc_id", "shingle")
-        .withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-        )
+    return sh.join(sdf.filter(F.col("df") <= df_cap), "shingle").select(
+        "doc_id", "shingle"
     )
 
 
@@ -360,11 +363,15 @@ def _jaccard_pairs_from_sh(
     (doc_a, doc_b, shared, jaccard ≥ 0.2) via the df-capped inverted-index
     join: shingles hotter than df_cap never enter candidate generation
     (see SHINGLE_DF_CAP), and only docs sharing ≥1 kept shingle ever
-    meet; intersection by count. The per-doc kept counts ride the window
-    as grouping keys, so the union denominator needs NO re-join. Integer
-    set arithmetic → the jaccard double is bit-identical to the DuckDB
-    oracle. Caller persists the shingle-array frame feeding ``sh``."""
+    meet; intersection by count. The per-doc KEPT set sizes come from a
+    combiner aggregate joined onto the threshold-BOUNDED pair output —
+    per-doc rows (N), not per-occurrence rows (~50N), cross that
+    exchange, and the pair self-join reuses the capped frame's shingle
+    partitioning. Integer set arithmetic → the jaccard double is
+    bit-identical to the DuckDB oracle. Caller persists the
+    shingle-array frame feeding ``sh``."""
     kept = _capped_shingle_docs(sh, df_cap)
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
@@ -375,17 +382,18 @@ def _jaccard_pairs_from_sh(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
     )
-    return pairs.select(
-        "doc_a", "doc_b", "shared", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.2)
+    return (
+        pairs.join(counts.toDF("doc_a", "na"), "doc_a")
+        .join(counts.toDF("doc_b", "nb"), "doc_b")
+        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
 
 
 def _sql_jaccard_capped(shingle_cte: str, cap: int) -> str:
@@ -478,6 +486,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
     kept = _capped_shingle_docs(sh, SHINGLE_DF_CAP)
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
@@ -488,13 +497,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     contain = F.col("shared").cast("double") / F.col("na")
     out = (
-        pairs.select("doc_a", "doc_b", "shared", contain.alias("containment"))
+        pairs.join(counts.toDF("doc_a", "na"), "doc_a")
+        .select("doc_a", "doc_b", "shared", contain.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_TAU)
         .localCheckpoint(eager=True)
     )
@@ -1060,18 +1069,21 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("gs").alias("gram")
     )
     tdf = train0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    train = (
-        train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram")
-        .select("doc_id", "gram")
-        .withColumn(
-            "n_grams",
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long"),
-        )
+    train = train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram").select(
+        "doc_id", "gram"
+    )
+    # denominator from a combiner aggregate joined onto the (small,
+    # contaminated-docs-only) output — per-doc rows cross the exchange,
+    # not per-gram rows, and the bench join reuses train's gram
+    # partitioning from the df-cap join
+    counts = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
     )
     out = (
         train.join(bench, "gram")
-        .groupBy("doc_id", "n_grams")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(counts, "doc_id")
         .select(
             "doc_id",
             "n_grams",
@@ -1544,32 +1556,33 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scores feed dedup-adjacent filtering of boilerplate-heavy
     tails.
 
-    Plan: one shingle explode (map-side lateral), ONE exchange keyed on
-    the shingle string to find each shingle's first-introducing doc
-    (min aggregate), then the novelty flags ride the SAME shingle-keyed
-    partitioning through the join before a doc-keyed re-aggregate — two
-    key-only shuffles total, no pairs, no windows; at 100 TB this is
-    exactly the inverted-index pass dedup_fingerprint already scales."""
-    sh = _doc_shingles(spark, sf_dir).select(
+    Plan: one shingle explode (map-side lateral), a min aggregate keyed
+    on the shingle to find each shingle's first-introducing doc, the
+    novelty flags from the join back, then a doc-keyed re-aggregate. The
+    aggregate's and the join's exchanges share one child and one
+    partitioning, so ReuseExchange collapses them to a single
+    corpus-sized shuffle write; the min-agg (map-side combine) + join
+    (AQE-skew-splittable) form is deliberately NOT a min window over the
+    shingle partition, which would ship every occurrence of a viral
+    shingle to one unsplittable task (see _capped_shingle_docs). Shuffle
+    keys are 8-byte xxhash64 shingle hashes, not ~20-byte strings (same
+    engine-internal choice as dedup_ngram_jaccard: novelty needs only
+    equality, and a cross-shingle collision is ~1e-11 at corpus scale).
+    At 100 TB this is exactly the inverted-index pass dedup_fingerprint
+    already scales."""
+    sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
         sh.join(first, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
+            F.sum(novel).alias("n_novel"),
             F.round(
-                F.sum(
-                    F.when(
-                        F.col("first_doc") == F.col("doc_id"), 1
-                    ).otherwise(0)
-                ).cast("double")
-                / F.count(F.lit(1)),
-                9,
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 9
             ).alias("novelty_ratio"),
         )
     )
