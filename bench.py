@@ -154,6 +154,9 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "join_asof_nearest",
     "table_checksum_compare",
+    # round-8 additions
+    "dedup_containment",
+    "dedup_containment_unique",
 ]
 
 

@@ -309,6 +309,20 @@ _SQL_SHINGLES = """
 """
 
 
+# same shingle CTE over the exact-dedup KEEPER universe (one row per
+# distinct text, min doc_id) — the source frame for every
+# exact-collapse-first (production) near-dup oracle
+_SQL_KEEPER_SHINGLES = """
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM (SELECT min(doc_id) AS doc_id, first(string_split(text, ' ')) AS toks
+            FROM documents GROUP BY md5(text))
+"""
+
+
 def _jaccard_from_tokens(token_frame: DataFrame) -> DataFrame:
     """(doc_id, toks) → materialized exact-Jaccard pairs. The shingle
     ARRAY frame is what gets persisted: explode() and the df-cap and both
@@ -444,13 +458,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_TAU = 0.5  # containment threshold: half of A's shingles appear in B
 
 
-@query(
-    "dedup_containment",
-    oracle=f"""
-    WITH sh0 AS ({_SQL_SHINGLES}),
+def _sql_containment_capped(shingle_cte: str, cap: int) -> str:
+    """Oracle twin of _containment_from_tokens: df-capped shingle
+    universe, kept-set counts, directional pairs, containment ≥ τ."""
+    return f"""
+    WITH sh0 AS ({shingle_cte}),
     shdf AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
     sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
-           JOIN shdf USING (shingle) WHERE shdf.df <= {SHINGLE_DF_CAP}),
+           JOIN shdf USING (shingle) WHERE shdf.df <= {cap}),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -461,27 +476,15 @@ CONTAIN_TAU = 0.5  # containment threshold: half of A's shingles appear in B
            CAST(p.shared AS DOUBLE) / ca.n_sh AS containment
     FROM pairs p JOIN counts ca ON ca.doc_id = p.doc_a
     WHERE CAST(p.shared AS DOUBLE) / ca.n_sh >= {CONTAIN_TAU}
-    """,
-    tags=("llm", "dedup", "containment"),
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric near-dup: shingle CONTAINMENT C(A→B) = |A∩B| / |A| —
-    the quote/excerpt detector symmetric Jaccard misses (a short doc fully
-    embedded in a long one has high containment but low Jaccard, because
-    the union denominator is dominated by the long doc). Ordered pairs
-    (doc_a contained-in doc_b) at C ≥ {CONTAIN_TAU}.
+    """
 
-    Plan: the same df-capped inverted-index join as dedup_ngram_jaccard —
-    shingles hotter than SHINGLE_DF_CAP never enter candidate generation
-    (bounded d² per shingle), only docs sharing ≥1 kept shingle ever
-    meet, and the per-doc kept counts ride the count window as grouping
-    keys, so the denominator needs no extra join. The ordered (<>) join
-    emits each unordered pair in both directions, which is the semantics
-    (containment is directional), not blow-up: output is
-    threshold-bounded. Shuffles carry 8-byte shingle hashes + longs only;
-    at production multiplicity route through the exact-collapse first
-    (dedup_ngram_jaccard_unique pattern) like the symmetric path."""
-    arr = _doc_token_frame(spark, sf_dir).select(
+
+def _containment_from_tokens(token_frame: DataFrame) -> DataFrame:
+    """(doc_id, toks) → materialized directional containment pairs at
+    C ≥ CONTAIN_TAU over the df-capped shingle universe — the engine body
+    shared by dedup_containment (all docs) and dedup_containment_unique
+    (keepers only)."""
+    arr = token_frame.select(
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
     ).persist()
     sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
@@ -509,6 +512,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr.unpersist()
     return out
+
+
+@query(
+    "dedup_containment",
+    oracle=_sql_containment_capped(_SQL_SHINGLES, SHINGLE_DF_CAP),
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT C(A→B) = |A∩B| / |A| —
+    the quote/excerpt detector symmetric Jaccard misses (a short doc fully
+    embedded in a long one has high containment but low Jaccard, because
+    the union denominator is dominated by the long doc). Ordered pairs
+    (doc_a contained-in doc_b) at C ≥ {CONTAIN_TAU}, DIDACTIC all-docs
+    form (exact copies contribute quadratic intra-cluster pairs; the
+    production path is dedup_containment_unique).
+
+    Plan: the same df-capped inverted-index join as dedup_ngram_jaccard —
+    shingles hotter than SHINGLE_DF_CAP never enter candidate generation
+    (bounded d² per shingle), only docs sharing ≥1 kept shingle ever
+    meet, and the per-doc kept-set sizes come from a combiner aggregate
+    joined onto the threshold-bounded output. The ordered (<>) join
+    emits each unordered pair in both directions, which is the semantics
+    (containment is directional), not blow-up: output is
+    threshold-bounded. Shuffles carry 8-byte shingle hashes + longs
+    only."""
+    return _containment_from_tokens(_doc_token_frame(spark, sf_dir))
+
+
+@query(
+    "dedup_containment_unique",
+    oracle=_sql_containment_capped(_SQL_KEEPER_SHINGLES, SHINGLE_DF_CAP),
+    tags=("llm", "dedup", "containment", "pipeline"),
+)
+def dedup_containment_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION containment formulation: exact-dedup first (one
+    keeper per distinct text, min doc_id), THEN directional containment
+    pairs over unique texts only — completing the exact-collapse-first
+    family (dedup_ngram_jaccard_unique / dedup_minhash_unique) for the
+    asymmetric quote/excerpt detector. Exact copies contribute zero
+    pairs; membership for collapsed copies is recovered through the
+    fingerprint map (dedup_fingerprint). Same df-capped inverted index,
+    same combiner-aggregate denominators, same oracle discipline as the
+    all-docs form."""
+    return _containment_from_tokens(_keeper_token_docs(spark, sf_dir))
 
 
 FUZZY_BLOCK_CHARS = 16  # blocking key part 1: first chars of the text
@@ -594,17 +641,6 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
-
-
-_SQL_KEEPER_SHINGLES = """
-      SELECT doc_id,
-             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
-               list_transform(generate_series(1, len(toks) - 2),
-                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             ELSE [array_to_string(toks, ' ')] END)) AS shingle
-      FROM (SELECT min(doc_id) AS doc_id, first(string_split(text, ' ')) AS toks
-            FROM documents GROUP BY md5(text))
-"""
 
 
 # The cluster-connectivity edge set as a reusable oracle CTE body: jp is
