@@ -332,7 +332,7 @@ def _jaccard_from_tokens(token_frame: DataFrame) -> DataFrame:
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
     ).persist()
     sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
-    out = _jaccard_pairs_from_sh(sh).localCheckpoint(eager=True)
+    out = _jaccard_pairs_from_sh(sh)  # materialized inside (eager cp)
     arr.unpersist()
     return out
 
@@ -380,11 +380,14 @@ def _jaccard_pairs_from_sh(
     meet; intersection by count. The per-doc KEPT set sizes come from a
     combiner aggregate joined onto the threshold-BOUNDED pair output —
     per-doc rows (N), not per-occurrence rows (~50N), cross that
-    exchange, and the pair self-join reuses the capped frame's shingle
-    partitioning. Integer set arithmetic → the jaccard double is
-    bit-identical to the DuckDB oracle. Caller persists the
-    shingle-array frame feeding ``sh``."""
-    kept = _capped_shingle_docs(sh, df_cap)
+    exchange. The capped frame is PERSISTED: the self-join's two
+    branches plus the counts aggregate reference it three times, and
+    re-running the df-cap join per reference would triple its cost.
+    Integer set arithmetic → the jaccard double is bit-identical to the
+    DuckDB oracle; the result is materialized (eager checkpoint) before
+    the cache is released. Caller persists the shingle-array frame
+    feeding ``sh``."""
+    kept = _capped_shingle_docs(sh, df_cap).persist()
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
@@ -402,12 +405,15 @@ def _jaccard_pairs_from_sh(
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
     )
-    return (
+    out = (
         pairs.join(counts.toDF("doc_a", "na"), "doc_a")
         .join(counts.toDF("doc_b", "nb"), "doc_b")
         .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
+        .localCheckpoint(eager=True)
     )
+    kept.unpersist()
+    return out
 
 
 def _sql_jaccard_capped(shingle_cte: str, cap: int) -> str:
@@ -488,7 +494,7 @@ def _containment_from_tokens(token_frame: DataFrame) -> DataFrame:
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
     ).persist()
     sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
-    kept = _capped_shingle_docs(sh, SHINGLE_DF_CAP)
+    kept = _capped_shingle_docs(sh, SHINGLE_DF_CAP).persist()
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
@@ -510,6 +516,7 @@ def _containment_from_tokens(token_frame: DataFrame) -> DataFrame:
         .filter(F.col("containment") >= CONTAIN_TAU)
         .localCheckpoint(eager=True)
     )
+    kept.unpersist()
     arr.unpersist()
     return out
 
@@ -1105,8 +1112,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("gs").alias("gram")
     )
     tdf = train0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    train = train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram").select(
-        "doc_id", "gram"
+    train = (
+        train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram")
+        .select("doc_id", "gram")
+        .persist()  # read by both the counts aggregate and the bench join
     )
     # denominator from a combiner aggregate joined onto the (small,
     # contaminated-docs-only) output — per-doc rows cross the exchange,
@@ -1128,6 +1137,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    train.unpersist()
     gs.unpersist()
     return out
 
