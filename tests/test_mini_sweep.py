@@ -4,7 +4,14 @@ marker set spanning every module family, value-compared against DuckDB at
 sf0.001 suite catches scale-independent breaks (binder errors, schema
 drift); a VALUE-level regression can alias at 6k rows — this net runs the
 same driver-style comparison where aggregates have enough mass to drift.
-Costs ~30 s; the full 351-query sweep stays behind --run-sweep.
+Costs ~30 s; the full sweep stays behind --run-sweep.
+
+Validated by mutation: injecting a rank off-by-one-bucket into
+agg_weighted_median's drill-down (min_by(cw - bw) → min_by(cw)) fails
+test_mini_sweep_sf001x10[agg_weighted_median] on plain pytest. (Mutations
+that are semantically invisible on the data — e.g. ≥ vs > on a 2·cw = tw
+boundary no integer-weight group hits, or round vs floor on integral
+l_quantity — change no output and are untestable by construction.)
 """
 
 from __future__ import annotations
