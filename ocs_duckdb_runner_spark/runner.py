@@ -401,12 +401,20 @@ class FanoutRunner:
             )
 
 
+def split_objects_path(sf_dir: str, n: int = 8) -> str:
+    """Deterministic location of the split-object layout for sf_dir —
+    computable WITHOUT a SparkSession (the --via-loopback server must know
+    its root before the JVM starts, since the s3a endpoint conf is fixed
+    at session build)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/ocs_fanout_objects/{tag}_{n}"
+
+
 def split_objects(spark: SparkSession, sf_dir: str, n: int = 8) -> str:
     """Materialize lineitem as n independent parquet objects (the
     reference's many-objects-on-S3 layout, README.md:56) under /tmp,
     keyed by sf_dir — created once, reused across runs."""
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/ocs_fanout_objects/{tag}_{n}"
+    out = split_objects_path(sf_dir, n)
     marker = f"{out}/_SUCCESS"
     if not os.path.exists(marker):
         li = load_table(spark, sf_dir, "lineitem")
@@ -472,6 +480,15 @@ def main(argv: list[str] | None = None) -> int:
         "objects and fan out over them",
     )
     ap.add_argument("--split-n", type=int, default=8)
+    ap.add_argument(
+        "--via-loopback",
+        action="store_true",
+        help="serve LOCAL sources through the in-repo loopback s3a "
+        "endpoint so every ranged read is counted per-request on both "
+        "sides (the reference's MonitoredFileSystem observation, "
+        "runner.cc:109-117) — local file:// scans report bytes but not "
+        "readOps, this flag closes that accounting gap",
+    )
     args = ap.parse_args(argv)
 
     from ocs_duckdb_runner_spark.session import S3Config, build_spark
@@ -495,7 +512,49 @@ def main(argv: list[str] | None = None) -> int:
         "spark.scheduler.mode": "FAIR",
         "spark.ui.enabled": "true",  # REST metrics source (R11)
     }
-    if any(src.startswith("s3a://") for src in sources):
+    loopback_srv = None
+    loopback_root = None
+    if args.via_loopback:
+        from ocs_duckdb_runner_spark.sources import loopback_s3
+        from ocs_duckdb_runner_spark.sources.s3_loopback_server import (
+            S3LoopbackServer,
+        )
+
+        if args.split_sf_dir:
+            # the split layout's path is deterministic; the server can
+            # start over it before the objects exist (requests only
+            # arrive after split_objects writes them)
+            loopback_root = split_objects_path(args.split_sf_dir, args.split_n)
+            os.makedirs(loopback_root, exist_ok=True)
+        else:
+            local = [s for s in sources if "://" not in s]
+            if len(local) != len(sources):
+                print(
+                    "--via-loopback requires local file sources",
+                    file=sys.stderr,
+                )
+                return 2
+            loopback_root = os.path.commonpath(
+                [os.path.dirname(os.path.abspath(s)) for s in local]
+            )
+            sources = [
+                "s3a://ocs/"
+                + os.path.relpath(os.path.abspath(s), loopback_root)
+                for s in local
+            ]
+        loopback_srv = S3LoopbackServer(loopback_root).start()
+        s3 = S3Config(
+            endpoint=f"http://127.0.0.1:{loopback_srv.port}",
+            access_key_id="loopback",
+            secret_access_key="loopback",
+        )
+        extra_conf.update(loopback_s3.loopback_conf(loopback_s3.ensure_jar()))
+        print(
+            "== local sources via loopback s3a endpoint "
+            f"(root={loopback_root}; per-request ranged-read accounting on)",
+            file=sys.stderr,
+        )
+    if any(src.startswith("s3a://") for src in sources) and not args.via_loopback:
         from ocs_duckdb_runner_spark.sources import loopback_s3
 
         if not loopback_s3.hadoop_aws_available():
@@ -507,18 +566,37 @@ def main(argv: list[str] | None = None) -> int:
                 "== s3a via loopback FS (hadoop-aws jars not present)",
                 file=sys.stderr,
             )
-    spark = build_spark(
-        app_name="ocs-duckdb-runner-spark-fanout",
-        s3=s3,
-        extra_conf=extra_conf,
-    )
-    if args.split_sf_dir:
-        objdir = split_objects(spark, args.split_sf_dir, args.split_n)
-        sources = sorted(
-            f"{objdir}/{f}" for f in os.listdir(objdir) if f.endswith(".parquet")
+    try:
+        spark = build_spark(
+            app_name="ocs-duckdb-runner-spark-fanout",
+            s3=s3,
+            extra_conf=extra_conf,
         )
-    rep = FanoutRunner(spark, threads=args.j, print_rows=args.print_rows).run(sources)
-    return 0 if rep["failures"] == 0 else 1
+        if args.split_sf_dir:
+            objdir = split_objects(spark, args.split_sf_dir, args.split_n)
+            names = sorted(
+                f for f in os.listdir(objdir) if f.endswith(".parquet")
+            )
+            if args.via_loopback:
+                sources = [f"s3a://ocs/{f}" for f in names]
+            else:
+                sources = [f"{objdir}/{f}" for f in names]
+        rep = FanoutRunner(
+            spark, threads=args.j, print_rows=args.print_rows
+        ).run(sources)
+        if loopback_srv is not None:
+            snap = loopback_srv.stats.snapshot()
+            print(
+                "== loopback server: "
+                f"{snap['ranged_get_requests']} ranged GETs, "
+                f"{snap['head_requests']} HEADs, "
+                f"{snap['bytes_served']} bytes served",
+                file=sys.stderr,
+            )
+        return 0 if rep["failures"] == 0 else 1
+    finally:
+        if loopback_srv is not None:
+            loopback_srv.stop()
 
 
 if __name__ == "__main__":
