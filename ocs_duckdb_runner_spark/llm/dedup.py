@@ -1632,3 +1632,214 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+# ---- truncated-copy detection ----
+
+# Bucket granularity for prefix-containment candidates: two docs can be a
+# truncation pair only if they agree on their first PREFIX_P characters
+# (every fixture doc is >= 48 chars, so the contract "a truncated copy
+# retains at least the first PREFIX_P characters" covers the whole
+# corpus). A viral shared head (site chrome, license header) makes one
+# bucket quadratic, so buckets with > PREFIX_BUCKET_CAP docs are dropped
+# from candidate generation — the same df-cap policy as SHINGLE_DF_CAP,
+# applied to head fingerprints.
+PREFIX_P = 40
+PREFIX_BUCKET_CAP = 64
+
+
+def _prefix_truncation_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → directional truncation pairs: (short, long)
+    where short.text is a strict prefix of long.text. Factored off the
+    query so the planted-pair unit test drives the same code path."""
+    b = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        F.md5(F.substring("text", 1, PREFIX_P)).alias("pfx"),
+    )
+    ok = (
+        b.groupBy("pfx")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= PREFIX_BUCKET_CAP)
+        .select("pfx")
+    )
+    k = b.join(ok, "pfx")
+    s = k.select(
+        "pfx",
+        F.col("doc_id").alias("short_doc_id"),
+        F.col("text").alias("s_text"),
+        F.col("len").alias("short_len"),
+    )
+    l = k.select(
+        "pfx",
+        F.col("doc_id").alias("long_doc_id"),
+        F.col("text").alias("l_text"),
+        F.col("len").alias("long_len"),
+    )
+    return (
+        s.join(l, "pfx")
+        .filter(
+            (F.col("short_len") < F.col("long_len"))
+            & (
+                F.col("l_text").substr(F.lit(1), F.col("short_len"))
+                == F.col("s_text")
+            )
+        )
+        .select(
+            "short_doc_id",
+            "long_doc_id",
+            F.col("short_len").cast("long").alias("short_len"),
+            F.col("long_len").cast("long").alias("long_len"),
+            F.round(
+                F.col("short_len").cast("double") / F.col("long_len"), 9
+            ).alias("retained_frac"),
+        )
+    )
+
+
+@query(
+    "dedup_prefix_truncation",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, length(text) AS len,
+               md5(substr(text, 1, {PREFIX_P})) AS pfx
+        FROM documents
+    ),
+    ok AS (
+        SELECT pfx FROM b GROUP BY pfx
+        HAVING count(*) <= {PREFIX_BUCKET_CAP}
+    ),
+    k AS (SELECT b.* FROM b JOIN ok USING (pfx))
+    SELECT s.doc_id AS short_doc_id,
+           l.doc_id AS long_doc_id,
+           CAST(s.len AS BIGINT) AS short_len,
+           CAST(l.len AS BIGINT) AS long_len,
+           round(CAST(s.len AS DOUBLE) / l.len, 9) AS retained_frac
+    FROM k s JOIN k l USING (pfx)
+    WHERE s.len < l.len
+      AND substr(l.text, 1, CAST(s.len AS INT)) = s.text
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-copy detection — the dup class exact dedup and shingle
+    near-dup both miss at the margin: a re-crawl cut off mid-document, a
+    snippet/preview row, or a length-capped export is byte-identical to
+    its source's HEAD, so its text is a strict prefix of the longer
+    doc's. Reported directionally (short ⊂ long) with retained_frac =
+    short_len / long_len, the signal curation uses to keep the longer
+    variant and drop the fragment (cf. dedup_containment, which measures
+    shingle-set containment and so tolerates edits; this is the
+    exact-prefix fast path — the fixtures carry 25 natural pairs at
+    sf0.01).
+
+    Plan: candidates come from ONE equi-join on the md5 of the first
+    {PREFIX_P} chars — never text-vs-text across the corpus. The bucket
+    df-cap (> {PREFIX_BUCKET_CAP} docs sharing a head = boilerplate, not
+    identity) bounds per-bucket pair work exactly like SHINGLE_DF_CAP
+    bounds the shingle joins; the df aggregate and the probe share one
+    exchange (ReuseExchange). The strict-prefix verify is a map-side
+    substr comparison on the surviving candidates only. Text crosses the
+    bucket shuffle once per side; at 100 TB the bucket key is 16 bytes
+    and every bucket is ≤ {PREFIX_BUCKET_CAP} rows by construction."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _prefix_truncation_pairs(d).orderBy(
+        "short_doc_id", "long_doc_id"
+    )
+
+
+# ---- redundancy growth curve ----
+
+N_CURVE_BUCKETS = 10
+
+
+@query(
+    "corpus_redundancy_curve",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    first AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ),
+    flagged AS (
+        SELECT least({N_CURVE_BUCKETS - 1},
+                     sh.doc_id * {N_CURVE_BUCKETS} // n.n_docs) AS bucket,
+               sh.doc_id,
+               CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END AS novel
+        FROM sh JOIN first f USING (shingle) CROSS JOIN n
+    ),
+    per AS (
+        SELECT bucket,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(novel) AS BIGINT) AS n_novel
+        FROM flagged GROUP BY bucket
+    )
+    SELECT bucket, n_docs, n_shingles, n_novel,
+           round(CAST(sum(n_novel) OVER w AS DOUBLE)
+                 / sum(n_shingles) OVER w, 9) AS cum_novelty_ratio
+    FROM per
+    WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY bucket
+    """,
+    tags=("llm", "corpus", "novelty", "dedup"),
+)
+def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus redundancy growth curve — corpus_ngram_novelty's per-doc
+    novelty flags re-aggregated into {N_CURVE_BUCKETS} ingestion-order
+    buckets with a CUMULATIVE novelty ratio: the curve whose knee answers
+    "has this source stopped contributing new content?" (Heaps-law
+    saturation at the shingle level; [corpus_heaps_curve] is the
+    vocabulary analog). A flat cumulative tail says further ingestion
+    re-buys existing shingles and the token budget should move elsewhere.
+
+    Plan: the same single corpus-sized shingle shuffle as
+    corpus_ngram_novelty (min-agg + join share one exchange via
+    ReuseExchange; groupBy-then-join, NOT a min window, so a viral
+    shingle is AQE-splittable, and shuffle keys are 8-byte xxhash64
+    hashes). The bucket id is a map-side integer expression from doc_id
+    and the broadcast 1-row corpus count; the final cumulative window
+    runs over exactly {N_CURVE_BUCKETS} rows. Nothing in the plan grows
+    with corpus size except the one inverted-index shuffle that
+    dedup_fingerprint already scales."""
+    sh = _doc_shingle_hashes(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    bucket = F.least(
+        F.lit(N_CURVE_BUCKETS - 1).cast("long"),
+        F.floor(F.col("doc_id") * N_CURVE_BUCKETS / F.col("n_total")),
+    )
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    per = (
+        sh.join(first, "shingle")
+        .crossJoin(F.broadcast(n))
+        .select(bucket.alias("bucket"), "doc_id", novel.alias("novel"))
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("novel").alias("n_novel"),
+        )
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "bucket",
+        "n_docs",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.sum("n_novel").over(w).cast("double")
+            / F.sum("n_shingles").over(w),
+            9,
+        ).alias("cum_novelty_ratio"),
+    ).orderBy("bucket")

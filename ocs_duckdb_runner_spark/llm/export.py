@@ -783,3 +783,81 @@ def export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("tokens"),
         )
     )
+
+
+# ---- deterministic k-fold assignment ----
+
+K_FOLDS = 5
+
+
+@query(
+    "split_kfold",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) % {K_FOLDS} AS fold,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               source
+        FROM documents
+    ),
+    per AS (
+        SELECT fold,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM assigned GROUP BY fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_docs, n_tokens, n_sources,
+           CAST(sum(n_docs) OVER () - n_docs AS BIGINT) AS train_docs,
+           CAST(sum(n_tokens) OVER () - n_tokens AS BIGINT) AS train_tokens
+    FROM per
+    ORDER BY fold
+    """,
+    tags=("llm", "export", "split"),
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {K_FOLDS}-fold cross-validation assignment by md5
+    prefix of the document key — the same hash-not-rand() policy as
+    split_train_eval (a doc's fold is a pure function of doc_id: stable
+    under re-partitioning, re-runs, appends, and engine choice, so no
+    eval-contaminating fold migration). Per fold: its holdout size (docs,
+    tokens, source coverage) AND the complementary train-split size —
+    the audit row a k-fold sweep's data card needs.
+
+    Plan: map-side fold assignment, one {K_FOLDS}-group aggregate, and
+    the train-complement via an unpartitioned window over exactly
+    {K_FOLDS} rows (constant — no single-reducer hazard at any corpus
+    size). Nothing but (fold, counts) ever crosses the exchange."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+               16, 10).cast("int") % K_FOLDS
+    )
+    per = (
+        d.select(
+            fold.alias("fold"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+            "source",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_docs",
+        "n_tokens",
+        "n_sources",
+        (F.sum("n_docs").over(w) - F.col("n_docs")).alias("train_docs"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+            "train_tokens"
+        ),
+    ).orderBy("fold")

@@ -25,3 +25,31 @@ def test_pagerank_driver_and_distributed_paths_agree(spark, monkeypatch):
     key = lambda r: (r["nationkey"], r["pr_micro"])
     assert sorted(map(key, gated)) == sorted(map(key, dist))
     assert len(gated) == 25
+
+
+def test_prefix_truncation_planted_pairs(spark):
+    """Planted truncated copies are found directionally; a hot shared
+    head beyond PREFIX_BUCKET_CAP is dropped from candidate generation."""
+    import ocs_duckdb_runner_spark.llm.dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (0, base),                      # full doc
+        (1, base[:80]),                 # truncated copy of 0
+        (2, base[:120]),                # longer truncation of 0
+        (3, "x" * 60),                  # unrelated, no partner
+        (4, base[:80]),                 # exact dup of 1 -> NOT a pair
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["short_doc_id"], r["long_doc_id"])
+        for r in D._prefix_truncation_pairs(df).collect()
+    }
+    assert got == {(1, 0), (2, 0), (1, 2), (4, 0), (4, 2)}
+
+    # hot-head bucket: CAP+2 docs share the first PREFIX_P chars; the
+    # whole bucket must produce zero candidates
+    head = "h " * (D.PREFIX_P // 2)
+    hot = [(100 + i, head + f"tail {i} " * 3) for i in range(D.PREFIX_BUCKET_CAP + 2)]
+    hot_df = spark.createDataFrame(hot, ["doc_id", "text"])
+    assert D._prefix_truncation_pairs(hot_df).count() == 0
