@@ -1602,36 +1602,52 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scores feed dedup-adjacent filtering of boilerplate-heavy
     tails.
 
-    Plan: one shingle explode (map-side lateral), a min aggregate keyed
-    on the shingle to find each shingle's first-introducing doc, the
-    novelty flags from the join back, then a doc-keyed re-aggregate. The
-    aggregate's and the join's exchanges share one child and one
-    partitioning, so ReuseExchange collapses them to a single
-    corpus-sized shuffle write; the min-agg (map-side combine) + join
-    (AQE-skew-splittable) form is deliberately NOT a min window over the
-    shingle partition, which would ship every occurrence of a viral
-    shingle to one unsplittable task (see _capped_shingle_docs). Shuffle
-    keys are 8-byte xxhash64 shingle hashes, not ~20-byte strings (same
-    engine-internal choice as dedup_ngram_jaccard: novelty needs only
-    equality, and a cross-shingle collision is ~1e-11 at corpus scale).
-    At 100 TB this is exactly the inverted-index pass dedup_fingerprint
-    already scales."""
+    Plan: NO corpus-sized join. (doc, shingle) pairs are distinct by
+    construction (array_distinct before the explode), so a doc's novel
+    count equals the number of shingles whose corpus-wide min doc_id IS
+    this doc — computable by RE-AGGREGATING the shingle→min-doc frame by
+    its min doc, never joining flags back onto the corpus. Two aggregates
+    over the exploded frame: per-doc shingle counts (map-side combine
+    collapses each task's rows to one partial count per doc, so the
+    doc-keyed exchange carries doc-count-sized partials, not corpus-sized
+    rows) and per-shingle min (map-side combine, AQE-splittable — NOT a
+    min window, which would ship every occurrence of a viral shingle to
+    one unsplittable task; see _capped_shingle_docs), whose min-doc
+    re-aggregate is distinct-shingle-sized. The final equi-join unites
+    two doc-count-sized frames. The earlier join-back formulation
+    shuffled the corpus-sized join output into the doc aggregate; this
+    shape's largest exchange payload after the combiners is O(docs).
+    Shuffle keys are 8-byte xxhash64 shingle hashes, not ~20-byte
+    strings (novelty needs only equality; a cross-shingle collision is
+    ~1e-11 at corpus scale)."""
     sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
+    ).persist()
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
-    return (
-        sh.join(first, "shingle")
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(novel).alias("n_novel"),
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    out = (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
             F.round(
-                F.sum(novel).cast("double") / F.count(F.lit(1)), 9
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                9,
             ).alias("novelty_ratio"),
         )
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 # ---- truncated-copy detection ----
@@ -1795,51 +1811,69 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary analog). A flat cumulative tail says further ingestion
     re-buys existing shingles and the token budget should move elsewhere.
 
-    Plan: the same single corpus-sized shingle shuffle as
-    corpus_ngram_novelty (min-agg + join share one exchange via
-    ReuseExchange; groupBy-then-join, NOT a min window, so a viral
-    shingle is AQE-splittable, and shuffle keys are 8-byte xxhash64
-    hashes). The bucket id is a map-side integer expression from doc_id
-    and the broadcast 1-row corpus count; the final cumulative window
-    runs over exactly {N_CURVE_BUCKETS} rows. Nothing in the plan grows
-    with corpus size except the one inverted-index shuffle that
-    dedup_fingerprint already scales."""
+    Plan: the corpus_ngram_novelty shape — NO corpus-sized join. Novel
+    counts re-aggregate the shingle→min-doc frame by the min doc's
+    bucket (distinct (doc, shingle) pairs make "novel shingles in bucket
+    b" = "shingles whose corpus-wide min doc lands in b"); doc and
+    shingle totals come from a per-doc combiner aggregate whose exchange
+    carries doc-count-sized partials. Both aggregates collapse map-side;
+    the min-agg is AQE-splittable (NOT a min window — a viral shingle
+    would pin one task). The bucket id is a map-side integer expression
+    from doc_id and the broadcast 1-row corpus count; the final
+    cumulative window runs over exactly {N_CURVE_BUCKETS} rows. Nothing
+    after the combiners grows past O(docs)."""
     sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
-    )
+    ).persist()
     n = (
         load_table(spark, sf_dir, "documents")
         .agg(F.count(F.lit(1)).alias("n_total"))
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     bucket = F.least(
         F.lit(N_CURVE_BUCKETS - 1).cast("long"),
         F.floor(F.col("doc_id") * N_CURVE_BUCKETS / F.col("n_total")),
     )
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
-    per = (
-        sh.join(first, "shingle")
+    totals = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
         .crossJoin(F.broadcast(n))
-        .select(bucket.alias("bucket"), "doc_id", novel.alias("novel"))
-        .groupBy("bucket")
+        .groupBy(bucket.alias("bucket"))
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum("novel").alias("n_novel"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
         )
+    )
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(n))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    per = totals.join(novel, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
     )
     w = (
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return per.select(
-        "bucket",
-        "n_docs",
-        "n_shingles",
-        "n_novel",
-        F.round(
-            F.sum("n_novel").over(w).cast("double")
-            / F.sum("n_shingles").over(w),
-            9,
-        ).alias("cum_novelty_ratio"),
-    ).orderBy("bucket")
+    out = (
+        per.select(
+            "bucket",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.sum("n_novel").over(w).cast("double")
+                / F.sum("n_shingles").over(w),
+                9,
+            ).alias("cum_novelty_ratio"),
+        )
+        .orderBy("bucket")
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out
