@@ -1614,12 +1614,16 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     min window, which would ship every occurrence of a viral shingle to
     one unsplittable task; see _capped_shingle_docs), whose min-doc
     re-aggregate is distinct-shingle-sized. The final equi-join unites
-    two doc-count-sized frames. The earlier join-back formulation
-    shuffled the corpus-sized join output into the doc aggregate; this
-    shape's largest exchange payload after the combiners is O(docs).
-    Shuffle keys are 8-byte xxhash64 shingle hashes, not ~20-byte
-    strings (novelty needs only equality; a cross-shingle collision is
-    ~1e-11 at corpus scale)."""
+    two doc-count-sized frames. Wall-clock ties the earlier join-back
+    formulation at the 10x probe (both shapes' exchanges collapse to
+    combiner partials); the join-free shape wins on SKEW: the old plan
+    probed the min-doc frame back on the shingle key, so one viral
+    shingle fanned its whole occurrence list through a single join task
+    (AQE skew-split territory) — here a viral shingle is one more input
+    row to a min() combiner and never a join key at all. Shuffle keys
+    are 8-byte xxhash64 shingle hashes, not ~20-byte strings (novelty
+    needs only equality; a cross-shingle collision is ~1e-11 at corpus
+    scale)."""
     sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
     ).persist()
@@ -1774,13 +1778,14 @@ N_CURVE_BUCKETS = 10
     "corpus_redundancy_curve",
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
-    n AS (SELECT count(*) AS n_docs FROM documents),
+    n AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
     first AS (
         SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
     ),
     flagged AS (
         SELECT least({N_CURVE_BUCKETS - 1},
-                     sh.doc_id * {N_CURVE_BUCKETS} // n.n_docs) AS bucket,
+                     (sh.doc_id - n.mn) * {N_CURVE_BUCKETS}
+                       // (n.mx - n.mn + 1)) AS bucket,
                sh.doc_id,
                CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END AS novel
         FROM sh JOIN first f USING (shingle) CROSS JOIN n
@@ -1819,7 +1824,11 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries doc-count-sized partials. Both aggregates collapse map-side;
     the min-agg is AQE-splittable (NOT a min window — a viral shingle
     would pin one task). The bucket id is a map-side integer expression
-    from doc_id and the broadcast 1-row corpus count; the final
+    from doc_id and the broadcast 1-row id-range frame (min/max
+    normalization, NOT count-based: ingestion position is measured over
+    the observed id RANGE, so sparse or strided id spaces — e.g. the
+    scale probe's disjoint key blocks — still spread across all
+    {N_CURVE_BUCKETS} buckets); the final
     cumulative window runs over exactly {N_CURVE_BUCKETS} rows. Nothing
     after the combiners grows past O(docs)."""
     sh = _doc_shingle_hashes(spark, sf_dir).select(
@@ -1827,11 +1836,15 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     n = (
         load_table(spark, sf_dir, "documents")
-        .agg(F.count(F.lit(1)).alias("n_total"))
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
     )
+    # integer `div`, not double /+floor: a quotient landing on a bucket
+    # boundary must floor identically to DuckDB's exact BIGINT `//`
     bucket = F.least(
         F.lit(N_CURVE_BUCKETS - 1).cast("long"),
-        F.floor(F.col("doc_id") * N_CURVE_BUCKETS / F.col("n_total")),
+        F.expr(
+            f"(doc_id - mn) * {N_CURVE_BUCKETS} div (mx - mn + 1)"
+        ),
     )
     totals = (
         sh.groupBy("doc_id")
