@@ -1424,3 +1424,107 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---- cross-source syndication / provenance matrix ----
+
+SYN_GRAM_K = 8  # 8-token grams: long enough that sharing implies copying
+
+
+@query(
+    "corpus_syndication_matrix",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT source,
+                   unnest(CASE WHEN len(toks) >= {SYN_GRAM_K} THEN
+                     list_transform(
+                       generate_series(1, len(toks) - {SYN_GRAM_K - 1}),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4] || ' '
+                            || toks[i+5] || ' ' || toks[i+6] || ' '
+                            || toks[i+7])
+                   ELSE [array_to_string(toks, ' ')] END) AS gram
+            FROM (SELECT source, string_split(text, ' ') AS toks
+                  FROM documents)
+        )
+    ),
+    sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(za.n_grams AS BIGINT) AS n_grams_a,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(CAST(count(*) AS DOUBLE) / za.n_grams, 9) AS containment
+    FROM g a
+    JOIN g b ON a.gram = b.gram AND a.source <> b.source
+    JOIN sz za ON za.source = a.source
+    GROUP BY a.source, b.source, za.n_grams
+    ORDER BY src_a, src_b
+    """,
+    tags=("llm", "corpus", "provenance", "dedup"),
+)
+def corpus_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source syndication matrix — directional {SYN_GRAM_K}-gram
+    containment between source pairs: what fraction of source A's
+    distinct {SYN_GRAM_K}-token grams also appear in source B. Long
+    grams shared across sources mean verbatim copying (wire syndication,
+    mirrors, scraped re-posts), so a high containment row says A's
+    content is largely redundant given B and the mixture should
+    down-weight one of them — the PROVENANCE diagnostic that
+    [corpus_source_overlap] (vocabulary Jaccard: topic similarity) and
+    [decontaminate_ngram] (eval-vs-train leakage) don't answer. Pairs
+    with zero shared grams are omitted (inner join).
+
+    Plan: the distinct (source, gram) set collapses map-side before one
+    gram-keyed exchange; the intersection is a gram-keyed self-join
+    whose per-gram fan-out is bounded by the SOURCE count (mixtures have
+    tens of sources, so ≤ S² rows per gram — linear in corpus grams, no
+    df-cap needed, unlike the doc-keyed shingle joins). Engine-side
+    grams are 8-byte xxhash64 values, never strings, exactly the
+    dedup_ngram_jaccard choice (the oracle compares raw gram strings; a
+    cross-gram collision is ~1e-11). Source-size frames broadcast."""
+    from ocs_duckdb_runner_spark.llm.dedup import shingle_hashes
+    from ocs_duckdb_runner_spark.registry import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    # tokenize BELOW an exchange (see _doc_token_frame: collapsed
+    # projections re-inline split() into every element_at slot)
+    toks = spread(
+        d.select("source", F.split(F.col("text"), " ").alias("toks"))
+    )
+    sg = (
+        toks.select(
+            "source",
+            F.explode(shingle_hashes(F.col("toks"), SYN_GRAM_K)).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+        .persist()
+    )
+    sz = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams_a")
+    )
+    a = sg.toDF("src_a", "gram")
+    b = sg.toDF("src_b", "gram2")
+    inter = (
+        a.join(b, (a.gram == b.gram2) & (a.src_a != b.src_b))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = sz.toDF("za_src", "n_grams_a")
+    out = (
+        inter.join(F.broadcast(za), inter.src_a == za.za_src)
+        .select(
+            "src_a",
+            "src_b",
+            "n_grams_a",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_grams_a"), 9
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+        .localCheckpoint(eager=True)
+    )
+    sg.unpersist()
+    return out
