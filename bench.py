@@ -157,6 +157,10 @@ HEADLINE = [
     # round-8 additions
     "dedup_containment",
     "dedup_containment_unique",
+    "dedup_prefix_truncation",
+    "corpus_redundancy_curve",
+    "corpus_syndication_matrix",
+    "split_kfold",
 ]
 
 
