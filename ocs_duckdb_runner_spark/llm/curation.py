@@ -1482,6 +1482,19 @@ def corpus_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams are 8-byte xxhash64 values, never strings, exactly the
     dedup_ngram_jaccard choice (the oracle compares raw gram strings; a
     cross-gram collision is ~1e-11). Source-size frames broadcast."""
+    out, persisted = _syndication_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
+    return out
+
+
+def _syndication_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Pre-checkpoint syndication plan — factored so tests/test_plans.py
+    can pin the equi-join + broadcast shape (the registered query
+    localCheckpoints its result, which hides the plan)."""
     from ocs_duckdb_runner_spark.llm.dedup import shingle_hashes
     from ocs_duckdb_runner_spark.registry import spread
 
@@ -1524,7 +1537,5 @@ def corpus_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .orderBy("src_a", "src_b")
-        .localCheckpoint(eager=True)
     )
-    sg.unpersist()
-    return out
+    return out, [sg]

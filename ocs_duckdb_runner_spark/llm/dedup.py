@@ -1624,6 +1624,19 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 8-byte xxhash64 shingle hashes, not ~20-byte strings (novelty
     needs only equality; a cross-shingle collision is ~1e-11 at corpus
     scale)."""
+    out, persisted = _novelty_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
+    return out
+
+
+def _novelty_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Pre-checkpoint novelty plan — factored so tests/test_plans.py can
+    pin the join-free shape (the registered query localCheckpoints its
+    result, which hides the plan)."""
     sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
     ).persist()
@@ -1636,22 +1649,17 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    out = (
-        per_doc.join(novel, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
-            F.round(
-                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
-                / F.col("n_shingles"),
-                9,
-            ).alias("novelty_ratio"),
-        )
-        .localCheckpoint(eager=True)
+    out = per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            9,
+        ).alias("novelty_ratio"),
     )
-    sh.unpersist()
-    return out
+    return out, [sh]
 
 
 # ---- truncated-copy detection ----

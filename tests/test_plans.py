@@ -653,3 +653,53 @@ def test_asof_nearest_one_key_exchange_two_windows(spark):
     plan = plan_of(spark, "join_asof_nearest")
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_prefix_truncation_equi_join_not_cartesian(spark):
+    # candidate generation must be an equi-join on the head fingerprint
+    # (never text-vs-text across the corpus), with the strict-prefix
+    # substr verify applied as a post-join filter
+    plan = plan_of(spark, "dedup_prefix_truncation")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # both the df-cap aggregate and the pair join key on the pfx hash
+    assert "pfx" in plan
+
+
+def test_novelty_has_no_corpus_join_back(spark):
+    """r8 contract: novelty flags come from RE-AGGREGATING the
+    shingle->min-doc frame, never joining it back onto the exploded
+    corpus — the only joins in the plan unite aggregate OUTPUTS.
+    (The registered query localCheckpoints; inspect the builder.)"""
+    from ocs_duckdb_runner_spark.llm.dedup import _novelty_build
+
+    out, persisted = _novelty_build(spark, SF_DIR)
+    plan = _raw_plan(spark, out)
+    for df in persisted:
+        df.unpersist()
+    assert "Generate" in plan and "HashAggregate" in plan
+    ids = {}
+    for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE):
+        ids.setdefault(m.group(2), []).append(int(m.group(1)))
+    # formatted-plan ids are bottom-up: every join must sit strictly
+    # above (higher id than) the FIRST aggregate consuming the explode
+    join_ids = ids.get("SortMergeJoin", []) + ids.get(
+        "BroadcastHashJoin", []
+    )
+    assert join_ids, "expected the final doc-keyed aggregate-output join"
+    assert min(join_ids) > min(ids["HashAggregate"])
+    assert "CartesianProduct" not in plan
+
+
+def test_syndication_matrix_broadcasts_sizes(spark):
+    """The source-size frame is tiny at any scale and must broadcast;
+    the gram self-join must be an equi-join, not a cartesian product.
+    (The registered query localCheckpoints; inspect the builder.)"""
+    from ocs_duckdb_runner_spark.llm.curation import _syndication_build
+
+    out, persisted = _syndication_build(spark, SF_DIR)
+    plan = _raw_plan(spark, out)
+    for df in persisted:
+        df.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
