@@ -72,24 +72,32 @@ def build(copies: int) -> str:
     out = out_dir(copies)
     spark = build_spark(app_name="scale-probe-build")
     os.makedirs(out, exist_ok=True)
+    # keys offset per copy with disjoint ranges; events strike BOTH ids
+    # (fresh event rows AND fresh users — timestamps stay, so the month
+    # gets copies-x denser, which is the honest scale-up for the
+    # sessionization/rollup family: per-user semantics intact, per-user
+    # work unchanged, user COUNT is the scaling dimension)
     scaled = {
-        "lineitem": "l_orderkey",
-        "orders": "o_orderkey",
-        "documents": "doc_id",
-        "embeddings": "vec_id",
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "events": ["event_id", "user_id"],
     }
     # write width scales with the copy count so file sizes stay O(sf0.1
     # partition) and every downstream scan starts from many splits
     n_files = max(16, min(256, copies * 2))
-    for t, key in scaled.items():
+    for t, keys in scaled.items():
         dst = f"{out}/{t}.parquet"
         if os.path.exists(dst):
             continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        parts = [
-            df.withColumn(key, F.col(key) + F.lit(i * KEY_STRIDE))
-            for i in range(copies)
-        ]
+        parts = []
+        for i in range(copies):
+            p = df
+            for key in keys:
+                p = p.withColumn(key, F.col(key) + F.lit(i * KEY_STRIDE))
+            parts.append(p)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionAll(p)
