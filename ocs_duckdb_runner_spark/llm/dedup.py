@@ -1624,22 +1624,19 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 8-byte xxhash64 shingle hashes, not ~20-byte strings (novelty
     needs only equality; a cross-shingle collision is ~1e-11 at corpus
     scale)."""
-    out, persisted = _novelty_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    for df in persisted:
-        df.unpersist()
-    return out
+    return _novelty_build(spark, sf_dir)
 
 
-def _novelty_build(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[DataFrame]]:
-    """Pre-checkpoint novelty plan — factored so tests/test_plans.py can
-    pin the join-free shape (the registered query localCheckpoints its
-    result, which hides the plan)."""
+def _novelty_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The novelty plan, shared by corpus_ngram_novelty and the plan pin
+    in tests/test_plans.py. Deliberately NOT persisted: the exploded
+    frame feeds two aggregates, and recomputing a map-side explode is
+    cheaper than materializing a corpus-sized cache — measured 4.1 s vs
+    5.1 s warm at sf0.1, equal at the 10x probe, and at cluster scale a
+    corpus-sized .persist() is memory pressure the plan doesn't need."""
     sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
-    ).persist()
+    )
     per_doc = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -1659,7 +1656,7 @@ def _novelty_build(
             9,
         ).alias("novelty_ratio"),
     )
-    return out, [sh]
+    return out
 
 
 # ---- truncated-copy detection ----
@@ -1839,9 +1836,12 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_CURVE_BUCKETS} buckets); the final
     cumulative window runs over exactly {N_CURVE_BUCKETS} rows. Nothing
     after the combiners grows past O(docs)."""
+    # no persist: the exploded frame feeds two aggregates, and
+    # recomputing the map-side explode beats a corpus-sized cache
+    # (measured — see _novelty_build)
     sh = _doc_shingle_hashes(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
-    ).persist()
+    )
     n = (
         load_table(spark, sf_dir, "documents")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -1881,20 +1881,14 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = (
-        per.select(
-            "bucket",
-            "n_docs",
-            "n_shingles",
-            "n_novel",
-            F.round(
-                F.sum("n_novel").over(w).cast("double")
-                / F.sum("n_shingles").over(w),
-                9,
-            ).alias("cum_novelty_ratio"),
-        )
-        .orderBy("bucket")
-        .localCheckpoint(eager=True)
-    )
-    sh.unpersist()
-    return out
+    return per.select(
+        "bucket",
+        "n_docs",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.sum("n_novel").over(w).cast("double")
+            / F.sum("n_shingles").over(w),
+            9,
+        ).alias("cum_novelty_ratio"),
+    ).orderBy("bucket")

@@ -669,14 +669,8 @@ def test_prefix_truncation_equi_join_not_cartesian(spark):
 def test_novelty_has_no_corpus_join_back(spark):
     """r8 contract: novelty flags come from RE-AGGREGATING the
     shingle->min-doc frame, never joining it back onto the exploded
-    corpus — the only joins in the plan unite aggregate OUTPUTS.
-    (The registered query localCheckpoints; inspect the builder.)"""
-    from ocs_duckdb_runner_spark.llm.dedup import _novelty_build
-
-    out, persisted = _novelty_build(spark, SF_DIR)
-    plan = _raw_plan(spark, out)
-    for df in persisted:
-        df.unpersist()
+    corpus — the only joins in the plan unite aggregate OUTPUTS."""
+    plan = plan_of(spark, "corpus_ngram_novelty")
     assert "Generate" in plan and "HashAggregate" in plan
     ids = {}
     for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE):
