@@ -53,3 +53,49 @@ def test_prefix_truncation_planted_pairs(spark):
     hot = [(100 + i, head + f"tail {i} " * 3) for i in range(D.PREFIX_BUCKET_CAP + 2)]
     hot_df = spark.createDataFrame(hot, ["doc_id", "text"])
     assert D._prefix_truncation_pairs(hot_df).count() == 0
+
+
+def test_prefix_truncation_random_corpus_vs_bruteforce(spark):
+    """Seeded random corpus: the distributed pair-finder must equal a
+    Python brute-force over all ordered pairs (strict-prefix relation,
+    head-bucket cap applied identically)."""
+    import hashlib
+    import random
+
+    import ocs_duckdb_runner_spark.llm.dedup as D
+
+    rng = random.Random(8)
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(120):
+        n = rng.randint(15, 60)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    # plant truncations and shared heads
+    for i in range(120, 150):
+        src = rng.randrange(120)
+        cut = rng.randint(D.PREFIX_P, max(D.PREFIX_P, len(docs[src][1]) - 1))
+        docs.append((i, docs[src][1][:cut]))
+
+    def brute():
+        buckets: dict[str, list[tuple[int, str]]] = {}
+        for did, text in docs:
+            key = hashlib.md5(text[: D.PREFIX_P].encode()).hexdigest()
+            buckets.setdefault(key, []).append((did, text))
+        pairs = set()
+        for members in buckets.values():
+            if len(members) > D.PREFIX_BUCKET_CAP:
+                continue
+            for a, ta in members:
+                for b, tb in members:
+                    if len(ta) < len(tb) and tb.startswith(ta):
+                        pairs.add((a, b))
+        return pairs
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["short_doc_id"], r["long_doc_id"])
+        for r in D._prefix_truncation_pairs(df).collect()
+    }
+    expected = brute()
+    assert got == expected
+    assert expected, "seed must produce at least one pair"
