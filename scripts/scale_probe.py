@@ -60,6 +60,20 @@ PROBE_QUERIES = [
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "pipeline_dedup_end2end",
+    # family coverage beyond the original fact-heavy set (r8): events
+    # (struck since r8), iterative graph, profiling, curation guards.
+    # graph_triangle_count stays out: verbatim striking multiplies
+    # co-purchase support by the copy count, exploding the wedge set on
+    # ANY engine (see SCALING.md) — not a plan property worth timing.
+    "event_sessionize",
+    "event_active_users_rolling",
+    "event_running_median",
+    "graph_pagerank",
+    "table_profile_columns",
+    "table_profile_columns_approx",
+    "corpus_ngram_novelty",
+    "text_boilerplate",
+    "decontaminate_ngram",
 ]
 
 
