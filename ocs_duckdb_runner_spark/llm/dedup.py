@@ -1407,6 +1407,83 @@ def eval_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_TAUS = (0.25, 0.375, 0.5, 0.625, 0.75)
+
+_SQL_TAUS = ", ".join(str(t) for t in SWEEP_TAUS)
+
+
+@query(
+    "eval_dedup_threshold_sweep",
+    oracle=f"""
+    WITH base AS ({_mhx_oracle()}),
+    taus AS (SELECT unnest([{_SQL_TAUS}]) AS tau)
+    SELECT tau,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN mh_est >= tau AND jaccard >= tau
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN mh_est >= tau AND jaccard < tau
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN mh_est < tau AND jaccard >= tau
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(CAST(sum(CASE WHEN mh_est >= tau AND jaccard >= tau
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN mh_est >= tau THEN 1 ELSE 0 END),
+                          0), 9) AS precision_,
+           round(CAST(sum(CASE WHEN mh_est >= tau AND jaccard >= tau
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN jaccard >= tau THEN 1 ELSE 0 END),
+                          0), 9) AS recall_
+    FROM base CROSS JOIN taus
+    GROUP BY tau
+    ORDER BY tau
+    """,
+    tags=("llm", "dedup", "evaluation"),
+)
+def eval_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval_dedup_pr across the whole operating CURVE: one row per
+    decision threshold tau in {SWEEP_TAUS}, each with exact tp/fp/fn and
+    NULL-guarded precision/recall of the MinHash decision against
+    true-Jaccard truth — the tuning table that picks a band/row geometry
+    and threshold BEFORE a 100 TB dedup run commits to one (a single
+    operating point, eval_dedup_pr, cannot show where the knee is).
+    Thresholds are exact binary fractions (eighths) so the >= compares
+    sit on exactly-representable doubles in both engines.
+
+    Plan: the candidate-pair frame (already bounded by LSH banding) is
+    expanded {len(SWEEP_TAUS)}x map-side by a literal-array explode and
+    aggregated per tau — one extra constant-fan-out pass over a small
+    frame, no new shuffle of anything corpus-sized."""
+    base = dedup_minhash_estimate(spark, sf_dir)
+    swept = base.select(
+        "mh_est",
+        "jaccard",
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_TAUS])).alias("tau"),
+    )
+    pred = F.col("mh_est") >= F.col("tau")
+    truth = F.col("jaccard") >= F.col("tau")
+    tp = F.sum((pred & truth).cast("long"))
+    return (
+        swept.groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            tp.cast("long").alias("tp"),
+            F.sum((pred & ~truth).cast("long")).cast("long").alias("fp"),
+            F.sum((~pred & truth).cast("long")).cast("long").alias("fn"),
+            F.round(
+                tp.cast("double")
+                / F.nullif(F.sum(pred.cast("long")), F.lit(0)),
+                9,
+            ).alias("precision_"),
+            F.round(
+                tp.cast("double")
+                / F.nullif(F.sum(truth.cast("long")), F.lit(0)),
+                9,
+            ).alias("recall_"),
+        )
+        .orderBy("tau")
+    )
+
+
 # --- URL-canonical dedup -----------------------------------------------
 # The documents fixture has no URL column, so a raw URL is DERIVED
 # deterministically from (source, doc_id) with the exact messiness a web
