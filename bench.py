@@ -161,6 +161,7 @@ HEADLINE = [
     "corpus_redundancy_curve",
     "corpus_syndication_matrix",
     "split_kfold",
+    "eval_dedup_threshold_sweep",
 ]
 
 
