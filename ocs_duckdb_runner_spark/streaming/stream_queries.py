@@ -48,30 +48,40 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs a user-supplied schema, so probe the footer with a one-off batch
     read (metadata only, no data scan) rather than assuming a physical
     type (the r3 postmortem: fixtures moved ns→µs under a hard-coded ns
-    assumption)."""
+    assumption). Layout dispatch: events.parquet ships as a single FILE
+    in the standard fixtures but as a DIRECTORY of part files from the
+    scale probe — a glob filter for the file name matches nothing in the
+    directory layout and the source silently streams ZERO rows (the r8
+    10x-sweep finding: every stream query 'passed' rows-only on empty
+    input), so point the source at whichever layout exists."""
+    import os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = f"{sf_dir}/events.parquet"
+
+    def _source(schema: T.StructType) -> DataFrame:
+        if os.path.isdir(events_path):
+            # directory-parquet: stream the part files directly
+            return spark.readStream.schema(schema).parquet(events_path)
+        # single file: the file source requires a directory; glob-filter
+        # the listing down to the events file
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
     try:
-        ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema[
-            "ts"
-        ].dataType
+        ts_type = spark.read.parquet(events_path).schema["ts"].dataType
     except Exception:  # ns footer — batch read refuses without legacy flag
         ts_type = None
     if ts_type is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(_events_schema(T.LongType()))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _source(_events_schema(T.LongType()))
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
-    # the file source requires a directory; glob-filter to the events file
-    raw = (
-        spark.readStream.schema(_events_schema(ts_type))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _source(_events_schema(ts_type))
     if isinstance(ts_type, T.TimestampNTZType):
         raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     elif isinstance(ts_type, T.LongType):

@@ -249,3 +249,35 @@ def test_stream_sliding_matches_batch_twin(spark):
     got = _rows(get_query("stream_sliding_wm").fn(spark, SF_DIR), cols)
     want = _rows(get_query("event_sliding").fn(spark, SF_DIR), cols)
     assert got == want and len(want) > 0
+
+
+def test_stream_source_reads_directory_parquet_layout(spark, tmp_path):
+    """events.parquet as a DIRECTORY of part files (the scale-probe
+    layout) must stream the same rows as the single-file fixture — the
+    r8 finding: a file-name glob filter matched nothing in the directory
+    layout and every stream query 'passed' rows-only on ZERO input."""
+    from ocs_duckdb_runner_spark.registry import load_table
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        read_events_stream,
+    )
+
+    n_src = load_table(spark, SF_DIR, "events").count()
+    probe_dir = tmp_path / "probe_sf"
+    probe_dir.mkdir()
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(str(probe_dir / "events.parquet"))
+    )
+    stream = read_events_stream(spark, str(probe_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dir_layout_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dir_layout_probe").count()
+    assert got == n_src and got > 0
