@@ -225,6 +225,16 @@ def main() -> int:
         rec["spark_rows"] = len(got)
         rec["secs"] = round(dt, 2)
         if name not in oracles:
+            # a rows-only query with EMPTY output is a fail, not a pass:
+            # every rows-only query in the registry is non-empty on every
+            # fixture by construction, and "0 rows" is exactly how the r8
+            # streaming-source layout bug hid behind the rows-only gate
+            # (the glob filter matched nothing → zero input → 'pass')
+            if len(got) == 0:
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+                rec["err"] = "rows_only_empty"
+                n_fail += 1
+                continue
             print(f"ROWS  {name}: {len(got)} rows ({dt:.1f}s) [no oracle]")
             rec["err"] = "no_oracle"
             n_pass += 1
