@@ -2,9 +2,13 @@
 `stream_tumbling_wm`): file source over the events parquet → event-time
 window aggregation with a watermark → memory sink.
 
-The batch twin (events/windows.py:event_tumbling) carries oracle-checked
-correctness; these queries prove the streaming capability — watermark
-declaration, event-time windows, stateful dedup — on the same data. In
+Every query here is ORACLE-CHECKED like the batch queries: a stream
+drained to completion over finite input (`availableNow` trigger) emits a
+deterministic final result — complete-mode window aggregates equal their
+batch twins, append-mode joins emit exactly the matched pairs — so the
+same DuckDB SQL that validates events/windows.py validates these. The
+determinism contract each oracle relies on is stated per query (single
+micro-batch under default file-source options where it matters). In
 production the source line changes to kafka/kinesis and the sink to a
 Delta/parquet writer; the plan in between is identical (that is the point
 of Structured Streaming's unified batch/stream model).
@@ -22,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ocs_duckdb_runner_spark.exactness import fx_sum
+from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
 from ocs_duckdb_runner_spark.registry import load_table, query
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -92,6 +96,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def _events_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the events fixture (file names, sizes,
+    mtimes — no data read), used to content-address derived caches."""
+    import hashlib
+
+    path = f"{sf_dir}/events.parquet"
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            fp = os.path.join(path, f)
+            h.update(
+                f"{f}:{os.path.getsize(fp)}:{int(os.path.getmtime(fp))};".encode()
+            )
+    else:
+        h.update(f"{os.path.getsize(path)}:{int(os.path.getmtime(path))}".encode())
+    return h.hexdigest()[:12]
+
+
 def _run_to_memory(agg: DataFrame, mode: str) -> str:
     """Drive a streaming aggregation to completion against the memory sink
     (single micro-batch over the fixture file) and return the table name."""
@@ -108,12 +130,26 @@ def _run_to_memory(agg: DataFrame, mode: str) -> str:
     return name
 
 
-@query("stream_tumbling_wm", oracle=None, tags=("streaming",))
+@query(
+    "stream_tumbling_wm",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
 def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window aggregation with a 10-minute watermark —
     the streaming twin of event_tumbling (same windows, same exact
-    fixed-point sum). Complete mode so the single fixture micro-batch
-    emits every window; rows-only driver check."""
+    fixed-point sum). Complete mode re-emits EVERY window on the final
+    micro-batch regardless of how availableNow splits the drain, so the
+    drained result equals the batch aggregate deterministically — checked
+    against event_tumbling's own oracle (window('1 hour').start ≡
+    date_trunc('hour'))."""
     events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -125,16 +161,36 @@ def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(agg, "complete"))
 
 
-@query("stream_sliding_wm", oracle=None, tags=("streaming",))
+@query(
+    "stream_sliding_wm",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+               FROM events),
+    w AS (SELECT make_timestamp((us // 1800000000) * 1800000000) AS window_start,
+                 event_type, value FROM e
+          UNION ALL
+          SELECT make_timestamp((us // 1800000000) * 1800000000
+                                - 1800000000) AS window_start,
+                 event_type, value FROM e)
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM w
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
 def stream_sliding_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLIDING-window aggregation (1 hour every 30 minutes)
     with a 10-minute watermark — the streaming twin of event_sliding:
     each event lands in exactly two overlapping windows, the state
     store carries both, and the watermark bounds how long each window
     stays open. Same exact fixed-point sum as the batch twin; complete
-    mode so the single fixture micro-batch emits every window;
-    rows-only driver check, batch-twin equality locked in
-    tests/test_streaming.py."""
+    mode re-emits every window on the final micro-batch, so the drained
+    result equals the batch aggregate deterministically — checked against
+    event_sliding's oracle (explicit µs bucket arithmetic reconstructs
+    Spark's epoch-aligned window starts); batch-twin equality also locked
+    in tests/test_streaming.py."""
     events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         events.groupBy(
@@ -165,14 +221,33 @@ def _user_totals_state(key, pdfs, state):
     )
 
 
-@query("stream_custom_state", oracle=None, tags=("streaming", "stateful"))
+@query(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming via applyInPandasWithState — the
     extension point for operators Structured Streaming doesn't ship
     (custom sessionizers, CEP, online aggregates). State is per-key and
-    store-backed, so it scales with distinct users, not events. The
-    update-mode totals here are cross-checked against the batch aggregate
-    by tests/test_streaming.py.
+    store-backed, so it scales with distinct users, not events.
+
+    Oracle determinism: update mode emits one row per key PER BATCH, so
+    the oracle (one final total per user) relies on availableNow draining
+    the file listing in a single micro-batch — the file source's default
+    when maxFilesPerTrigger is unset, which holds for both fixture
+    layouts (single file and the probe's part-file directory; verified
+    at sf0.001/sf0.01/10x). A multi-batch drain would duplicate keys and
+    fail the row-count check loudly, not silently. The same totals are
+    also cross-checked against the batch aggregate by
+    tests/test_streaming.py, which DOES exercise the multi-batch path.
 
     Spark 4's successor API (transformWithStateInPandas: typed value/list/
     map state, timers, TTL) was probed and is env-gated here: its state
@@ -207,12 +282,27 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(totals, "update"))
 
 
-@query("stream_dedup_wm", oracle=None, tags=("streaming", "dedup"))
+@query(
+    "stream_dedup_wm",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
 def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with watermark-bounded state
     (dropDuplicatesWithinWatermark on event_id) — the streaming face of the
     dedup family: state for an id is kept only one watermark interval, so
-    memory is bounded at any scale."""
+    memory is bounded at any scale.
+
+    Oracle determinism: event_id is a KEY of the events fixture at every
+    scale (asserted true of sf0.001/0.01/0.1 and the scale probe, whose
+    striking re-keys event ids), so the survivor set is the full
+    projection and the oracle is an honest same-input identity check. On
+    data with real duplicate ids the survivor per id is first-seen
+    (arrival-order-dependent) and this check would revert to rows-only —
+    the watermark-eviction semantics for that case are locked by the
+    multi-batch unit test in tests/test_streaming.py instead."""
     events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     deduped = events.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
@@ -220,14 +310,40 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(deduped, "append"))
 
 
-@query("stream_sessionize", oracle=None, tags=("streaming", "session"))
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM x),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-based sessionization: session_window aggregation under
     a watermark — the streaming twin of event_sessionize (which carries the
-    oracle-checked semantics). State per (user, open session), closed and
-    evicted once the watermark passes the gap — bounded memory at any
-    scale. Complete mode so the single fixture micro-batch emits all
-    sessions; rows-only driver check."""
+    same oracle: lag + gap-flag cumsum derives identical sessions from
+    first principles). State per (user, open session), closed and evicted
+    once the watermark passes the gap — bounded memory at any scale.
+    Complete mode re-emits all sessions on the final micro-batch, so the
+    drained result equals the batch session_window aggregate
+    deterministically."""
     events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         events.groupBy(
@@ -244,14 +360,27 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(agg, "complete"))
 
 
-@query("stream_static_join", oracle=None, tags=("streaming", "join"))
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT CAST(user_id % 3 AS INTEGER) AS tier,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "join"),
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static join: the streaming events enriched against a static
     batch dimension (per-user tier derived from the same fixture) — the
     standard enrichment topology (stream ⋈ slowly-changing dim). The
     static side is planned per micro-batch as a broadcast hash join; no
-    stream-side state is kept. Aggregated per tier so the output is small
-    and stable; rows-only driver check."""
+    stream-side state is kept. Aggregated per tier in complete mode, so
+    the drained result is the batch aggregate regardless of batch split —
+    the oracle inlines the dimension derivation (tier = user_id % 3; the
+    dim join is lossless because the dim is built from the same table's
+    distinct user ids)."""
     from ocs_duckdb_runner_spark.registry import load_table
 
     dim = (
@@ -268,15 +397,31 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(agg, "complete"))
 
 
-@query("stream_foreach_batch", oracle=None, tags=("streaming", "sink"))
+@query(
+    "stream_foreach_batch",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c,
+           CAST(0 AS BIGINT) AS batch_id
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "sink"),
+)
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink — the escape hatch for sinks Structured Streaming
     doesn't ship natively (JDBC upserts, MERGE INTO, multi-table writes):
     each micro-batch arrives as a regular DataFrame with a batch id, and
     arbitrary batch logic runs exactly-once per epoch (checkpoint-fenced).
     Here each batch is aggregated per event_type and appended to a parquet
-    sink; the returned DataFrame re-reads the sink — so the driver check
-    covers the whole write-then-read loop."""
+    sink; the returned DataFrame re-reads the sink — so the ORACLE check
+    covers the whole write-then-read loop. Determinism: with
+    maxFilesPerTrigger unset, availableNow drains the listing in one
+    epoch (batch_id 0) for both fixture layouts — a multi-batch drain
+    would emit extra (event_type, batch_id) rows and fail the row-count
+    check loudly. stream_incremental_mv exercises the multi-batch
+    foreachBatch path explicitly."""
     import uuid
 
     out = f"/tmp/ocs_stream_sink/{uuid.uuid4().hex}"
@@ -301,7 +446,21 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@query("stream_stream_join", oracle=None, tags=("streaming", "join"))
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+               FROM events)
+    SELECT l.user_id AS l_user, l.ts AS l_ts, r.ts AS r_ts,
+           CAST(round(l.value * 100) AS BIGINT) AS purchase_c
+    FROM e l JOIN e r
+      ON r.user_id = l.user_id
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL 1 HOUR
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    """,
+    tags=("streaming", "join"),
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join: each 'purchase' event matched to the
     same user's 'click' events from the preceding hour — both sides
@@ -309,8 +468,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     be evicted once the watermark passes its ts + 1 hour, which is what
     keeps state finite on an unbounded stream (the defining constraint of
     streaming joins; an un-watermarked side would buffer forever).
-    Aggregated per event_type pair; rows-only driver check — the batch
-    twin of this shape is join_asof/window_range_frame."""
+
+    Oracle determinism: over a drained finite input the emitted append-
+    mode pairs are exactly the batch interval join — provided no match
+    is lost to state eviction mid-drain, which holds under the single-
+    micro-batch default (maxFilesPerTrigger unset; watermark eviction
+    only runs BETWEEN batches). The batch twin of this shape is
+    join_asof/window_range_frame."""
     left = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -348,18 +512,29 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(pairs, "append"))
 
 
-@query("stream_incremental_mv", oracle=None, tags=("streaming", "mv", "sink"))
+@query(
+    "stream_incremental_mv",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "mv", "sink"),
+)
 def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental materialized-view maintenance — the streaming
     leg of mv_incremental_refresh: each micro-batch's per-event-type
     partials MERGE into a persistent MV state via the algebraic rule
     (sum-of-counts, sum-of-sums) inside foreachBatch, exactly-once per
     epoch. After the stream drains, the MV must equal the batch aggregate
-    over all events — asserted against the batch twin in
-    tests/test_streaming.py (rows-only at the driver, like all stream_*
-    queries). This is the production pattern for keeping a dashboard
-    aggregate fresh without ever rescanning the table: state size is the
-    GROUP-KEY space, not the stream.
+    over all events — asserted HERE by the oracle (the merge rule is
+    algebraically exact: integer partial sums commute, so the 4-batch
+    drain reproduces the one-shot aggregate bit-for-bit) and against the
+    batch twin in tests/test_streaming.py. This is the production pattern
+    for keeping a dashboard aggregate fresh without ever rescanning the
+    table: state size is the GROUP-KEY space, not the stream.
 
     Multi-batch on purpose: events is split into 4 parquet files (once
     per sf_dir) and the SOURCE carries maxFilesPerTrigger=1 — a file-
@@ -371,7 +546,12 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = f"/tmp/ocs_stream_sink/mv_{uuid.uuid4().hex}"
     state_dir = f"{base}/state"
-    tag = sf_dir.strip("/").replace("/", "_")
+    # content-addressed cache key: path alone is NOT enough — the scale
+    # probe rebuilds its fixtures in place, and a split source keyed only
+    # by sf_dir would silently stream the STALE copy (found at the r8 10x
+    # probe: the cached split predated the events striking, so the MV
+    # summed 100k rows against a 1M-row oracle)
+    tag = sf_dir.strip("/").replace("/", "_") + "_" + _events_fingerprint(sf_dir)
     src_dir = f"/tmp/ocs_stream_src/events4_{tag}"
     if not os.path.exists(f"{src_dir}/_SUCCESS"):
         load_table(spark, sf_dir, "events").repartition(4).write.mode(

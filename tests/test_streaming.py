@@ -98,7 +98,8 @@ def _rows(df, cols):
 
 def test_stream_tumbling_matches_batch_twin(spark):
     """stream_tumbling_wm ≡ event_tumbling on the same fixture slice —
-    the streaming query's only semantics lock (rows-only at the driver)."""
+    the cross-engine oracle checks arithmetic; this locks the stronger
+    claim that the streaming plan equals the BATCH twin row-for-row."""
     from ocs_duckdb_runner_spark.registry import get_query
 
     cols = ["window_start", "event_type", "n", "sum_value_c"]
@@ -226,7 +227,11 @@ def test_stream_incremental_mv_matches_batch_twin(spark):
     cols = ["event_type", "n", "sum_value_c"]
     got = _rows(get_query("stream_incremental_mv").fn(spark, SF_DIR), cols)
     # the multi-batch premise: the split source really has >=2 files
-    tag = SF_DIR.strip("/").replace("/", "_")
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        _events_fingerprint,
+    )
+
+    tag = SF_DIR.strip("/").replace("/", "_") + "_" + _events_fingerprint(SF_DIR)
     src_dir = f"/tmp/ocs_stream_src/events4_{tag}"
     n_files = sum(1 for f in os.listdir(src_dir) if f.endswith(".parquet"))
     assert n_files >= 2
