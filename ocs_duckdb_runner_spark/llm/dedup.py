@@ -1679,46 +1679,49 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scores feed dedup-adjacent filtering of boilerplate-heavy
     tails.
 
-    Plan: NO corpus-sized join. (doc, shingle) pairs are distinct by
-    construction (array_distinct before the explode), so a doc's novel
+    Plan: NO corpus-sized join, and only ONE corpus-sized pass. (doc,
+    shingle) pairs are distinct by construction (array_distinct inside
+    shingle_hashes), which buys two structural savings at once: the
+    per-doc denominator is just size(sh) — computed MAP-SIDE on the
+    per-doc array with zero shuffle and zero explode — and a doc's novel
     count equals the number of shingles whose corpus-wide min doc_id IS
-    this doc — computable by RE-AGGREGATING the shingle→min-doc frame by
-    its min doc, never joining flags back onto the corpus. Two aggregates
-    over the exploded frame: per-doc shingle counts (map-side combine
-    collapses each task's rows to one partial count per doc, so the
-    doc-keyed exchange carries doc-count-sized partials, not corpus-sized
-    rows) and per-shingle min (map-side combine, AQE-splittable — NOT a
-    min window, which would ship every occurrence of a viral shingle to
-    one unsplittable task; see _capped_shingle_docs), whose min-doc
-    re-aggregate is distinct-shingle-sized. The final equi-join unites
-    two doc-count-sized frames. Wall-clock ties the earlier join-back
-    formulation at the 10x probe (both shapes' exchanges collapse to
-    combiner partials); the join-free shape wins on SKEW: the old plan
-    probed the min-doc frame back on the shingle key, so one viral
-    shingle fanned its whole occurrence list through a single join task
-    (AQE skew-split territory) — here a viral shingle is one more input
-    row to a min() combiner and never a join key at all. Shuffle keys
-    are 8-byte xxhash64 shingle hashes, not ~20-byte strings (novelty
-    needs only equality; a cross-shingle collision is ~1e-11 at corpus
-    scale)."""
+    this doc, computable by RE-AGGREGATING the shingle→min-doc frame by
+    its min doc, never joining flags back onto the corpus. So the only
+    aggregate touching exploded 50N rows is the per-shingle min
+    (map-side combine, AQE-splittable — NOT a min window, which would
+    ship every occurrence of a viral shingle to one unsplittable task;
+    see _capped_shingle_docs), whose min-doc re-aggregate is
+    distinct-shingle-sized. The final equi-join unites two
+    doc-count-sized frames. The join-free shape also wins on SKEW: a
+    join-back formulation probes the min-doc frame on the shingle key,
+    so one viral shingle fans its whole occurrence list through a single
+    join task (AQE skew-split territory) — here a viral shingle is one
+    more input row to a min() combiner and never a join key at all.
+    Shuffle keys are 8-byte xxhash64 shingle hashes, not ~20-byte
+    strings (novelty needs only equality; a cross-shingle collision is
+    ~1e-11 at corpus scale)."""
     return _novelty_build(spark, sf_dir)
 
 
 def _novelty_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The novelty plan, shared by corpus_ngram_novelty and the plan pin
-    in tests/test_plans.py. Deliberately NOT persisted: the exploded
-    frame feeds two aggregates, and recomputing a map-side explode is
-    cheaper than materializing a corpus-sized cache — measured 4.1 s vs
-    5.1 s warm at sf0.1, equal at the 10x probe, and at cluster scale a
-    corpus-sized .persist() is memory pressure the plan doesn't need."""
-    sh = _doc_shingle_hashes(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
-    per_doc = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    in tests/test_plans.py. Deliberately NOT persisted (a corpus-sized
+    .persist() is memory pressure the plan doesn't need at cluster
+    scale). Only the NOVEL branch ever explodes: the per-doc denominator
+    is size(sh) — the shingle array is array_distinct by construction,
+    so its size IS the distinct-shingle count — computed map-side with
+    zero shuffle, where an earlier revision re-derived it by exploding
+    the corpus a second time and re-aggregating 50N rows back onto
+    doc_id. The size() shape removes one of the two corpus-sized
+    aggregation passes outright (per-round wall numbers live in
+    BENCH_QUERIES.json)."""
+    doc_sh = _doc_shingle_hashes(spark, sf_dir)
+    per_doc = doc_sh.select(
+        "doc_id", F.size("sh").cast("long").alias("n_shingles")
     )
     novel = (
-        sh.groupBy("shingle")
+        doc_sh.select("doc_id", F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_novel"))
@@ -1898,14 +1901,15 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary analog). A flat cumulative tail says further ingestion
     re-buys existing shingles and the token budget should move elsewhere.
 
-    Plan: the corpus_ngram_novelty shape — NO corpus-sized join. Novel
-    counts re-aggregate the shingle→min-doc frame by the min doc's
-    bucket (distinct (doc, shingle) pairs make "novel shingles in bucket
-    b" = "shingles whose corpus-wide min doc lands in b"); doc and
-    shingle totals come from a per-doc combiner aggregate whose exchange
-    carries doc-count-sized partials. Both aggregates collapse map-side;
-    the min-agg is AQE-splittable (NOT a min window — a viral shingle
-    would pin one task). The bucket id is a map-side integer expression
+    Plan: the corpus_ngram_novelty shape — NO corpus-sized join, one
+    corpus-sized pass. Novel counts re-aggregate the shingle→min-doc
+    frame by the min doc's bucket (distinct (doc, shingle) pairs make
+    "novel shingles in bucket b" = "shingles whose corpus-wide min doc
+    lands in b"); doc and shingle totals need no explode at all —
+    size(sh) per doc is a map-side expression over the distinct shingle
+    array, so the totals branch aggregates N doc rows, not 50N exploded
+    rows. The min-agg is map-side-combined and AQE-splittable (NOT a
+    min window — a viral shingle would pin one task). The bucket id is a map-side integer expression
     from doc_id and the broadcast 1-row id-range frame (min/max
     normalization, NOT count-based: ingestion position is measured over
     the observed id RANGE, so sparse or strided id spaces — e.g. the
@@ -1913,12 +1917,9 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_CURVE_BUCKETS} buckets); the final
     cumulative window runs over exactly {N_CURVE_BUCKETS} rows. Nothing
     after the combiners grows past O(docs)."""
-    # no persist: the exploded frame feeds two aggregates, and
-    # recomputing the map-side explode beats a corpus-sized cache
-    # (measured — see _novelty_build)
-    sh = _doc_shingle_hashes(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
+    # only the novel branch explodes: the per-doc denominator is
+    # size(sh) map-side — see _novelty_build for the measured win
+    doc_sh = _doc_shingle_hashes(spark, sf_dir)
     n = (
         load_table(spark, sf_dir, "documents")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -1932,8 +1933,7 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     totals = (
-        sh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+        doc_sh.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
         .crossJoin(F.broadcast(n))
         .groupBy(bucket.alias("bucket"))
         .agg(
@@ -1942,7 +1942,8 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     novel = (
-        sh.groupBy("shingle")
+        doc_sh.select("doc_id", F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
         .agg(F.min("doc_id").alias("doc_id"))
         .crossJoin(F.broadcast(n))
         .groupBy(bucket.alias("bucket"))
