@@ -512,6 +512,69 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(pairs, "append"))
 
 
+def _mv_latest_version(state_root: str, below: int | None = None) -> int | None:
+    """Highest COMPLETE (``_SUCCESS``-marked) state version under
+    ``state_root``, optionally restricted to versions strictly below a
+    batch id (what a merge reads as its predecessor)."""
+    if not os.path.isdir(state_root):
+        return None
+    best = None
+    for name in os.listdir(state_root):
+        if not name.startswith("v"):
+            continue
+        try:
+            vid = int(name[1:])
+        except ValueError:
+            continue
+        if below is not None and vid >= below:
+            continue
+        if not os.path.exists(os.path.join(state_root, name, "_SUCCESS")):
+            continue
+        if best is None or vid > best:
+            best = vid
+    return best
+
+
+def _mv_merge_batch(state_root: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Idempotent algebraic MV merge for one foreachBatch epoch.
+
+    foreachBatch is exactly-once only if the batch write is IDEMPOTENT
+    keyed by batch_id: after a crash between a completed write and the
+    checkpoint commit, Structured Streaming REPLAYS that batch, and a
+    bare read-merge-swap double-counts it (an earlier revision had
+    exactly that hazard — and a swap also has a lose-the-state window
+    between the delete and the rename). The state is therefore
+    VERSIONED, the Delta-commit pattern in miniature: epoch N merges
+    the latest complete version BELOW N with its own partials and
+    writes ``v{N}`` (overwrite). A replayed epoch rewrites the same
+    version with identical content from the same inputs; prior
+    versions are never touched, so a crash at ANY point leaves only a
+    partial ``v{N}`` that the replay overwrites. Readers take the
+    highest ``_SUCCESS``-complete version. Old versions are the vacuum
+    story, same as any MVCC table (cf. sink_vacuum_retention).
+    Crash-recovery is exercised deterministically (injected failure +
+    restart from the same checkpoint) in tests/test_streaming.py."""
+    part = batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
+    )
+    prev_v = _mv_latest_version(state_root, below=batch_id)
+    if prev_v is None:
+        merged = part
+    else:
+        prev = batch_df.sparkSession.read.parquet(
+            f"{state_root}/v{prev_v}"
+        )
+        merged = (
+            prev.unionAll(part)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_value_c").cast("long").alias("sum_value_c"),
+            )
+        )
+    merged.write.mode("overwrite").parquet(f"{state_root}/v{batch_id}")
+
+
 @query(
     "stream_incremental_mv",
     oracle=f"""
@@ -559,28 +622,7 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(src_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
-        )
-        try:
-            prev = batch_df.sparkSession.read.parquet(state_dir)
-        except Exception:
-            prev = None
-        merged = part if prev is None else (
-            prev.unionAll(part)
-            .groupBy("event_type")
-            .agg(
-                F.sum("n").cast("long").alias("n"),
-                F.sum("sum_value_c").cast("long").alias("sum_value_c"),
-            )
-        )
-        # write-then-swap: parquet can't overwrite its own input in place
-        tmp = f"{state_dir}_next_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(state_dir, ignore_errors=True)
-        shutil.move(tmp, state_dir)
+        _mv_merge_batch(state_dir, batch_df, batch_id)
 
     # split source already carries batch-loader ts normalization, so the
     # stream schema is exactly the written footer schema
@@ -596,4 +638,9 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state_dir).orderBy("event_type")
+    final_v = _mv_latest_version(state_dir)
+    return (
+        spark.read.parquet(f"{state_dir}/v{final_v}")
+        .select("event_type", "n", "sum_value_c")
+        .orderBy("event_type")
+    )

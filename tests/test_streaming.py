@@ -286,3 +286,99 @@ def test_stream_source_reads_directory_parquet_layout(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("dir_layout_probe").count()
     assert got == n_src and got > 0
+
+
+def _mv_state_rows(spark, state_root):
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        _mv_latest_version,
+    )
+
+    v = _mv_latest_version(state_root)
+    return _rows(
+        spark.read.parquet(f"{state_root}/v{v}").select(
+            "event_type", "n", "sum_value_c"
+        ),
+        ["event_type", "n", "sum_value_c"],
+    )
+
+
+def _batch_mv_rows(spark):
+    from ocs_duckdb_runner_spark.exactness import fx_sum
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    return _rows(
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")),
+        ["event_type", "n", "sum_value_c"],
+    )
+
+
+def test_stream_mv_replayed_epoch_is_idempotent(spark, tmp_path):
+    """The exactly-once contract foreachBatch actually offers is
+    at-least-once delivery + idempotent-by-batch_id writes: after a crash
+    between a completed merge and the checkpoint commit, the SAME epoch
+    is delivered again. Merging every epoch twice must therefore change
+    nothing — the versioned state rewrites v{N} with identical content
+    instead of double-counting (the hazard a bare read-merge-swap has)."""
+    from ocs_duckdb_runner_spark.registry import load_table
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        _mv_merge_batch,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    half0 = events.filter(F.col("event_id") % 2 == 0)
+    half1 = events.filter(F.col("event_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    _mv_merge_batch(state, half0, 0)
+    _mv_merge_batch(state, half0, 0)  # replayed epoch 0
+    _mv_merge_batch(state, half1, 1)
+    _mv_merge_batch(state, half1, 1)  # replayed epoch 1
+    assert _mv_state_rows(spark, state) == _batch_mv_rows(spark)
+
+
+def test_stream_mv_crash_after_merge_recovers_exactly_once(spark, tmp_path):
+    """End-to-end crash recovery: epoch 1's merge COMPLETES, then the
+    sink raises before Structured Streaming can commit the epoch — the
+    worst-case window, since a restart replays a batch whose effects are
+    already in the state. Restarting from the same checkpoint must
+    converge to exactly the one-shot batch aggregate (no double-count,
+    no lost epochs)."""
+    import os
+
+    from ocs_duckdb_runner_spark.registry import load_table
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        _mv_merge_batch,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    crash_flag = tmp_path / "crashed"
+
+    def merge(batch_df, batch_id):
+        _mv_merge_batch(state, batch_df, batch_id)
+        if batch_id == 1 and not crash_flag.exists():
+            crash_flag.touch()
+            raise RuntimeError("injected crash: merged but not committed")
+
+    def run():
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    n_files = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_files >= 3  # the crash epoch must not be the last one
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    assert crash_flag.exists()
+    run()  # restart: epoch 1 replays (already merged), then 2..N run
+    assert _mv_state_rows(spark, state) == _batch_mv_rows(spark)
