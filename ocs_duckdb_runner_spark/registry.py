@@ -172,6 +172,38 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def fixture_fingerprint(sf_dir: str, table: str | None = None) -> str:
+    """Cheap content fingerprint — file names, sizes, mtimes; no data
+    read — of one table's files (or every table in the fixture dir when
+    ``table`` is None). Every on-disk cache DERIVED from the fixtures
+    must carry this in its key: a cache keyed by sf_dir path alone goes
+    silently stale the moment a probe rebuilds its fixtures in place
+    (the r8 10x finding: stream_incremental_mv's 4-way split source
+    predated the events striking and the MV summed a 100k-row copy
+    against a 1M-row oracle — exactly 10x off, caught only because the
+    query is oracle-checked)."""
+    import hashlib
+
+    h = hashlib.md5()
+
+    def _add(path: str) -> None:
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                fp = os.path.join(path, f)
+                h.update(
+                    f"{f}:{os.path.getsize(fp)}:{int(os.path.getmtime(fp))};".encode()
+                )
+        elif os.path.exists(path):
+            h.update(
+                f"{path}:{os.path.getsize(path)}:{int(os.path.getmtime(path))};".encode()
+            )
+
+    names = (table,) if table is not None else TABLES
+    for t in names:
+        _add(f"{sf_dir}/{t}.parquet")
+    return h.hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Path-based parquet scan — the reference's data model is one
     self-describing parquet object per table, no catalog

@@ -405,9 +405,17 @@ def split_objects_path(sf_dir: str, n: int = 8) -> str:
     """Deterministic location of the split-object layout for sf_dir —
     computable WITHOUT a SparkSession (the --via-loopback server must know
     its root before the JVM starts, since the s3a endpoint conf is fixed
-    at session build)."""
+    at session build). The key carries a content fingerprint of the
+    lineitem fixture the objects are split from: path-keyed derived
+    caches go stale when a probe rebuilds its fixtures in place (see
+    registry.fixture_fingerprint)."""
+    from ocs_duckdb_runner_spark.registry import fixture_fingerprint
+
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/ocs_fanout_objects/{tag}_{n}"
+    return (
+        f"/tmp/ocs_fanout_objects/{tag}_{n}_"
+        f"{fixture_fingerprint(sf_dir, 'lineitem')}"
+    )
 
 
 def split_objects(spark: SparkSession, sf_dir: str, n: int = 8) -> str:

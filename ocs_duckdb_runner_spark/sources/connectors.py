@@ -49,8 +49,16 @@ _ORDERS_ORACLE = """
 
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    """Location of a derived source/sink fixture. The key carries a
+    content fingerprint of the WHOLE fixture dir (different formats
+    derive from different tables — orders, documents, lineitem — so the
+    coarse whole-dir print trades a little over-invalidation for never
+    serving a stale derived fixture after a probe rebuilds in place; see
+    registry.fixture_fingerprint)."""
+    from ocs_duckdb_runner_spark.registry import fixture_fingerprint
+
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"{_CACHE_ROOT}/{tag}/{fmt}"
+    return f"{_CACHE_ROOT}/{tag}_{fixture_fingerprint(sf_dir)}/{fmt}"
 
 
 def _write_once(df: DataFrame, out: str, fmt: str, **options) -> None:

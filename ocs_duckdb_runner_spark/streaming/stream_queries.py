@@ -97,21 +97,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the events fixture (file names, sizes,
-    mtimes — no data read), used to content-address derived caches."""
-    import hashlib
+    """Content fingerprint of the events fixture, used to content-address
+    the derived split-source cache (see registry.fixture_fingerprint for
+    why path-keyed derived caches are a staleness hazard)."""
+    from ocs_duckdb_runner_spark.registry import fixture_fingerprint
 
-    path = f"{sf_dir}/events.parquet"
-    h = hashlib.md5()
-    if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            fp = os.path.join(path, f)
-            h.update(
-                f"{f}:{os.path.getsize(fp)}:{int(os.path.getmtime(fp))};".encode()
-            )
-    else:
-        h.update(f"{os.path.getsize(path)}:{int(os.path.getmtime(path))}".encode())
-    return h.hexdigest()[:12]
+    return fixture_fingerprint(sf_dir, "events")
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> str:
