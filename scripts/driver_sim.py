@@ -58,6 +58,13 @@ _CAPPED_QUERIES = {
     "dedup_ngram_jaccard",
     "dedup_containment",
     "graph_triangle_count",
+    # pair LIST output is quadratic in clone multiplicity, and the probe
+    # strikes every text into ~copies identical docs: at 100x (4,992
+    # unique texts x ~100 copies) the cluster-edge list is ~50M pairs and
+    # the DuckDB oracle's union-find over it OOMs the host (measured:
+    # 129 GB RSS before the kill) — same phenomenon, same honest
+    # capped-same-input remedy as the jaccard pair queries
+    "dedup_clusters",
 }
 _CAP_THRESHOLD = 20_000  # docs; sf0.1 has 5k — cap only kicks in at probes
 _CAP_MOD = 7  # keep doc_id % 7 == 0 → ~1/7 of the corpus
