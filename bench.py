@@ -162,6 +162,8 @@ HEADLINE = [
     "corpus_syndication_matrix",
     "split_kfold",
     "eval_dedup_threshold_sweep",
+    "table_observe_metrics",
+    "udf_arrow_surface",
 ]
 
 

@@ -182,3 +182,58 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL ocs_split_spans(CAST(d.n_chars AS INT)) s
         """
     )
+
+
+@query(
+    "udf_arrow_surface",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS net_c
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the sixth and lowest-overhead Python extension point
+    (after udf_surface's scalar/pandas/grouped-map trio, udaf_surface's
+    grouped-agg, and udtf_surface's table function):
+    batches arrive as pyarrow.RecordBatch with NO pandas materialization,
+    so the only per-batch cost is the Arrow IPC hop itself. This is the
+    surface to reach for when the Python side is itself Arrow-native
+    (vector libs, Arrow-backed model featurizers) — at 100 TB the
+    difference between per-row pickling and zero-copy columnar transfer
+    is the difference between a UDF stage that dominates the job and one
+    that disappears into it. Like udf_surface, the computation (net
+    price in exact cents) deliberately replicates a SQL-expressible
+    expression so the oracle checks the Arrow path end-to-end; the
+    rounding mode is pinned to half-towards-infinity (= away from zero) to match both
+    engines' round() (pyarrow defaults to half-to-even, which WOULD
+    diverge on exact .5 cents)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+
+    def _net_cents(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            net = pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                pa.scalar(100.0),
+            )
+            net_c = pc.cast(
+                pc.round(net, round_mode="half_towards_infinity"), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), net_c], ["l_orderkey", "net_c"]
+            )
+
+    return li.mapInArrow(_net_cents, "l_orderkey long, net_c long")

@@ -458,3 +458,58 @@ def table_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("abs_cent_drift"),
     )
+
+
+@query(
+    "table_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+               AS n_disc_hi,
+           CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT)
+               AS n_qty_null
+    FROM lineitem
+    """,
+    tags=("quality", "observe"),
+)
+def table_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline data-quality observation via Spark's Observation API
+    (`Dataset.observe` → a CollectMetrics node in the plan): the
+    production pattern for metric collection WITHOUT a second scan — the
+    counters ride along with whatever action consumes the frame (here a
+    noop-sink write standing in for the real downstream write), and the
+    driver reads them from the completed query's metrics, not from a new
+    job. This is how a 100 TB pipeline checks row counts, null rates,
+    and drift gates for free: the alternative — a separate audit query —
+    doubles the dominant cost (the scan). table_constraint_audit is the
+    one-pass BATCH audit; this is the same economics attached to an
+    existing action. The observed values are plain aggregates, so the
+    oracle recomputes them exactly (the check proves the observation
+    path reports the same numbers a direct aggregate would)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_disc_hi"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_qty_null"),
+    )
+    # the action the metrics ride on — a full-pass sink write, like the
+    # real pipeline write the observation would instrument
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["sum_qty"],
+                m["n_disc_hi"],
+                m["n_qty_null"],
+            )
+        ],
+        "n_rows long, sum_qty long, n_disc_hi long, n_qty_null long",
+    )
