@@ -164,6 +164,7 @@ HEADLINE = [
     "eval_dedup_threshold_sweep",
     "table_observe_metrics",
     "udf_arrow_surface",
+    "src_python_datasource",
 ]
 
 

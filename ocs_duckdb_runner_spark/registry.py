@@ -87,6 +87,7 @@ def _load_all() -> None:
     import ocs_duckdb_runner_spark.events.timeseries  # noqa: F401
     import ocs_duckdb_runner_spark.events.windows  # noqa: F401
     import ocs_duckdb_runner_spark.sources.connectors  # noqa: F401
+    import ocs_duckdb_runner_spark.sources.python_datasource  # noqa: F401
     import ocs_duckdb_runner_spark.streaming.stream_queries  # noqa: F401
     import ocs_duckdb_runner_spark.runner  # noqa: F401
 

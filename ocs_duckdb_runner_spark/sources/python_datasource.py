@@ -1,0 +1,99 @@
+"""Custom Python data source (Spark 4 `pyspark.sql.datasource`) — the
+extension point for reading formats Spark has no built-in reader for
+(proprietary telemetry dumps, bespoke binary layouts, internal REST
+feeds) WITHOUT writing a JVM DataSource V2: the planner asks the Python
+class for a schema and a partition list, then runs `read(partition)` as
+an Arrow-fed generator on the executors — so a custom format still gets
+real parallelism (one task per InputPartition), column pruning at the
+Spark level, and everything downstream is ordinary Catalyst.
+
+The source here synthesizes a deterministic telemetry table from pure
+integer arithmetic (split across 8 partitions the way a real source
+would split across files/shards), because determinism is what makes the
+query ORACLE-CHECKABLE: the DuckDB twin regenerates the same rows from
+`range()` arithmetic, so the check proves the whole Python-source path —
+schema, partition planning, per-partition generators, type mapping —
+delivers exactly the declared rows. The float column is one integer
+division per row (same two operands in both engines → bit-identical
+IEEE result, the exactness.py rule).
+
+At 100 TB the pattern holds: partitions() returns one entry per shard
+of the external system, each executor reads only its shard, and no row
+ever passes through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ocs_duckdb_runner_spark.registry import query
+
+# 8 partitions x 1250 rows; vid * KNUTH stays far below 2^63 so the
+# modulus is exact BIGINT arithmetic in Python, Spark, and DuckDB alike
+N_PARTS = 8
+ROWS_PER_PART = 1250
+_KNUTH = 2654435761
+_MOD = 1000003
+
+
+def _make_source():
+    """Build the DataSource class lazily (import inside so merely loading
+    the registry never requires the Spark 4 datasource module)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("parts", N_PARTS))
+            self.rows = int(options.get("rows", ROWS_PER_PART))
+
+        def partitions(self):
+            # one InputPartition per shard -> one Spark task each
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows
+            for i in range(self.rows):
+                vid = base + i
+                h = (vid * _KNUTH) % _MOD
+                yield (vid, h, h / float(_MOD))
+
+    class SynthTelemetrySource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ocs_synth_telemetry"
+
+        def schema(self):
+            return "vid bigint, h bigint, x double"
+
+        def reader(self, schema):
+            return _SynthReader(self.options)
+
+    return SynthTelemetrySource
+
+
+@query(
+    "src_python_datasource",
+    oracle=f"""
+    SELECT CAST(vid AS BIGINT) AS vid,
+           CAST((vid * {_KNUTH}) % {_MOD} AS BIGINT) AS h,
+           CAST((vid * {_KNUTH}) % {_MOD} AS DOUBLE) / {_MOD}.0 AS x
+    FROM range({N_PARTS * ROWS_PER_PART}) t(vid)
+    """,
+    tags=("sources", "python-datasource"),
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a registered custom Python DataSource (8 partitions,
+    10k deterministic rows) — see the module docstring for why this is
+    the oracle-checkable proof of the Spark 4 Python-source extension
+    point. Registration is idempotent per session."""
+    spark.dataSource.register(_make_source())
+    return (
+        spark.read.format("ocs_synth_telemetry")
+        .option("parts", str(N_PARTS))
+        .option("rows", str(ROWS_PER_PART))
+        .load()
+    )

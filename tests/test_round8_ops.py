@@ -99,3 +99,17 @@ def test_prefix_truncation_random_corpus_vs_bruteforce(spark):
     expected = brute()
     assert got == expected
     assert expected, "seed must produce at least one pair"
+
+
+def test_python_datasource_partition_parallelism(spark):
+    """The custom Python source must plan ONE task per InputPartition —
+    the property that gives a bespoke format real executor parallelism
+    instead of a single-threaded driver read (the 100 TB point of the
+    DataSource API)."""
+    from ocs_duckdb_runner_spark.registry import get_query
+    from ocs_duckdb_runner_spark.sources.python_datasource import N_PARTS
+
+    df = get_query("src_python_datasource").fn(spark, "")
+    assert df.rdd.getNumPartitions() == N_PARTS
+    # shard boundaries land where the partition plan says they should
+    assert df.count() == 10_000
