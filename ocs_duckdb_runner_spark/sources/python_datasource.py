@@ -97,3 +97,104 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rows", str(ROWS_PER_PART))
         .load()
     )
+
+
+# ---- streaming variant ----
+
+N_EPOCHS = 4  # the stream delivers the same 10k rows in 4 offset ranges
+_COUNTER = {"n": 0}  # memory-sink table name sequence (per process)
+
+
+def _make_stream_source():
+    """Streaming Python data source: the same deterministic telemetry,
+    delivered as a bounded sequence of offset ranges through
+    SimpleDataSourceStreamReader — the extension point for streaming
+    systems Spark has no built-in connector for (internal queues, REST
+    polling loops). Offsets are plain dicts checkpointed by Spark; each
+    micro-batch reads one epoch's range, and once the final epoch is
+    served the offset stops advancing, which is how a bounded test
+    stream signals drain-complete to processAllAvailable()."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    rows_per_epoch = (N_PARTS * ROWS_PER_PART) // N_EPOCHS
+
+    class _SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"epoch": 0}
+
+        def read(self, start):
+            epoch = start["epoch"]
+            if epoch >= N_EPOCHS:
+                return iter([]), {"epoch": epoch}
+            base = epoch * rows_per_epoch
+            out = []
+            for i in range(rows_per_epoch):
+                vid = base + i
+                h = (vid * _KNUTH) % _MOD
+                out.append((vid, h, h / float(_MOD)))
+            return iter(out), {"epoch": epoch + 1}
+
+        def readBetweenOffsets(self, start, end):
+            # replay path (post-crash re-read of a committed range)
+            s, e = start["epoch"], end["epoch"]
+            out = []
+            for epoch in range(s, min(e, N_EPOCHS)):
+                base = epoch * rows_per_epoch
+                for i in range(rows_per_epoch):
+                    vid = base + i
+                    h = (vid * _KNUTH) % _MOD
+                    out.append((vid, h, h / float(_MOD)))
+            return iter(out)
+
+    class SynthTelemetryStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "ocs_synth_telemetry_stream"
+
+        def schema(self):
+            return "vid bigint, h bigint, x double"
+
+        def simpleStreamReader(self, schema):
+            return _SynthStreamReader()
+
+    return SynthTelemetryStream
+
+
+@query(
+    "stream_python_datasource",
+    oracle=f"""
+    SELECT CAST(vid AS BIGINT) AS vid,
+           CAST((vid * {_KNUTH}) % {_MOD} AS BIGINT) AS h,
+           CAST((vid * {_KNUTH}) % {_MOD} AS DOUBLE) / {_MOD}.0 AS x
+    FROM range({N_PARTS * ROWS_PER_PART}) t(vid)
+    """,
+    tags=("sources", "python-datasource", "streaming"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom STREAMING Python data source (4 offset epochs x
+    2500 rows) into a memory sink and return the union of all
+    micro-batches. The emitted set is deterministic whatever the batch
+    boundaries (each offset range maps to a fixed row range), so the
+    same oracle as the batch source applies — proving offset planning,
+    epoch reads, and checkpointed progression deliver exactly the
+    declared rows. processAllAvailable() is the drain barrier: it
+    returns once the source's offset stops advancing."""
+    spark.dataSource.register(_make_stream_source())
+    _COUNTER["n"] += 1
+    name = f"pyds_stream_out_{_COUNTER['n']}"
+    q = (
+        spark.readStream.format("ocs_synth_telemetry_stream")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
