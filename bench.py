@@ -165,6 +165,7 @@ HEADLINE = [
     "table_observe_metrics",
     "udf_arrow_surface",
     "src_python_datasource",
+    "sink_python_datasource",
 ]
 
 

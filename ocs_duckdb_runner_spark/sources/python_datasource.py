@@ -198,3 +198,106 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---- writer variant (custom sink with commit protocol) ----
+
+
+def _make_sink_source():
+    """Custom Python data SINK: per-task JSONL part files published
+    through the DataSourceWriter commit protocol — write(iterator) runs
+    on the executors and returns a commit message naming its part file;
+    commit(messages) runs ONCE on the driver and atomically publishes a
+    manifest of exactly the committed parts; abort() removes strays.
+    Readers trust the MANIFEST, not the directory listing, which is what
+    makes the sink exactly-once under task retries and speculative
+    execution: a zombie task's orphan file is never listed. (This is the
+    file-commit half of what Delta/Iceberg do; the table-format queries
+    sink_versioned_snapshot / sink_vacuum_retention carry the MVCC
+    half.)"""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _PartFile(WriterCommitMessage):
+        def __init__(self, name):
+            self.name = name
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            _os.makedirs(self.path, exist_ok=True)
+            name = f"part-{_uuid.uuid4().hex}.jsonl"
+            with open(_os.path.join(self.path, name), "w") as fh:
+                for r in rows:
+                    fh.write(_json.dumps(r.asDict()) + "\n")
+            return _PartFile(name)
+
+        def commit(self, messages):
+            manifest = sorted(m.name for m in messages)
+            tmp = _os.path.join(self.path, "_manifest.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump(manifest, fh)
+            _os.replace(tmp, _os.path.join(self.path, "_manifest.json"))
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    _os.remove(_os.path.join(self.path, m.name))
+                except OSError:
+                    pass
+
+    class JsonlManifestSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "ocs_jsonl_manifest"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    return JsonlManifestSink
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+    tags=("sources", "python-datasource", "sink"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders through the custom Python sink (per-task JSONL parts
+    + driver-side manifest commit), then read back ONLY the manifested
+    parts — so the oracle checks the full write-commit-read loop: every
+    row written exactly once, no orphan parts, doubles surviving the
+    JSON round trip bit-exact (json.dumps emits shortest-roundtrip
+    reprs; Spark's JSON parser restores the identical IEEE value, the
+    same property src_json_roundtrip pins for the built-in writer)."""
+    import json as _json
+    import uuid as _uuid
+
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    spark.dataSource.register(_make_sink_source())
+    out = f"/tmp/ocs_pyds_sink/{_uuid.uuid4().hex}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.format("ocs_jsonl_manifest").option("path", out).mode(
+        "append"
+    ).save()
+    with open(f"{out}/_manifest.json") as fh:
+        parts = _json.load(fh)
+    return spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double"
+    ).json([f"{out}/{p}" for p in parts])
