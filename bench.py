@@ -166,6 +166,7 @@ HEADLINE = [
     "udf_arrow_surface",
     "src_python_datasource",
     "sink_python_datasource",
+    "sink_stream_python_datasource",
 ]
 
 

@@ -301,3 +301,116 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double"
     ).json([f"{out}/{p}" for p in parts])
+
+
+# ---- streaming writer variant (custom streaming sink, per-epoch commit) ----
+
+
+def _make_stream_sink_source():
+    """Custom STREAMING Python sink: DataSourceStreamWriter is the same
+    executor-write/driver-commit protocol as the batch writer, but
+    commit(messages, batchId) runs once per MICRO-BATCH — the epoch
+    fence Structured Streaming's exactly-once story hangs on. Each
+    epoch's manifest is published under its batch id, so a replayed
+    epoch (crash between sink commit and checkpoint commit) simply
+    overwrites its own manifest with identical content instead of
+    double-publishing — the same idempotence-by-batch-id rule as
+    _mv_merge_batch, expressed at the sink-protocol level."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _PartFile(WriterCommitMessage):
+        def __init__(self, name):
+            self.name = name
+
+    class _JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            _os.makedirs(self.path, exist_ok=True)
+            name = f"part-{_uuid.uuid4().hex}.jsonl"
+            with open(_os.path.join(self.path, name), "w") as fh:
+                for r in rows:
+                    fh.write(_json.dumps(r.asDict()) + "\n")
+            return _PartFile(name)
+
+        def commit(self, messages, batchId):
+            manifest = sorted(m.name for m in messages if m is not None)
+            tmp = _os.path.join(self.path, f"_manifest-{batchId}.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump(manifest, fh)
+            _os.replace(
+                tmp, _os.path.join(self.path, f"_manifest-{batchId}.json")
+            )
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.remove(_os.path.join(self.path, m.name))
+                    except OSError:
+                        pass
+
+    class JsonlManifestStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "ocs_jsonl_manifest_stream"
+
+        def streamWriter(self, schema, overwrite):
+            return _JsonlStreamWriter(self.options)
+
+    return JsonlManifestStreamSink
+
+
+@query(
+    "sink_stream_python_datasource",
+    oracle=f"""
+    SELECT CAST(vid AS BIGINT) AS vid,
+           CAST((vid * {_KNUTH}) % {_MOD} AS BIGINT) AS h,
+           CAST((vid * {_KNUTH}) % {_MOD} AS DOUBLE) / {_MOD}.0 AS x
+    FROM range({N_PARTS * ROWS_PER_PART}) t(vid)
+    """,
+    tags=("sources", "python-datasource", "streaming", "sink"),
+)
+def sink_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full custom-connector loop with NO built-in connector on
+    either end: the custom streaming SOURCE's offset epochs flow through
+    the custom streaming SINK's per-epoch manifest commits, and the
+    read-back unions every manifested part across all batch ids. The
+    oracle is the same declared row set as the source — so the check
+    proves epoch-fenced write commits deliver each offset range exactly
+    once end-to-end."""
+    import glob as _glob
+    import json as _json
+    import uuid as _uuid
+
+    spark.dataSource.register(_make_stream_source())
+    spark.dataSource.register(_make_stream_sink_source())
+    out = f"/tmp/ocs_pyds_sink/stream_{_uuid.uuid4().hex}"
+    q = (
+        spark.readStream.format("ocs_synth_telemetry_stream")
+        .load()
+        .writeStream.format("ocs_jsonl_manifest_stream")
+        .option("path", out)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = []
+    for mf in sorted(_glob.glob(f"{out}/_manifest-*.json")):
+        with open(mf) as fh:
+            parts.extend(_json.load(fh))
+    return spark.read.schema("vid long, h long, x double").json(
+        [f"{out}/{p}" for p in parts]
+    )
