@@ -389,3 +389,44 @@ def fn_ansi_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_orderkey").cast("string").try_cast("long").alias("key_roundtrip"),
     )
+
+
+@query(
+    "fn_sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+    tags=("functions", "sql", "pipe"),
+)
+def fn_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (|>) + named-parameter binding — the two
+    newest entry points on the SQL surface, exercised together: the
+    query streams FROM → WHERE → AGGREGATE → SELECT left-to-right (the
+    composable form readers of dplyr/PRQL expect; each |> stage is sugar
+    over the same Catalyst operators, so the PLAN is identical to the
+    classic form), and the filter threshold arrives as a bound :param
+    (spark.sql(..., args=...)) rather than string interpolation — the
+    injection-safe pattern for parameterized analytics. The oracle is
+    the classic-SQL equivalent, proving the sugar changes nothing about
+    the result."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "fn_pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM fn_pipe_lineitem
+        |> WHERE l_quantity < :qty
+        |> AGGREGATE count(*) AS n,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS revenue_c
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue_c
+        """,
+        args={"qty": 25},
+    )
