@@ -188,21 +188,40 @@ def fixture_fingerprint(sf_dir: str, table: str | None = None) -> str:
     h = hashlib.md5()
 
     def _add(path: str) -> None:
+        # mtime at NANOSECOND precision: a whole-second truncation leaves
+        # a same-name same-size rebuild within one second undetected —
+        # the exact staleness class this helper exists to close
         if os.path.isdir(path):
             for f in sorted(os.listdir(path)):
                 fp = os.path.join(path, f)
-                h.update(
-                    f"{f}:{os.path.getsize(fp)}:{int(os.path.getmtime(fp))};".encode()
-                )
+                st = os.stat(fp)
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
         elif os.path.exists(path):
-            h.update(
-                f"{path}:{os.path.getsize(path)}:{int(os.path.getmtime(path))};".encode()
-            )
+            st = os.stat(path)
+            h.update(f"{path}:{st.st_size}:{st.st_mtime_ns};".encode())
 
     names = (table,) if table is not None else TABLES
     for t in names:
         _add(f"{sf_dir}/{t}.parquet")
     return h.hexdigest()[:12]
+
+
+def vacuum_cache_siblings(parent: str, tag: str, keep: str) -> None:
+    """Remove superseded fingerprint generations of a derived cache:
+    every entry under ``parent`` that is the bare ``tag`` (the
+    pre-fingerprint layout) or ``tag_<other-fingerprint>``, except
+    ``keep``. Without this, every in-place fixture rebuild leaks a full
+    derived copy (split objects, round-trip fixtures, stream splits)
+    under /tmp forever."""
+    import shutil
+
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        if name == keep:
+            continue
+        if name == tag or name.startswith(tag + "_"):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -418,13 +418,27 @@ def split_objects_path(sf_dir: str, n: int = 8) -> str:
     )
 
 
-def split_objects(spark: SparkSession, sf_dir: str, n: int = 8) -> str:
+def split_objects(
+    spark: SparkSession, sf_dir: str, n: int = 8, out: str | None = None
+) -> str:
     """Materialize lineitem as n independent parquet objects (the
     reference's many-objects-on-S3 layout, README.md:56) under /tmp,
-    keyed by sf_dir — created once, reused across runs."""
-    out = split_objects_path(sf_dir, n)
+    keyed by sf_dir + content fingerprint — created once, reused across
+    runs. Pass a precomputed ``out`` when the location was pinned
+    earlier in the process (the --via-loopback server root is computed
+    before the JVM starts; recomputing here could diverge if the fixture
+    were touched in between). Superseded fingerprint generations for the
+    same sf_dir are vacuumed on materialize — each rebuild would
+    otherwise leak a full split copy under /tmp."""
+    from ocs_duckdb_runner_spark.registry import vacuum_cache_siblings
+
+    out = out or split_objects_path(sf_dir, n)
     marker = f"{out}/_SUCCESS"
     if not os.path.exists(marker):
+        tag = sf_dir.strip("/").replace("/", "_")
+        vacuum_cache_siblings(
+            "/tmp/ocs_fanout_objects", f"{tag}_{n}", os.path.basename(out)
+        )
         li = load_table(spark, sf_dir, "lineitem")
         li.repartition(n, "l_orderkey").write.mode("overwrite").parquet(out)
     return out
@@ -581,7 +595,11 @@ def main(argv: list[str] | None = None) -> int:
             extra_conf=extra_conf,
         )
         if args.split_sf_dir:
-            objdir = split_objects(spark, args.split_sf_dir, args.split_n)
+            # reuse the pre-JVM loopback root if one was pinned: the
+            # fingerprint must not be recomputed across the JVM boundary
+            objdir = split_objects(
+                spark, args.split_sf_dir, args.split_n, out=loopback_root
+            )
             names = sorted(
                 f for f in os.listdir(objdir) if f.endswith(".parquet")
             )

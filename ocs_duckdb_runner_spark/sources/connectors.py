@@ -54,11 +54,19 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     derive from different tables — orders, documents, lineitem — so the
     coarse whole-dir print trades a little over-invalidation for never
     serving a stale derived fixture after a probe rebuilds in place; see
-    registry.fixture_fingerprint)."""
-    from ocs_duckdb_runner_spark.registry import fixture_fingerprint
+    registry.fixture_fingerprint). First sight of a new fingerprint
+    vacuums the superseded generations, or every rebuild would leak a
+    full derived copy."""
+    from ocs_duckdb_runner_spark.registry import (
+        fixture_fingerprint,
+        vacuum_cache_siblings,
+    )
 
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"{_CACHE_ROOT}/{tag}_{fixture_fingerprint(sf_dir)}/{fmt}"
+    root = f"{tag}_{fixture_fingerprint(sf_dir)}"
+    if not os.path.isdir(f"{_CACHE_ROOT}/{root}"):
+        vacuum_cache_siblings(_CACHE_ROOT, tag, root)
+    return f"{_CACHE_ROOT}/{root}/{fmt}"
 
 
 def _write_once(df: DataFrame, out: str, fmt: str, **options) -> None:
@@ -143,7 +151,24 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same key repeatedly: pay the shuffle once at write time, never
     at read time (tests/test_plans.py pins the exchange-free plan).
     Results are layout-independent — the oracle is the plain join."""
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    from ocs_duckdb_runner_spark.registry import (
+        fixture_fingerprint,
+        vacuum_cache_siblings,
+    )
+
+    # the bucketed copies are fixture-DERIVED: key the table names and
+    # paths by content fingerprint like every other derived cache, or a
+    # probe rebuilding its fixtures in place would leave tableExists true
+    # for tables bucketed from the STALE data
+    base_tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = (
+        base_tag
+        + "_"
+        + fixture_fingerprint(sf_dir, "orders")
+        + fixture_fingerprint(sf_dir, "customer")[:6]
+    )
+    if not os.path.isdir(f"{_CACHE_ROOT}/{tag}"):
+        vacuum_cache_siblings(_CACHE_ROOT, base_tag, tag)
     specs = [
         ("orders", "o_custkey", f"orders_bkt_{tag}"),
         ("customer", "c_custkey", f"customer_bkt_{tag}"),

@@ -102,7 +102,52 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- streaming variant ----
 
 N_EPOCHS = 4  # the stream delivers the same 10k rows in 4 offset ranges
+# the oracle generates the FULL row set, so the epochs must tile it
+# exactly — fail at import time, not with a confusing row-count
+# mismatch at the probe
+assert (N_PARTS * ROWS_PER_PART) % N_EPOCHS == 0
+_ROWS_PER_EPOCH = (N_PARTS * ROWS_PER_PART) // N_EPOCHS
 _COUNTER = {"n": 0}  # memory-sink table name sequence (per process)
+
+
+def _epoch_rows(epoch: int):
+    """The single definition of what offset range `epoch` contains —
+    shared by the live read() path and the post-crash replay path so the
+    two can never drift."""
+    base = epoch * _ROWS_PER_EPOCH
+    for i in range(_ROWS_PER_EPOCH):
+        vid = base + i
+        h = (vid * _KNUTH) % _MOD
+        yield (vid, h, h / float(_MOD))
+
+
+def _write_jsonl_part(path: str, rows) -> str:
+    """Executor-side part write shared by the batch and streaming sinks:
+    one uuid-named JSONL file per task attempt, name returned for the
+    commit message. Shared so a change to the part format or durability
+    (e.g. fsync before commit) cannot silently apply to one sink only."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(path, exist_ok=True)
+    name = f"part-{_uuid.uuid4().hex}.jsonl"
+    with open(_os.path.join(path, name), "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r.asDict()) + "\n")
+    return name
+
+
+def _abort_jsonl_parts(path: str, messages) -> None:
+    """Shared abort: remove the aborted attempt's parts, tolerate races."""
+    import os as _os
+
+    for m in messages:
+        if m is not None:
+            try:
+                _os.remove(_os.path.join(path, m.name))
+            except OSError:
+                pass
 
 
 def _make_stream_source():
@@ -119,35 +164,26 @@ def _make_stream_source():
         SimpleDataSourceStreamReader,
     )
 
-    rows_per_epoch = (N_PARTS * ROWS_PER_PART) // N_EPOCHS
-
     class _SynthStreamReader(SimpleDataSourceStreamReader):
         def initialOffset(self):
             return {"epoch": 0}
 
         def read(self, start):
+            # materialized list, not a lazy generator: the simple-reader
+            # protocol PICKLES the batch for prefetch/replay caching
             epoch = start["epoch"]
             if epoch >= N_EPOCHS:
                 return iter([]), {"epoch": epoch}
-            base = epoch * rows_per_epoch
-            out = []
-            for i in range(rows_per_epoch):
-                vid = base + i
-                h = (vid * _KNUTH) % _MOD
-                out.append((vid, h, h / float(_MOD)))
-            return iter(out), {"epoch": epoch + 1}
+            return list(_epoch_rows(epoch)), {"epoch": epoch + 1}
 
         def readBetweenOffsets(self, start, end):
-            # replay path (post-crash re-read of a committed range)
-            s, e = start["epoch"], end["epoch"]
-            out = []
-            for epoch in range(s, min(e, N_EPOCHS)):
-                base = epoch * rows_per_epoch
-                for i in range(rows_per_epoch):
-                    vid = base + i
-                    h = (vid * _KNUTH) % _MOD
-                    out.append((vid, h, h / float(_MOD)))
-            return iter(out)
+            # replay path (post-crash re-read of a committed range) —
+            # same row definition as read(), so the two can never drift
+            return [
+                row
+                for epoch in range(start["epoch"], min(end["epoch"], N_EPOCHS))
+                for row in _epoch_rows(epoch)
+            ]
 
     class SynthTelemetryStream(DataSource):
         @classmethod
@@ -217,7 +253,6 @@ def _make_sink_source():
     half.)"""
     import json as _json
     import os as _os
-    import uuid as _uuid
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -234,26 +269,17 @@ def _make_sink_source():
             self.path = options["path"]
 
         def write(self, rows):
-            _os.makedirs(self.path, exist_ok=True)
-            name = f"part-{_uuid.uuid4().hex}.jsonl"
-            with open(_os.path.join(self.path, name), "w") as fh:
-                for r in rows:
-                    fh.write(_json.dumps(r.asDict()) + "\n")
-            return _PartFile(name)
+            return _PartFile(_write_jsonl_part(self.path, rows))
 
         def commit(self, messages):
-            manifest = sorted(m.name for m in messages)
+            manifest = sorted(m.name for m in messages if m is not None)
             tmp = _os.path.join(self.path, "_manifest.tmp")
             with open(tmp, "w") as fh:
                 _json.dump(manifest, fh)
             _os.replace(tmp, _os.path.join(self.path, "_manifest.json"))
 
         def abort(self, messages):
-            for m in messages:
-                try:
-                    _os.remove(_os.path.join(self.path, m.name))
-                except OSError:
-                    pass
+            _abort_jsonl_parts(self.path, messages)
 
     class JsonlManifestSink(DataSource):
         @classmethod
@@ -318,7 +344,6 @@ def _make_stream_sink_source():
     _mv_merge_batch, expressed at the sink-protocol level."""
     import json as _json
     import os as _os
-    import uuid as _uuid
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -335,12 +360,7 @@ def _make_stream_sink_source():
             self.path = options["path"]
 
         def write(self, rows):
-            _os.makedirs(self.path, exist_ok=True)
-            name = f"part-{_uuid.uuid4().hex}.jsonl"
-            with open(_os.path.join(self.path, name), "w") as fh:
-                for r in rows:
-                    fh.write(_json.dumps(r.asDict()) + "\n")
-            return _PartFile(name)
+            return _PartFile(_write_jsonl_part(self.path, rows))
 
         def commit(self, messages, batchId):
             manifest = sorted(m.name for m in messages if m is not None)
@@ -352,12 +372,7 @@ def _make_stream_sink_source():
             )
 
         def abort(self, messages, batchId):
-            for m in messages:
-                if m is not None:
-                    try:
-                        _os.remove(_os.path.join(self.path, m.name))
-                    except OSError:
-                        pass
+            _abort_jsonl_parts(self.path, messages)
 
     class JsonlManifestStreamSink(DataSource):
         @classmethod

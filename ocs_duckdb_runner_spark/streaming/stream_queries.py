@@ -198,14 +198,25 @@ def stream_sliding_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _user_totals_state(key, pdfs, state):
     """Custom stateful operator body (applyInPandasWithState): per-user
     running (event count, exact value-cents sum) carried in the state
-    store across micro-batches; emits one updated row per batch."""
+    store across micro-batches; emits one updated row per batch.
+
+    Rounding: cents come from sign-aware floor(|v|+0.5) — round HALF AWAY
+    FROM ZERO — because both engines' round() (Spark HALF_UP, DuckDB
+    half-away) use that tie rule, while pandas Series.round() is numpy
+    round-half-to-EVEN and would diverge from the oracle on any value
+    whose cents land exactly on .5 (2-decimal fixtures never do, but the
+    operator must not depend on that fixture accident)."""
+    import numpy as np
     import pandas as pd
 
     (user_id,) = key
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"].fillna(0.0).mul(100).round()).sum())
+        v = pdf["value"].fillna(0.0).to_numpy() * 100.0
+        cents += int(
+            (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
+        )
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value_c": [cents]}
@@ -605,9 +616,15 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by sf_dir would silently stream the STALE copy (found at the r8 10x
     # probe: the cached split predated the events striking, so the MV
     # summed 100k rows against a 1M-row oracle)
-    tag = sf_dir.strip("/").replace("/", "_") + "_" + _events_fingerprint(sf_dir)
+    sf_tag = sf_dir.strip("/").replace("/", "_")
+    tag = sf_tag + "_" + _events_fingerprint(sf_dir)
     src_dir = f"/tmp/ocs_stream_src/events4_{tag}"
     if not os.path.exists(f"{src_dir}/_SUCCESS"):
+        from ocs_duckdb_runner_spark.registry import vacuum_cache_siblings
+
+        vacuum_cache_siblings(
+            "/tmp/ocs_stream_src", f"events4_{sf_tag}", f"events4_{tag}"
+        )
         load_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(src_dir)
