@@ -226,8 +226,12 @@ def main() -> int:
     # exactly that). Hits/bytes are identical across runs; only wall
     # varies.
     runner.run(files)
-    reps = [runner.run(files) for _ in range(3)]
-    rep = sorted(reps, key=lambda r: r["total_query_time_sec"])[1]
+    # five reps, median: late-round measurements showed the ambient band
+    # can move a 3-rep median by 2-3x (post-OOM page-cache eviction,
+    # hypervisor neighbors); five samples keeps one bad draw out of the
+    # reported number while still reporting a real, single-run wall
+    reps = [runner.run(files) for _ in range(5)]
+    rep = sorted(reps, key=lambda r: r["total_query_time_sec"])[2]
 
     # Fresh-session re-time of the 10 slowest queries (r7 verdict Next
     # #6): in-suite numbers alias session pressure — codegen-cache/heap

@@ -42,6 +42,8 @@ MINI_SET = [
     "mm_image_resize",            # llm/multimodal codec
     "corpus_token_budget",        # llm/curation
     "catalog_describe",           # sources/connectors: catalog/sink leg
+    "stream_tumbling_wm",         # streaming: drained-stream oracle
+    "src_python_datasource",      # sources/python_datasource: custom source
 ]
 
 
