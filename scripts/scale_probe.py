@@ -82,7 +82,12 @@ def out_dir(copies: int) -> str:
     return f"/tmp/ocs_scaleprobe/sf{copies // 10}"
 
 
-def build(copies: int) -> str:
+def build(copies: int, tables: list[str] | None = None) -> str:
+    """Build the struck fixture dir. ``tables`` restricts which FACT
+    tables are struck (default: all five); a scaled table excluded this
+    way is OMITTED from the output dir entirely — copying it verbatim
+    would mislabel sf0.1 content as the probe scale. Dimensions are
+    always copied."""
     out = out_dir(copies)
     spark = build_spark(app_name="scale-probe-build")
     os.makedirs(out, exist_ok=True)
@@ -98,6 +103,10 @@ def build(copies: int) -> str:
         "embeddings": ["vec_id"],
         "events": ["event_id", "user_id"],
     }
+    omitted = set()
+    if tables is not None:
+        omitted = set(scaled) - set(tables)
+        scaled = {t: k for t, k in scaled.items() if t in tables}
     # write width scales with the copy count so file sizes stay O(sf0.1
     # partition) and every downstream scan starts from many splits
     n_files = max(16, min(256, copies * 2))
@@ -105,20 +114,27 @@ def build(copies: int) -> str:
         dst = f"{out}/{t}.parquet"
         if os.path.exists(dst):
             continue
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        parts = []
-        for i in range(copies):
-            p = df
-            for key in keys:
-                p = p.withColumn(key, F.col(key) + F.lit(i * KEY_STRIDE))
-            parts.append(p)
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionAll(p)
-        u.repartition(n_files).write.mode("overwrite").parquet(dst)
+        # strike via a broadcast copy-number cross-join, not an N-way
+        # unionAll: at --copies 1000 a thousand-branch union is a plan
+        # the analyzer chews minutes on, while one join is one operator
+        # whatever the copy count (rows identical either way: every key
+        # offset by copy * KEY_STRIDE). Repartition the SMALL source
+        # BEFORE the join — shuffling the struck output would move
+        # copies x the data (tens of GB at 1000x) for no reason.
+        df = spark.read.parquet(f"{SRC}/{t}.parquet").repartition(n_files)
+        copies_df = spark.range(copies).select(
+            F.col("id").alias("__copy")
+        )
+        u = df.crossJoin(F.broadcast(copies_df))
+        for key in keys:
+            u = u.withColumn(
+                key, F.col(key) + F.col("__copy") * F.lit(KEY_STRIDE)
+            )
+        u = u.drop("__copy")
+        u.write.mode("overwrite").parquet(dst)
         print(f"built {t}: {spark.read.parquet(dst).count():,} rows")
     for t in TABLES:
-        if t in scaled:
+        if t in scaled or t in omitted:
             continue
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
@@ -127,7 +143,9 @@ def build(copies: int) -> str:
     return out
 
 
-def probe(copies: int, json_path: str | None) -> None:
+def probe(
+    copies: int, json_path: str | None, names: list[str] | None = None
+) -> None:
     """Time the fact-heavy headline queries at the scaled size."""
     from ocs_duckdb_runner_spark.registry import all_queries
 
@@ -136,7 +154,7 @@ def probe(copies: int, json_path: str | None) -> None:
     qs = all_queries()
     spark.read.parquet(f"{out}/lineitem.parquet").count()  # warm
     timings: dict[str, float] = {}
-    for name in PROBE_QUERIES:
+    for name in names or PROBE_QUERIES:
         t0 = time.monotonic()
         qs[name](spark, out).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 2)
@@ -155,6 +173,18 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="probe only these queries (default: the full PROBE_QUERIES set)",
+    )
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="strike only these fact tables (others omitted from the dir)",
+    )
     args = ap.parse_args()
-    build(args.copies)
-    probe(args.copies, args.json)
+    build(args.copies, args.tables)
+    probe(args.copies, args.json, args.queries)
