@@ -217,7 +217,7 @@ def main() -> int:
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     runner = FanoutRunner(spark, threads=min(cpus, 8))
-    # one untimed warm-up over the SAME files, then the MEDIAN of three
+    # one untimed warm-up over the SAME files, then the MEDIAN of five
     # recorded runs: the baseline's 0.33 s pays DuckDB spin-up only, not
     # process boot — the fair comparison for a JVM engine is the warm
     # steady state (codegen compiled, FAIR pools registered, OS page

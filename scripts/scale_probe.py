@@ -105,6 +105,13 @@ def build(copies: int, tables: list[str] | None = None) -> str:
     }
     omitted = set()
     if tables is not None:
+        unknown = set(tables) - set(scaled)
+        if unknown or not tables:
+            raise SystemExit(
+                f"--tables must name fact tables from {sorted(scaled)}; "
+                f"got {tables!r}"
+                + (f" (unknown: {sorted(unknown)})" if unknown else "")
+            )
         omitted = set(scaled) - set(tables)
         scaled = {t: k for t, k in scaled.items() if t in tables}
     # write width scales with the copy count so file sizes stay O(sf0.1
@@ -146,26 +153,41 @@ def build(copies: int, tables: list[str] | None = None) -> str:
 def probe(
     copies: int, json_path: str | None, names: list[str] | None = None
 ) -> None:
-    """Time the fact-heavy headline queries at the scaled size."""
+    """Time the headline queries at the scaled size. ``names=None`` runs
+    the full PROBE_QUERIES set; an explicitly empty list runs nothing
+    (build-only). The JSON artifact is rewritten after EVERY query so a
+    crash mid-probe (e.g. a query touching a table the --tables build
+    omitted) keeps everything already measured."""
     from ocs_duckdb_runner_spark.registry import all_queries
 
     out = out_dir(copies)
     spark = build_spark(app_name="scale-probe-run")
     qs = all_queries()
-    spark.read.parquet(f"{out}/lineitem.parquet").count()  # warm
+    # warm whichever struck fact table exists (a --tables build may omit
+    # lineitem; probing an omitted table's query fails on its own terms)
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        if os.path.exists(f"{out}/{t}.parquet"):
+            spark.read.parquet(f"{out}/{t}.parquet").count()
+            break
     timings: dict[str, float] = {}
-    for name in names or PROBE_QUERIES:
+
+    def _flush() -> None:
+        if json_path:
+            with open(json_path, "w") as fh:
+                json.dump(
+                    {"copies": copies, "base_sf": "0.1", "dir": out,
+                     "queries": timings},
+                    fh, indent=1, sort_keys=True,
+                )
+
+    for name in names if names is not None else PROBE_QUERIES:
         t0 = time.monotonic()
         qs[name](spark, out).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 2)
         print(f"{name}: {timings[name]:.2f}s", flush=True)
+        _flush()
+    _flush()
     if json_path:
-        with open(json_path, "w") as fh:
-            json.dump(
-                {"copies": copies, "base_sf": "0.1", "dir": out,
-                 "queries": timings},
-                fh, indent=1, sort_keys=True,
-            )
         print(f"wrote {json_path}")
 
 
