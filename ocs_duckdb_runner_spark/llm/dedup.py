@@ -73,12 +73,6 @@ def _doc_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(d.select("doc_id", F.split(F.col("text"), " ").alias("toks")))
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_token_frame(spark, sf_dir).select(
-        "doc_id", shingles(F.col("toks")).alias("sh")
-    )
-
-
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_token_frame(spark, sf_dir).select(
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
@@ -150,16 +144,30 @@ def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
-def minhash_bands(sig: Column, n_bands: int = N_BANDS) -> Column:
-    """LSH banding: hash each run of ROWS_PER_BAND signature values into a
-    bucket id; docs agreeing on ANY band become candidates."""
+def minhash_bands(
+    sig: Column, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> Column:
+    """LSH banding: hash each run of rows-per-band signature values into a
+    bucket id; docs agreeing on ANY band become candidates. The band
+    geometry is DERIVED from (n_bands, n_hashes) — an earlier revision
+    indexed with the module-global ROWS_PER_BAND regardless of n_bands,
+    so any non-default banding either read past the signature (ANSI
+    array-index error) or silently ignored half the slots. n_bands must
+    tile the signature exactly; pass the matching n_hashes when sweeping
+    geometry against a non-default minhash_signature."""
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide the signature length"
+            f" n_hashes={n_hashes}"
+        )
+    rows_per_band = n_hashes // n_bands
     return F.array(
         *[
             F.xxhash64(
                 F.lit(b),
                 *[
-                    F.element_at(sig, b * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
+                    F.element_at(sig, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
                 ],
             )
             for b in range(n_bands)
@@ -176,34 +184,41 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     # re-inline the full `sh` expression otherwise (higher-order lambdas
     # have no CSE), recomputing the shingle pipeline 16× per doc
     mat = docs.persist()
-    sigs = mat.select(
-        "doc_id", minhash_bands(minhash_signature(F.col("sh"))).alias("bands")
-    )
-    # persist the banded signatures: 4 rows × 3 longs per doc (tiny at any
-    # scale) — without it BOTH self-join branches recompute the whole
-    # shingle+signature pipeline, which dominates the query
-    banded = sigs.select(
-        "doc_id", F.posexplode("bands").alias("band", "band_hash")
-    ).persist()
-    a, b = banded.alias("a"), banded.alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    banded = None
+    try:
+        sigs = mat.select(
+            "doc_id",
+            minhash_bands(minhash_signature(F.col("sh"))).alias("bands"),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        # persist the banded signatures: 4 rows × 3 longs per doc (tiny at
+        # any scale) — without it BOTH self-join branches recompute the
+        # whole shingle+signature pipeline, which dominates the query
+        banded = sigs.select(
+            "doc_id", F.posexplode("bands").alias("band", "band_hash")
+        ).persist()
+        a, b = banded.alias("a"), banded.alias("b")
+        out = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            # materialize the (small) pair set, then release the cached
+            # bands: a long-lived session sweeping the full registry must
+            # not accumulate per-query cache blocks (ADVICE r1) — even
+            # when a query FAILS mid-run, hence the finally
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        # materialize the (small) pair set, then release the cached bands:
-        # a long-lived session sweeping 133 queries must not accumulate
-        # per-query cache blocks (see ADVICE r1)
-        .localCheckpoint(eager=True)
-    )
-    banded.unpersist()
-    mat.unpersist()
+    finally:
+        if banded is not None:
+            banded.unpersist()
+        mat.unpersist()
     return out
 
 
@@ -278,24 +293,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fp", "band.q", "band.sub").persist()
     # persisted for the same reason as the minhash bands: the 64-slot
     # vote-fold fingerprint is expensive; compute it once, not per branch
-    a, b = quarters.alias("a"), quarters.alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    try:
+        a, b = quarters.alias("a"), quarters.alias("b")
+        out = (
+            a.join(
+                b,
+                (F.col("a.q") == F.col("b.q"))
+                & (F.col("a.sub") == F.col("b.sub"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= 3)
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    quarters.unpersist()
+    finally:
+        quarters.unpersist()
     return out
 
 
@@ -331,9 +350,11 @@ def _jaccard_from_tokens(token_frame: DataFrame) -> DataFrame:
     arr = token_frame.select(
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
     ).persist()
-    sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
-    out = _jaccard_pairs_from_sh(sh)  # materialized inside (eager cp)
-    arr.unpersist()
+    try:
+        sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
+        out = _jaccard_pairs_from_sh(sh)  # materialized inside (eager cp)
+    finally:
+        arr.unpersist()
     return out
 
 
@@ -388,31 +409,33 @@ def _jaccard_pairs_from_sh(
     the cache is released. Caller persists the shingle-array frame
     feeding ``sh``."""
     kept = _capped_shingle_docs(sh, df_cap).persist()
-    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = kept.alias("a"), kept.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    try:
+        counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = kept.alias("a"), kept.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        jac = F.col("shared").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("shared")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("shared")
-    )
-    out = (
-        pairs.join(counts.toDF("doc_a", "na"), "doc_a")
-        .join(counts.toDF("doc_b", "nb"), "doc_b")
-        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
-        .localCheckpoint(eager=True)
-    )
-    kept.unpersist()
+        out = (
+            pairs.join(counts.toDF("doc_a", "na"), "doc_a")
+            .join(counts.toDF("doc_b", "nb"), "doc_b")
+            .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.2)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        kept.unpersist()
     return out
 
 
@@ -493,31 +516,35 @@ def _containment_from_tokens(token_frame: DataFrame) -> DataFrame:
     arr = token_frame.select(
         "doc_id", shingle_hashes(F.col("toks")).alias("sh")
     ).persist()
-    sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
-    kept = _capped_shingle_docs(sh, SHINGLE_DF_CAP).persist()
-    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    a, b = kept.alias("a"), kept.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    kept = None
+    try:
+        sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
+        kept = _capped_shingle_docs(sh, SHINGLE_DF_CAP).persist()
+        counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+        a, b = kept.alias("a"), kept.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        contain = F.col("shared").cast("double") / F.col("na")
+        out = (
+            pairs.join(counts.toDF("doc_a", "na"), "doc_a")
+            .select("doc_a", "doc_b", "shared", contain.alias("containment"))
+            .filter(F.col("containment") >= CONTAIN_TAU)
+            .localCheckpoint(eager=True)
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    contain = F.col("shared").cast("double") / F.col("na")
-    out = (
-        pairs.join(counts.toDF("doc_a", "na"), "doc_a")
-        .select("doc_a", "doc_b", "shared", contain.alias("containment"))
-        .filter(F.col("containment") >= CONTAIN_TAU)
-        .localCheckpoint(eager=True)
-    )
-    kept.unpersist()
-    arr.unpersist()
+    finally:
+        if kept is not None:
+            kept.unpersist()
+        arr.unpersist()
     return out
 
 
@@ -531,7 +558,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quote/excerpt detector symmetric Jaccard misses (a short doc fully
     embedded in a long one has high containment but low Jaccard, because
     the union denominator is dominated by the long doc). Ordered pairs
-    (doc_a contained-in doc_b) at C ≥ {CONTAIN_TAU}, DIDACTIC all-docs
+    (doc_a contained-in doc_b) at C ≥ 0.5, DIDACTIC all-docs
     form (exact copies contribute quadratic intra-cluster pairs; the
     production path is dedup_containment_unique).
 
@@ -742,6 +769,7 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    edges = cached = None
     try:
         edges = edges_src_dst.repartition(width, "src").persist()
         cached = (
@@ -751,7 +779,15 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
             .persist()
         )
         labels = cached
-        for _ in range(30):  # ≥ graph diameter; convergence check exits early
+        # iterate to CONVERGENCE, not to a fixed round count: an earlier
+        # revision capped at 30 rounds and fell through SILENTLY, which
+        # on a component of diameter >30 (a chain of incrementally
+        # edited versions) would emit unconverged labels — duplicates
+        # retained, oracle diverged. A pathological diameter now fails
+        # loudly instead; lineage is truncated every 25 rounds so deep
+        # components do not grow the plan unboundedly.
+        rounds = 0
+        while True:
             nbr = (
                 edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
@@ -778,14 +814,26 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
             labels = merged.select("doc_id", "lbl")
             if not changed:
                 break
+            rounds += 1
+            if rounds % 25 == 0:
+                labels = labels.localCheckpoint(eager=True)
+            if rounds >= 500:
+                raise RuntimeError(
+                    "min-label propagation did not converge in 500 rounds"
+                    f" ({changed} labels still moving) — component diameter"
+                    " beyond any plausible near-dup cluster; refusing to"
+                    " emit unconverged clusters"
+                )
         # pin the surviving labels outside the loop-scoped conf: the
         # caller's corpus-sized joins must run at the session's width
         out = labels.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    cached.unpersist()
-    edges.unpersist()
+        if cached is not None:
+            cached.unpersist()
+        if edges is not None:
+            edges.unpersist()
     return out
 
 
@@ -848,48 +896,61 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_map = d.select(
         F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id"
     ).persist()
-    keeper_map = fp_map.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    keepers = spread(
-        d.join(
-            keeper_map.select(F.col("keeper").alias("doc_id")), "doc_id", "semi"
-        ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    )
-    keeper_pairs = _jaccard_from_tokens(keepers).select("doc_a", "doc_b")
-    # one cheap action on the checkpointed pair frame decides the path AND
-    # (small case) already delivers the edges — no separate count() job
-    head = keeper_pairs.limit(DRIVER_CC_MAX_EDGES + 1).collect()
-    if len(head) <= DRIVER_CC_MAX_EDGES:
-        lbl_map = _union_find_labels([(r[0], r[1]) for r in head])
-        labels = F.broadcast(
-            spark.createDataFrame(
-                list(lbl_map.items()) or [(None, None)], "doc_id long, lbl long"
-            ).filter(F.col("doc_id").isNotNull())
+    try:
+        keeper_map = fp_map.groupBy("fp").agg(
+            F.min("doc_id").alias("keeper")
         )
-    else:
-        n_pairs = keeper_pairs.count()  # cached-RDD scan, not a recompute
-        width = max(
-            1,
-            min(spark.sparkContext.defaultParallelism, 1 + n_pairs // 100_000),
+        keepers = spread(
+            d.join(
+                keeper_map.select(F.col("keeper").alias("doc_id")),
+                "doc_id",
+                "semi",
+            ).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         )
-        und = keeper_pairs.toDF("src", "dst")
-        edges = und.union(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        keeper_pairs = _jaccard_from_tokens(keepers).select("doc_a", "doc_b")
+        # one cheap action on the checkpointed pair frame decides the path
+        # AND (small case) already delivers the edges — no separate
+        # count() job
+        head = keeper_pairs.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+        if len(head) <= DRIVER_CC_MAX_EDGES:
+            lbl_map = _union_find_labels([(r[0], r[1]) for r in head])
+            labels = F.broadcast(
+                spark.createDataFrame(
+                    list(lbl_map.items()) or [(None, None)],
+                    "doc_id long, lbl long",
+                ).filter(F.col("doc_id").isNotNull())
+            )
+        else:
+            n_pairs = keeper_pairs.count()  # cached-RDD scan, not a recompute
+            width = max(
+                1,
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    1 + n_pairs // 100_000,
+                ),
+            )
+            und = keeper_pairs.toDF("src", "dst")
+            edges = und.union(
+                und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            labels = _propagate_min_label(edges, width)
+        # doc → keeper (exact-copy collapse) → propagated cluster label;
+        # docs whose keeper never touched an edge keep the keeper's id
+        cluster = F.coalesce(F.col("lbl"), F.col("keeper"))
+        out = (
+            fp_map.join(keeper_map, "fp")
+            .join(
+                labels.withColumnRenamed("doc_id", "keeper"), "keeper", "left"
+            )
+            .select(
+                "doc_id",
+                cluster.alias("cluster"),
+                (F.col("doc_id") == cluster).alias("is_keeper"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = _propagate_min_label(edges, width)
-    # doc → keeper (exact-copy collapse) → propagated cluster label;
-    # docs whose keeper never touched an edge keep the keeper's id
-    cluster = F.coalesce(F.col("lbl"), F.col("keeper"))
-    out = (
-        fp_map.join(keeper_map, "fp")
-        .join(labels.withColumnRenamed("doc_id", "keeper"), "keeper", "left")
-        .select(
-            "doc_id",
-            cluster.alias("cluster"),
-            (F.col("doc_id") == cluster).alias("is_keeper"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    fp_map.unpersist()
+    finally:
+        fp_map.unpersist()
     return out
 
 
@@ -935,21 +996,24 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.select(
         "doc_id", "lang", "n_chars", F.md5(norm.cast("binary")).alias("fp")
     ).persist()
-    keepers = n.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    joined = n.join(keepers, "fp")
-    out = joined.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("fp").alias("n_unique"),
-        F.sum(
-            F.when(F.col("doc_id") == F.col("keeper"), F.col("n_chars")).otherwise(
-                F.lit(0)
-            )
-        ).alias("kept_chars"),
-        F.round(
-            1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
-        ).alias("dup_ratio"),
-    ).localCheckpoint(eager=True)
-    n.unpersist()
+    try:
+        keepers = n.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+        joined = n.join(keepers, "fp")
+        out = joined.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("keeper"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+            F.round(
+                1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        ).localCheckpoint(eager=True)
+    finally:
+        n.unpersist()
     return out
 
 
@@ -1050,10 +1114,7 @@ GRAM_DF_CAP = 256
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), grams_arr AS (
-        SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 6 THEN
-                 list_transform(generate_series(1, len(toks) - 5),
-                                i -> md5(array_to_string(toks[i:i+5], ' ')))
-               ELSE [md5(array_to_string(toks, ' '))] END) AS gs
+        SELECT doc_id, {_SQL_GRAM6} AS gs
         FROM toks
     ), bench AS (
         SELECT DISTINCT unnest(gs) AS gram FROM grams_arr
@@ -1103,42 +1164,46 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tf = _doc_token_frame(spark, sf_dir)
     gs = tf.select("doc_id", gram6_hashes().alias("gs")).persist()
-    bench = (
-        gs.filter(F.col("doc_id") % 19 == 0)
-        .select(F.explode("gs").alias("gram"))
-        .distinct()
-    )
-    train0 = gs.filter(F.col("doc_id") % 19 != 0).select(
-        "doc_id", F.explode("gs").alias("gram")
-    )
-    tdf = train0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    train = (
-        train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram")
-        .select("doc_id", "gram")
-        .persist()  # read by both the counts aggregate and the bench join
-    )
-    # denominator from a combiner aggregate joined onto the (small,
-    # contaminated-docs-only) output — per-doc rows cross the exchange,
-    # not per-gram rows, and the bench join reuses train's gram
-    # partitioning from the df-cap join
-    counts = train.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
-    )
-    out = (
-        train.join(bench, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .join(counts, "doc_id")
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_shared",
-            (F.col("n_shared") / F.col("n_grams")).alias("overlap_frac"),
+    train = None
+    try:
+        bench = (
+            gs.filter(F.col("doc_id") % 19 == 0)
+            .select(F.explode("gs").alias("gram"))
+            .distinct()
         )
-        .localCheckpoint(eager=True)
-    )
-    train.unpersist()
-    gs.unpersist()
+        train0 = gs.filter(F.col("doc_id") % 19 != 0).select(
+            "doc_id", F.explode("gs").alias("gram")
+        )
+        tdf = train0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        train = (
+            train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram")
+            .select("doc_id", "gram")
+            .persist()  # read by both the counts aggregate and the bench join
+        )
+        # denominator from a combiner aggregate joined onto the (small,
+        # contaminated-docs-only) output — per-doc rows cross the exchange,
+        # not per-gram rows, and the bench join reuses train's gram
+        # partitioning from the df-cap join
+        counts = train.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams")
+        )
+        out = (
+            train.join(bench, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .join(counts, "doc_id")
+            .select(
+                "doc_id",
+                "n_grams",
+                "n_shared",
+                (F.col("n_shared") / F.col("n_grams")).alias("overlap_frac"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if train is not None:
+            train.unpersist()
+        gs.unpersist()
     return out
 
 
@@ -1252,7 +1317,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row-band LSH (any slot equal) over exact-unique docs, so pair
     count is collision-bounded, never all-pairs.
 
-    Plan: shingles are map-side Generates; signatures are {MHX_H} min
+    Plan: shingles are map-side Generates; signatures are 8 min
     aggregates under ONE (doc_id) exchange; the slot unpivot is 8 rows
     per doc; intersection counts ride the same inverted-index join the
     Jaccard operators use. All md5/integer arithmetic ⇒ estimates AND
@@ -1263,87 +1328,91 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = uniq.select(
         "doc_id", F.explode(shingles(toks)).alias("shingle")
     ).persist()
-    hv = sh.select(
-        "doc_id",
-        "shingle",
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 12
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias(f"h{i}")
+    sig = None
+    try:
+        hv = sh.select(
+            "doc_id",
+            "shingle",
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 12
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias(f"h{i}")
+                for i in range(MHX_H)
+            ],
+        )
+        sig = hv.groupBy("doc_id").agg(
+            *[F.min(f"h{i}").alias(f"s{i}") for i in range(MHX_H)],
+            F.count(F.lit(1)).alias("n_sh"),
+        ).persist()
+        slots = sig.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"s{i}") for i in range(MHX_H)])).alias(
+                "i", "v"
+            ),
+        )
+        sx = slots.toDF("da", "i", "v")
+        sy = slots.toDF("db", "i2", "v2")
+        cand = (
+            sx.join(sy, (sx.i == sy.i2) & (sx.v == sy.v2) & (sx.da < sy.db))
+            .select("da", "db")
+            .distinct()
+        )
+        a = sig.select(
+            F.col("doc_id").alias("da"),
+            *[F.col(f"s{i}").alias(f"sa{i}") for i in range(MHX_H)],
+            F.col("n_sh").alias("na"),
+        )
+        b = sig.select(
+            F.col("doc_id").alias("db"),
+            *[F.col(f"s{i}").alias(f"sb{i}") for i in range(MHX_H)],
+            F.col("n_sh").alias("nb"),
+        )
+        agree = sum(
+            F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
             for i in range(MHX_H)
-        ],
-    )
-    sig = hv.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"s{i}") for i in range(MHX_H)],
-        F.count(F.lit(1)).alias("n_sh"),
-    ).persist()
-    slots = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(MHX_H)])).alias(
-            "i", "v"
-        ),
-    )
-    sx = slots.toDF("da", "i", "v")
-    sy = slots.toDF("db", "i2", "v2")
-    cand = (
-        sx.join(sy, (sx.i == sy.i2) & (sx.v == sy.v2) & (sx.da < sy.db))
-        .select("da", "db")
-        .distinct()
-    )
-    a = sig.select(
-        F.col("doc_id").alias("da"),
-        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(MHX_H)],
-        F.col("n_sh").alias("na"),
-    )
-    b = sig.select(
-        F.col("doc_id").alias("db"),
-        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(MHX_H)],
-        F.col("n_sh").alias("nb"),
-    )
-    agree = sum(
-        F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
-        for i in range(MHX_H)
-    )
-    scored = (
-        cand.join(a, "da").join(b, "db")
-        .select("da", "db", agree.alias("n_agree"), "na", "nb")
-        .filter(F.col("n_agree") >= MHX_MIN_AGREE)
-    )
-    shx = sh.toDF("da", "shingle")
-    shy = sh.toDF("db2", "shingle2")
-    inter = (
-        scored.select("da", "db")
-        .join(shx, "da")
-        .join(
-            shy,
-            (F.col("db") == F.col("db2"))
-            & (F.col("shingle") == F.col("shingle2")),
         )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("it"))
-    )
-    out = (
-        scored.join(inter, ["da", "db"], "left")
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.round(F.col("n_agree") / MHX_H, 6).alias("mh_est"),
-            F.round(
-                F.coalesce(F.col("it"), F.lit(0)).cast("double")
-                / (F.col("na") + F.col("nb") - F.coalesce(F.col("it"), F.lit(0))),
-                9,
-            ).alias("jaccard"),
+        scored = (
+            cand.join(a, "da").join(b, "db")
+            .select("da", "db", agree.alias("n_agree"), "na", "nb")
+            .filter(F.col("n_agree") >= MHX_MIN_AGREE)
         )
-        .localCheckpoint(eager=True)
-    )
-    sh.unpersist()
-    sig.unpersist()
+        shx = sh.toDF("da", "shingle")
+        shy = sh.toDF("db2", "shingle2")
+        inter = (
+            scored.select("da", "db")
+            .join(shx, "da")
+            .join(
+                shy,
+                (F.col("db") == F.col("db2"))
+                & (F.col("shingle") == F.col("shingle2")),
+            )
+            .groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("it"))
+        )
+        out = (
+            scored.join(inter, ["da", "db"], "left")
+            .select(
+                F.col("da").alias("doc_a"),
+                F.col("db").alias("doc_b"),
+                F.round(F.col("n_agree") / MHX_H, 6).alias("mh_est"),
+                F.round(
+                    F.coalesce(F.col("it"), F.lit(0)).cast("double")
+                    / (F.col("na") + F.col("nb") - F.coalesce(F.col("it"), F.lit(0))),
+                    9,
+                ).alias("jaccard"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
+        if sig is not None:
+            sig.unpersist()
     return out
 
 
@@ -1441,7 +1510,7 @@ _SQL_TAUS = ", ".join(str(t) for t in SWEEP_TAUS)
 )
 def eval_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eval_dedup_pr across the whole operating CURVE: one row per
-    decision threshold tau in {SWEEP_TAUS}, each with exact tp/fp/fn and
+    decision threshold tau in (0.25, 0.375, 0.5, 0.625, 0.75), each with exact tp/fp/fn and
     NULL-guarded precision/recall of the MinHash decision against
     true-Jaccard truth — the tuning table that picks a band/row geometry
     and threshold BEFORE a 100 TB dedup run commits to one (a single
@@ -1450,7 +1519,7 @@ def eval_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit on exactly-representable doubles in both engines.
 
     Plan: the candidate-pair frame (already bounded by LSH banding) is
-    expanded {len(SWEEP_TAUS)}x map-side by a literal-array explode and
+    expanded 5x map-side by a literal-array explode and
     aggregated per tau — one extra constant-fan-out pass over a small
     frame, no new shuffle of anything corpus-sized."""
     base = dedup_minhash_estimate(spark, sf_dir)
@@ -1840,14 +1909,14 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01).
 
     Plan: candidates come from ONE equi-join on the md5 of the first
-    {PREFIX_P} chars — never text-vs-text across the corpus. The bucket
-    df-cap (> {PREFIX_BUCKET_CAP} docs sharing a head = boilerplate, not
+    40 chars — never text-vs-text across the corpus. The bucket
+    df-cap (> 64 docs sharing a head = boilerplate, not
     identity) bounds per-bucket pair work exactly like SHINGLE_DF_CAP
     bounds the shingle joins; the df aggregate and the probe share one
     exchange (ReuseExchange). The strict-prefix verify is a map-side
     substr comparison on the surviving candidates only. Text crosses the
     bucket shuffle once per side; at 100 TB the bucket key is 16 bytes
-    and every bucket is ≤ {PREFIX_BUCKET_CAP} rows by construction."""
+    and every bucket is ≤ 64 rows by construction."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _prefix_truncation_pairs(d).orderBy(
         "short_doc_id", "long_doc_id"
@@ -1894,7 +1963,7 @@ N_CURVE_BUCKETS = 10
 )
 def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus redundancy growth curve — corpus_ngram_novelty's per-doc
-    novelty flags re-aggregated into {N_CURVE_BUCKETS} ingestion-order
+    novelty flags re-aggregated into 10 ingestion-order
     buckets with a CUMULATIVE novelty ratio: the curve whose knee answers
     "has this source stopped contributing new content?" (Heaps-law
     saturation at the shingle level; [corpus_heaps_curve] is the
@@ -1914,8 +1983,8 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization, NOT count-based: ingestion position is measured over
     the observed id RANGE, so sparse or strided id spaces — e.g. the
     scale probe's disjoint key blocks — still spread across all
-    {N_CURVE_BUCKETS} buckets); the final
-    cumulative window runs over exactly {N_CURVE_BUCKETS} rows. Nothing
+    10 buckets); the final
+    cumulative window runs over exactly 10 rows. Nothing
     after the combiners grows past O(docs)."""
     # only the novel branch explodes: the per-doc denominator is
     # size(sh) map-side — see _novelty_build for the measured win

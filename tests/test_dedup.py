@@ -188,3 +188,37 @@ def test_df_cap_bounds_hot_shingle_pairs(spark):
     capped = _jaccard_pairs_from_sh(sh, df_cap=10).collect()
     got = {(r.doc_a, r.doc_b): (r.shared, r.jaccard) for r in capped}
     assert got == {(100, 101): (2, 0.5)}  # hot block gone, planted intact
+
+
+def test_propagate_min_label_converges_past_30_rounds(spark):
+    """A 40-link chain has diameter beyond the old fixed 30-round cap,
+    which fell through SILENTLY with unconverged labels (duplicates
+    retained, oracle diverged); propagation now iterates to convergence,
+    so every node must carry the chain head's label."""
+    from ocs_duckdb_runner_spark.llm.dedup import _propagate_min_label
+
+    und = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    edges = und.union(und.selectExpr("dst as src", "src as dst"))
+    got = {
+        r.doc_id: r.lbl
+        for r in _propagate_min_label(edges, width=2).collect()
+    }
+    assert len(got) == 41
+    assert set(got.values()) == {0}
+
+
+def test_minhash_bands_rejects_non_tiling_geometry(spark):
+    """n_bands must tile the signature: the old implementation indexed
+    with the module-global rows-per-band regardless of n_bands, reading
+    past the signature (ANSI array error) or silently dropping slots."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.llm.dedup import minhash_bands
+
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_bands(F.col("sig"), n_bands=5)
+    # a valid non-default geometry builds without touching ROWS_PER_BAND
+    minhash_bands(F.col("sig"), n_bands=8, n_hashes=16)
