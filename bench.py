@@ -240,7 +240,30 @@ def main() -> int:
     # A second JVM re-times the tail so round-over-round comparisons can
     # separate plan regressions from suite noise. Primary times stay the
     # in-suite ones for baseline comparability.
+    #
+    # r8 verdict Next #4: the retime set also includes every query that
+    # moved >1.3x against the PREVIOUS round's sidecar (ignoring the
+    # sub-0.3s band, where absolute jitter dominates), so drift diagnosis
+    # ("is tpch_q9's 1.5x real or session pressure?") no longer depends
+    # on a manual fresh-session run next round.
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
+    movers: list[str] = []
+    try:
+        with open(os.path.join(REPO, "BENCH_QUERIES.json")) as fh:
+            prev_doc = json.load(fh)
+        prev = prev_doc.get("queries", {})
+        if prev_doc.get("sf") != sf_val:
+            prev = {}  # different fixture scale — ratios meaningless
+        movers = sorted(
+            n
+            for n, t in times.items()
+            if n in prev and t > 0.3 and prev[n] > 0 and t / prev[n] > 1.3
+        )
+    except (OSError, ValueError):
+        pass
     slowest = sorted(times, key=times.get, reverse=True)[:10]
+    retime = sorted(set(slowest) | set(movers))
     spark.stop()
     spark_fresh = build_spark(
         app_name="ocs-duckdb-runner-spark-bench-fresh",
@@ -248,12 +271,12 @@ def main() -> int:
     )
     spark_fresh.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     if os.path.isdir(warm_dir):
-        for wq in slowest:
+        for wq in retime:
             qs[wq](spark_fresh, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
     fresh_times: dict[str, float] = {}
-    for name in slowest:
+    for name in retime:
         spark_fresh.sparkContext._jvm.System.gc()
         t0 = time.monotonic()
         qs[name](spark_fresh, SF_DIR).write.format("noop").mode(
@@ -261,8 +284,6 @@ def main() -> int:
         ).save()
         fresh_times[name] = round(time.monotonic() - t0, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
     # Full per-query map: printed as its OWN stdout line (before the
     # summary) and written to a sidecar file. r5's single line carried 78
     # per-query times, overflowed the driver's 2000-char tail capture, and
@@ -273,6 +294,7 @@ def main() -> int:
         "sf": sf_val,
         "queries": times,
         "slowest_fresh_session": fresh_times,
+        "round_over_round_movers": movers,
     }
     print(json.dumps(detail))
     try:

@@ -185,9 +185,11 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # join back ONLY the boilerplate fingerprints: the set of seg_fps with
     # n_docs >= threshold is tiny relative to the corpus (that is what
-    # boilerplate means), so the left join broadcasts at scale instead of
-    # re-shuffling every segment against the full frequency table — and a
-    # hot seg_fp hits a broadcast probe, never a skewed reducer
+    # boilerplate means), so the left join is FORCED broadcast — round 8
+    # measured that leaving it to the planner produced a full shuffle
+    # join (3 hash exchanges); with the hint the segment frame never
+    # shuffles on seg_fp, and a hot seg_fp hits a broadcast probe, never
+    # a skewed reducer
     boiler_fps = (
         seg.groupBy("seg_fp")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -196,7 +198,7 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     boiler = F.col("is_boiler").isNotNull()
     return (
-        seg.join(boiler_fps, "seg_fp", "left")
+        seg.join(F.broadcast(boiler_fps), "seg_fp", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),

@@ -374,21 +374,34 @@ SHINGLE_DF_CAP = 256
 
 def _capped_shingle_docs(sh: DataFrame, df_cap: int) -> DataFrame:
     """(doc_id, shingle) exploded frame → the same frame restricted to
-    shingles with document frequency ≤ df_cap. ONE corpus-sized shuffle
-    keyed on the shingle: the df aggregate and the join probe share the
-    child and the partitioning, so ReuseExchange collapses them, and the
-    returned frame STAYS hash-partitioned on shingle — the self-join
-    downstream needs no further exchange.
+    shingles with document frequency ≤ df_cap, via a BROADCAST ANTI-JOIN
+    against the HOT set (shingles with df > df_cap). An earlier revision
+    equi-joined the full per-shingle df table back onto the exploded
+    frame and claimed ReuseExchange would collapse the aggregate and the
+    probe — it did not (measured round 8: 3 hash exchanges, no
+    ReusedExchange node, and the shingle family regressed 2-3×). The df
+    aggregate's exchange is unavoidable but map-side-combined (a viral
+    shingle reaches the reducer as #partitions partial counts, never as
+    its occurrence list — the reason this is a groupBy, not a count
+    window); everything AFTER it is now map-side: the hot set is
+    df-filtered BEFORE crossing to the driver, and the anti-join is a
+    broadcast hash probe, so the corpus-sized frame never shuffles for
+    the cap at all.
 
-    df is deliberately a groupBy+join, NOT a count window over the
-    shingle partition: the aggregate gets map-side partial combine, so a
-    viral shingle reaches the reducer as #partitions partial counts,
-    while a window would ship every occurrence of the hot key to one
-    task — re-creating the exact straggler the cap exists to remove."""
-    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return sh.join(sdf.filter(F.col("df") <= df_cap), "shingle").select(
-        "doc_id", "shingle"
+    Hot-set size: a shingle enters it only by appearing in > df_cap
+    docs, so |hot| ≤ occurrences/df_cap, and in any real crawl the df
+    distribution is Zipfian — the >256-doc tail is boilerplate lines,
+    thousands of rows, far under any broadcast limit. A deployment
+    expecting an adversarial all-boilerplate corpus can drop the
+    broadcast hint and let AQE choose the join strategy from the
+    measured hot-set size."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
     )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def _jaccard_pairs_from_sh(
@@ -757,35 +770,43 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
 
     Exchange width is the caller's (sized from the edge count, not the
     session's corpus-sized shuffle partitions). Edges are hash-partitioned
-    by src once; each round's labels come out of a groupBy at the same
-    width, so the src=doc_id join needs NO exchange on either side and a
-    round is ONE exchange (the dst re-key) + ONE job — the changed count
-    rides in the materializing aggregate instead of a separate
-    compare-join action. AQE is paused inside the loop (and restored):
-    the plan is deliberately static, and per-round re-planning would both
-    cost time and re-break the co-partitioning."""
+    by src once and stay plan-visible, so the src=doc_id join reuses that
+    partitioning every round; the labels side pays one node-sized (not
+    corpus-sized) exchange per round. The changed count rides in a cheap
+    aggregate over the just-checkpointed frame instead of a separate
+    compare-join action.
+
+    LINEAGE IS TRUNCATED EVERY ROUND with an eager localCheckpoint: each
+    round's plan references `labels` twice (the neighbor join and the
+    merge), so an un-truncated loop DOUBLES the logical plan per round —
+    a diameter-20 component built ~2^20 plan nodes and OOM'd the driver
+    JVM inside TreeNode.treeString before the old every-25-rounds
+    truncation ever fired (measured round 8; same 2^steps hazard as the
+    round-6 HITS fix). Post-checkpoint the plan is a constant-size
+    LogicalRDD, so rounds cost O(nodes) driver work regardless of
+    diameter. AQE is paused inside the loop (and restored): the plan is
+    deliberately static, and per-round re-planning would both cost time
+    and re-break the edge-side co-partitioning."""
     spark = edges_src_dst.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    edges = cached = None
+    edges = None
     try:
         edges = edges_src_dst.repartition(width, "src").persist()
-        cached = (
+        labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
             .select("doc_id", F.col("doc_id").alias("lbl"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        labels = cached
         # iterate to CONVERGENCE, not to a fixed round count: an earlier
         # revision capped at 30 rounds and fell through SILENTLY, which
         # on a component of diameter >30 (a chain of incrementally
         # edited versions) would emit unconverged labels — duplicates
         # retained, oracle diverged. A pathological diameter now fails
-        # loudly instead; lineage is truncated every 25 rounds so deep
-        # components do not grow the plan unboundedly.
+        # loudly instead.
         rounds = 0
         while True:
             nbr = (
@@ -793,6 +814,10 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("lbl").alias("nbr_lbl"))
             )
+            # eager localCheckpoint IS the round's materializing action
+            # and truncates lineage to a constant-size LogicalRDD (see
+            # docstring: the plan otherwise doubles per round). The
+            # change-count agg after it reads the pinned RDD — near-free.
             merged = (
                 labels.join(nbr, "doc_id", "left")
                 .select(
@@ -804,19 +829,13 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
                     .cast("long")
                     .alias("chg"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            # single action per round: materializes the new labels into
-            # cache AND returns the change count
             changed = merged.agg(F.sum("chg")).first()[0]
-            cached.unpersist()
-            cached = merged
             labels = merged.select("doc_id", "lbl")
             if not changed:
                 break
             rounds += 1
-            if rounds % 25 == 0:
-                labels = labels.localCheckpoint(eager=True)
             if rounds >= 500:
                 raise RuntimeError(
                     "min-label propagation did not converge in 500 rounds"
@@ -824,14 +843,12 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
                     " beyond any plausible near-dup cluster; refusing to"
                     " emit unconverged clusters"
                 )
-        # pin the surviving labels outside the loop-scoped conf: the
-        # caller's corpus-sized joins must run at the session's width
-        out = labels.localCheckpoint(eager=True)
+        # the final labels frame is already checkpoint-pinned; the
+        # caller's corpus-sized joins run at the session's width
+        out = labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        if cached is not None:
-            cached.unpersist()
         if edges is not None:
             edges.unpersist()
     return out
@@ -1174,16 +1191,24 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         train0 = gs.filter(F.col("doc_id") % 19 != 0).select(
             "doc_id", F.explode("gs").alias("gram")
         )
-        tdf = train0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        # hot grams (df > cap) are broadcast as a map-side anti-filter —
+        # same shape and rationale as _capped_shingle_docs: the df
+        # aggregate is the only exchange the cap costs, and the corpus
+        # frame never shuffles to apply it
+        hot = (
+            train0.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > GRAM_DF_CAP)
+            .select("gram")
+        )
         train = (
-            train0.join(tdf.filter(F.col("df") <= GRAM_DF_CAP), "gram")
-            .select("doc_id", "gram")
+            train0.join(F.broadcast(hot), "gram", "left_anti")
             .persist()  # read by both the counts aggregate and the bench join
         )
         # denominator from a combiner aggregate joined onto the (small,
-        # contaminated-docs-only) output — per-doc rows cross the exchange,
-        # not per-gram rows, and the bench join reuses train's gram
-        # partitioning from the df-cap join
+        # contaminated-docs-only) output — per-doc rows cross the
+        # exchange, not per-gram rows; the bench side is eval-suite-sized
+        # in production so AQE broadcasts the bench join
         counts = train.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_grams")
         )

@@ -212,15 +212,23 @@ def vacuum_cache_siblings(parent: str, tag: str, keep: str) -> None:
     pre-fingerprint layout) or ``tag_<other-fingerprint>``, except
     ``keep``. Without this, every in-place fixture rebuild leaks a full
     derived copy (split objects, round-trip fixtures, stream splits)
-    under /tmp forever."""
+    under /tmp forever.
+
+    Sibling matching is anchored to the 12-hex fingerprint suffix, NOT a
+    bare prefix: tags can extend each other (``sf0.1`` vs ``sf0.1_alt``),
+    and a prefix match would let the shorter tag's vacuum delete the
+    longer tag's perfectly valid cache generation, forcing spurious
+    rebuilds."""
+    import re
     import shutil
 
     if not os.path.isdir(parent):
         return
+    gen = re.compile(re.escape(tag) + r"_[0-9a-f]{12}$")
     for name in os.listdir(parent):
         if name == keep:
             continue
-        if name == tag or name.startswith(tag + "_"):
+        if name == tag or gen.fullmatch(name):
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 

@@ -239,6 +239,27 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- writer variant (custom sink with commit protocol) ----
 
 
+def _vacuum_stale_sink_runs(parent: str = "/tmp/ocs_pyds_sink") -> None:
+    """Remove prior runs' scratch dirs (uuid-named part/manifest dirs and
+    their _ckpt siblings). Without this every sweep leaked an
+    orders-sized JSONL copy per run. Only entries older than an hour go
+    — a concurrently-running sweep's fresh dir is never touched."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    if not _os.path.isdir(parent):
+        return
+    cutoff = _time.time() - 3600
+    for name in _os.listdir(parent):
+        p = _os.path.join(parent, name)
+        try:
+            if _os.stat(p).st_mtime < cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _make_sink_source():
     """Custom Python data SINK: per-task JSONL part files published
     through the DataSourceWriter commit protocol — write(iterator) runs
@@ -314,6 +335,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocs_duckdb_runner_spark.registry import load_table
 
     spark.dataSource.register(_make_sink_source())
+    _vacuum_stale_sink_runs()
     out = f"/tmp/ocs_pyds_sink/{_uuid.uuid4().hex}"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -409,6 +431,7 @@ def sink_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
 
     spark.dataSource.register(_make_stream_source())
     spark.dataSource.register(_make_stream_sink_source())
+    _vacuum_stale_sink_runs()
     out = f"/tmp/ocs_pyds_sink/stream_{_uuid.uuid4().hex}"
     q = (
         spark.readStream.format("ocs_synth_telemetry_stream")

@@ -78,8 +78,11 @@ PROBE_QUERIES = [
 
 
 def out_dir(copies: int) -> str:
-    # sf0.1 * 10 = sf1; * 100 = sf10 (directory names keep that convention)
-    return f"/tmp/ocs_scaleprobe/sf{copies // 10}"
+    # sf0.1 * 10 = sf1; * 100 = sf10 (directory names keep that
+    # convention). Keyed on the EXACT copy count: an earlier decade-based
+    # key (copies // 10) made `--copies 15` silently reuse a `--copies
+    # 10` build because build() skips existing table files.
+    return f"/tmp/ocs_scaleprobe/sf{copies / 10:g}"
 
 
 def build(copies: int, tables: list[str] | None = None) -> str:

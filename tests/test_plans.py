@@ -697,3 +697,34 @@ def test_syndication_matrix_broadcasts_sizes(spark):
         df.unpersist()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_df_cap_is_broadcast_anti_join(spark):
+    """The hot-shingle df-cap must apply as a broadcast anti-join (hot
+    set df > cap, map-side probe) — round 8 shipped it as an equi-join
+    against the full df table whose claimed ReuseExchange never
+    materialized, costing the shingle family a 2-3x regression. Pin the
+    shape: exactly one exchange (the map-combined df aggregate), the
+    anti-join broadcast, never sort-merge."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.llm.dedup import _capped_shingle_docs
+
+    sh = spark.range(200).select(
+        (F.col("id") % 50).alias("doc_id"), (F.col("id") % 7).alias("shingle")
+    )
+    plan = _raw_plan(spark, _capped_shingle_docs(sh, 4))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # only the df aggregate's shuffle (broadcast exchanges excluded)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", plan)) == 1
+
+
+def test_text_boilerplate_probe_is_broadcast(spark):
+    """The boilerplate-fingerprint probe must broadcast: the corpus-sized
+    segment frame shuffles only for the per-doc final aggregate, never on
+    seg_fp for the join (round-8 regression: the planner chose a full
+    shuffle join here)."""
+    plan = plan_of(spark, "text_boilerplate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
