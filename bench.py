@@ -167,6 +167,11 @@ HEADLINE = [
     "src_python_datasource",
     "sink_python_datasource",
     "sink_stream_python_datasource",
+    # round-9 additions
+    "fn_recursive_cte",
+    "fn_variant_json",
+    "agg_approx_top_k",
+    "fn_sql_scripting",
 ]
 
 

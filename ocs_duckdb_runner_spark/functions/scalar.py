@@ -430,3 +430,158 @@ def fn_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"qty": 25},
     )
+
+
+@query(
+    "fn_recursive_cte",
+    oracle="""
+    WITH RECURSIVE sp(n) AS (
+      SELECT 0
+      UNION ALL
+      SELECT n + 1 FROM sp WHERE n < 83
+    )
+    SELECT m.month_start,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS revenue_c
+    FROM (SELECT make_timestamp(1995 + n // 12, 1 + n % 12, 1, 0, 0, 0)
+                   AS month_start
+          FROM sp) m
+    LEFT JOIN orders o
+      ON date_trunc('month', o.o_orderdate) = m.month_start
+    GROUP BY m.month_start
+    """,
+    tags=("functions", "sql", "recursive"),
+)
+def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 recursive CTE (WITH RECURSIVE) driving a calendar-spine
+    gap-fill: generate every month of the fixture's order window
+    recursively, left-join the orders fact per month, and report order
+    count + fixed-point revenue INCLUDING the empty months a plain
+    GROUP BY would silently drop — the standard time-series densify
+    step before charting or forecasting. The recursion is driver-cheap
+    (84 rows) and the fact side is one hash aggregate; at 100 TB the
+    spine stays 84 rows and broadcasts, so the gap-fill costs exactly
+    one pass over orders. The oracle is DuckDB's WITH RECURSIVE — both
+    engines run the same fixpoint semantics."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "fn_rc_orders"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE sp(n) AS (
+          SELECT 0
+          UNION ALL
+          SELECT n + 1 FROM sp WHERE n < 83
+        )
+        SELECT m.month_start,
+               count(o.o_orderkey) AS n_orders,
+               CAST(coalesce(
+                 sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                 AS BIGINT) AS revenue_c
+        FROM (SELECT make_timestamp(1995 + n DIV 12, 1 + n % 12, 1, 0, 0, 0)
+                       AS month_start
+              FROM sp) m
+        LEFT JOIN fn_rc_orders o
+          ON date_trunc('MONTH', o.o_orderdate) = m.month_start
+        GROUP BY m.month_start
+        """
+    )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS key_v,
+           o_totalprice AS price_v,
+           o_orderstatus AS status_v,
+           o_orderpriority AS tag2_v
+    FROM orders
+    """,
+    tags=("functions", "json", "variant"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round trip: serialize order fields to a JSON
+    string, parse_json() into the binary VARIANT encoding, then extract
+    typed values back out with variant_get path expressions (nested
+    object field, array index). The oracle reads the same values
+    straight off the columns — so a hash match proves the
+    JSON→VARIANT→typed-path loop is lossless, including the
+    double-through-shortest-repr property src_json_roundtrip pins for
+    the JSONL writer. VARIANT is the 100 TB answer to semi-structured
+    columns: shredded binary encoding, no per-row string re-parsing
+    after ingest, and path extraction stays JVM-side."""
+    o = load_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+            F.struct(F.col("o_orderstatus").alias("s")).alias("meta"),
+            F.array(F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+                "tags"
+            ),
+        )
+    )
+    return (
+        o.select("o_orderkey", F.parse_json(j).alias("v"))
+        .selectExpr(
+            "o_orderkey",
+            "variant_get(v, '$.k', 'bigint') AS key_v",
+            "variant_get(v, '$.p', 'double') AS price_v",
+            "variant_get(v, '$.meta.s', 'string') AS status_v",
+            "variant_get(v, '$.tags[1]', 'string') AS tag2_v",
+        )
+    )
+
+
+@query(
+    "fn_sql_scripting",
+    oracle="""
+    WITH cut AS (
+      SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               // count(*) AS cut_c
+      FROM orders)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_c
+    FROM orders, cut
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) > cut.cut_c
+    GROUP BY o_orderstatus
+    """,
+    tags=("functions", "sql", "scripting"),
+)
+def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN…END with DECLARE/SET procedural
+    state): stage one — compute a data-driven threshold (the mean order
+    price, in exact integer cents so both engines derive the identical
+    cut with no float-order drift) into a script variable; stage two —
+    the variable parameterizes the aggregate that follows, all inside
+    ONE spark.sql() call. This is the migration path for stored-proc
+    workloads: the script runs on the driver as control flow, each
+    statement is still a full Catalyst plan, so the data path scales
+    exactly like the equivalent two queries. The oracle is the same
+    logic as a CTE join — proving the procedural sugar changes no
+    values."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "fn_script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cut_c BIGINT DEFAULT 0;
+          SET cut_c = (
+            SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     DIV count(*)
+            FROM fn_script_orders);
+          SELECT o_orderstatus,
+                 count(*) AS n_above,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM fn_script_orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) > cut_c
+          GROUP BY o_orderstatus;
+        END
+        """
+    )

@@ -207,6 +207,36 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 approx_top_k heavy-hitters sketch, exploded to
+    (item, cnt) rows. Unlike the HLL queries this one DOES carry a full
+    value oracle: the sketch tracks up to maxItemsTracked items exactly
+    and only approximates past that capacity, so with k (8) and capacity
+    (default 10k) both above the column's NDV (5 priorities) the sketch
+    IS the exact group-count — the oracle proves it, no rows-only
+    exemption needed. The scale story is the sketch's shape: fixed-size
+    state, mergeable map-side across partitions, one row of state per
+    partition crossing the exchange instead of a per-value shuffle —
+    the frequent-items analogue of approx_count_distinct."""
+    li = load_table(spark, sf_dir, "orders")
+    return (
+        li.agg(F.expr("approx_top_k(o_orderpriority, 8)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+    )
+
+
+@query(
     "agg_argmax",
     oracle="""
     WITH m AS (
