@@ -439,31 +439,40 @@ def fn_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 0
       UNION ALL
       SELECT n + 1 FROM sp WHERE n < 83
-    )
+    ),
+    agg AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM orders GROUP BY 1)
     SELECT m.month_start,
-           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
-                AS BIGINT) AS revenue_c
+           coalesce(a.n_orders, 0) AS n_orders,
+           coalesce(a.revenue_c, 0) AS revenue_c
     FROM (SELECT make_timestamp(1995 + n // 12, 1 + n % 12, 1, 0, 0, 0)
                    AS month_start
           FROM sp) m
-    LEFT JOIN orders o
-      ON date_trunc('month', o.o_orderdate) = m.month_start
-    GROUP BY m.month_start
+    LEFT JOIN agg a ON a.m = m.month_start
     """,
     tags=("functions", "sql", "recursive"),
 )
 def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4.1 recursive CTE (WITH RECURSIVE) driving a calendar-spine
     gap-fill: generate every month of the fixture's order window
-    recursively, left-join the orders fact per month, and report order
-    count + fixed-point revenue INCLUDING the empty months a plain
-    GROUP BY would silently drop — the standard time-series densify
-    step before charting or forecasting. The recursion is driver-cheap
-    (84 rows) and the fact side is one hash aggregate; at 100 TB the
-    spine stays 84 rows and broadcasts, so the gap-fill costs exactly
-    one pass over orders. The oracle is DuckDB's WITH RECURSIVE — both
-    engines run the same fixpoint semantics."""
+    recursively, left-join it onto the PRE-AGGREGATED per-month order
+    stats, and report order count + fixed-point revenue INCLUDING the
+    empty months a plain GROUP BY would silently drop — the standard
+    time-series densify step before charting or forecasting.
+
+    Order matters for scale: aggregate FIRST, join the spine AFTER. The
+    first draft joined row-level orders against the spine and let the
+    planner choose — at test scale AQE broadcast the (small) fact side,
+    but at 100 TB that degenerates to shuffling the whole fact on ~80
+    month keys, a worst-case skew join. Aggregating first means the
+    fact crosses ONE map-side-combined exchange carrying ≤ #partitions
+    × 84 partial rows, and the spine join is an 84×84 triviality. The
+    oracle is DuckDB's WITH RECURSIVE — both engines run the same
+    fixpoint semantics."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "fn_rc_orders"
     )
@@ -473,18 +482,20 @@ def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT 0
           UNION ALL
           SELECT n + 1 FROM sp WHERE n < 83
-        )
+        ),
+        agg AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_c
+          FROM fn_rc_orders GROUP BY 1)
         SELECT m.month_start,
-               count(o.o_orderkey) AS n_orders,
-               CAST(coalesce(
-                 sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
-                 AS BIGINT) AS revenue_c
-        FROM (SELECT make_timestamp(1995 + n DIV 12, 1 + n % 12, 1, 0, 0, 0)
-                       AS month_start
+               coalesce(a.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               coalesce(a.revenue_c, CAST(0 AS BIGINT)) AS revenue_c
+        FROM (SELECT make_timestamp(1995 + n DIV 12, 1 + n % 12,
+                                    1, 0, 0, 0) AS month_start
               FROM sp) m
-        LEFT JOIN fn_rc_orders o
-          ON date_trunc('MONTH', o.o_orderdate) = m.month_start
-        GROUP BY m.month_start
+        LEFT JOIN agg a ON a.m = m.month_start
         """
     )
 

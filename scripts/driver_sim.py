@@ -141,8 +141,10 @@ def _build_capped_dir(sf_dir: str) -> str:
     }
     for t, pred in caps.items():
         dst = out / f"{t}.parquet"
+        src = Path(f"{sf_dir}/{t}.parquet")
+        if not src.exists():
+            continue  # --tables probe builds omit unscaled fact tables
         if not dst.exists():
-            src = Path(f"{sf_dir}/{t}.parquet")
             glob = f"{src}/*.parquet" if src.is_dir() else str(src)
             duckdb.sql(
                 f"COPY (SELECT * FROM read_parquet('{glob}') "
