@@ -728,3 +728,16 @@ def test_text_boilerplate_probe_is_broadcast(spark):
     plan = plan_of(spark, "text_boilerplate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_recursive_spine_joins_pre_aggregated_months(spark):
+    """fn_recursive_cte must aggregate the fact FIRST and join the
+    84-row spine onto the tiny per-month aggregate: the first draft
+    joined row-level orders against the spine, which at scale shuffles
+    the whole fact onto ~80 month keys (worst-case skew). Pin: the
+    recursion (UnionLoop) is really in the plan, the spine join is
+    broadcast, and no sort-merge join of the fact survives."""
+    plan = plan_of(spark, "fn_recursive_cte")
+    assert "UnionLoop" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
