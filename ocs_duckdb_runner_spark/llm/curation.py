@@ -189,7 +189,11 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured that leaving it to the planner produced a full shuffle
     # join (3 hash exchanges); with the hint the segment frame never
     # shuffles on seg_fp, and a hot seg_fp hits a broadcast probe, never
-    # a skewed reducer
+    # a skewed reducer. The hint is size-gated (gated_broadcast, r10):
+    # a corpus where "boilerplate" is most of the text falls back to the
+    # un-hinted join and AQE, instead of OOMing on a forced broadcast
+    from ocs_duckdb_runner_spark.registry import gated_broadcast
+
     boiler_fps = (
         seg.groupBy("seg_fp")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -198,7 +202,7 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     boiler = F.col("is_boiler").isNotNull()
     return (
-        seg.join(F.broadcast(boiler_fps), "seg_fp", "left")
+        seg.join(gated_broadcast(boiler_fps), "seg_fp", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.registry import load_table, query, spread
+from ocs_duckdb_runner_spark.registry import (
+    load_table,
+    query,
+    release_local_checkpoint,
+    spread,
+)
 
 # MinHash parameters: 16 hashes = 4 bands × 4 rows → catches Jaccard ≳ 0.7
 # candidates with high probability while keeping bucket-join fan-out tiny.
@@ -391,17 +396,21 @@ def _capped_shingle_docs(sh: DataFrame, df_cap: int) -> DataFrame:
     Hot-set size: a shingle enters it only by appearing in > df_cap
     docs, so |hot| ≤ occurrences/df_cap, and in any real crawl the df
     distribution is Zipfian — the >256-doc tail is boilerplate lines,
-    thousands of rows, far under any broadcast limit. A deployment
-    expecting an adversarial all-boilerplate corpus can drop the
-    broadcast hint and let AQE choose the join strategy from the
-    measured hot-set size."""
+    thousands of rows, far under any broadcast limit. The hint is
+    SIZE-GATED (``gated_broadcast``, r10): below HOT_BROADCAST_MAX_ROWS
+    the hot set is driver-materialized and broadcast; an adversarial
+    all-boilerplate corpus instead gets the un-hinted join and AQE
+    chooses the strategy from measured size — graceful degradation
+    instead of a forced-broadcast OOM cliff."""
+    from ocs_duckdb_runner_spark.registry import gated_broadcast
+
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > df_cap)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh.join(gated_broadcast(hot), "shingle", "left_anti")
 
 
 def _jaccard_pairs_from_sh(
@@ -786,7 +795,17 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
     LogicalRDD, so rounds cost O(nodes) driver work regardless of
     diameter. AQE is paused inside the loop (and restored): the plan is
     deliberately static, and per-round re-planning would both cost time
-    and re-break the edge-side co-partitioning."""
+    and re-break the edge-side co-partitioning.
+
+    STORAGE IS RELEASED EVERY ROUND (r10): once a round's checkpoint has
+    materialized, the previous round's pinned RDD blocks are explicitly
+    unpersisted (``release_local_checkpoint``) instead of waiting for
+    driver-side GC to collect the py4j reference — live checkpoint
+    storage is one labels frame, not O(rounds). Trade-off, documented:
+    localCheckpoint is not fault-tolerant, so an executor loss mid-loop
+    restarts the query; a cluster deployment wanting mid-loop recovery
+    would swap in reliable ``checkpoint()`` against the cluster FS and
+    pay a distributed write per round for it."""
     spark = edges_src_dst.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -808,6 +827,7 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
         # retained, oracle diverged. A pathological diameter now fails
         # loudly instead.
         rounds = 0
+        pinned = labels  # the live checkpoint; freed once superseded
         while True:
             nbr = (
                 edges.join(labels, edges.src == labels.doc_id)
@@ -831,6 +851,13 @@ def _propagate_min_label(edges_src_dst: DataFrame, width: int) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
+            # merged has materialized (eager), so the PREVIOUS round's
+            # checkpoint blocks are dead — release them now instead of
+            # waiting for driver GC (ADVICE r10: over hundreds of rounds
+            # the pinned RDDs otherwise accumulate nondeterministically;
+            # storage stays one labels-frame-sized, not O(rounds))
+            release_local_checkpoint(pinned)
+            pinned = merged
             changed = merged.agg(F.sum("chg")).first()[0]
             labels = merged.select("doc_id", "lbl")
             if not changed:
@@ -1193,8 +1220,12 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # hot grams (df > cap) are broadcast as a map-side anti-filter —
         # same shape and rationale as _capped_shingle_docs: the df
-        # aggregate is the only exchange the cap costs, and the corpus
-        # frame never shuffles to apply it
+        # aggregate is the only exchange the cap costs, the corpus frame
+        # never shuffles to apply it, and the hint is size-gated
+        # (gated_broadcast) so an adversarial all-hot corpus degrades to
+        # the AQE-chosen join instead of a forced-broadcast OOM
+        from ocs_duckdb_runner_spark.registry import gated_broadcast
+
         hot = (
             train0.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -1202,7 +1233,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("gram")
         )
         train = (
-            train0.join(F.broadcast(hot), "gram", "left_anti")
+            train0.join(gated_broadcast(hot), "gram", "left_anti")
             .persist()  # read by both the counts aggregate and the bench join
         )
         # denominator from a combiner aggregate joined onto the (small,

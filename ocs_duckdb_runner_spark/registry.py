@@ -173,16 +173,85 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def fixture_fingerprint(sf_dir: str, table: str | None = None) -> str:
+# Row cap for forcing a broadcast of a data-dependent small side (hot
+# shingle/gram sets, boilerplate fingerprints). Below it the set is
+# driver-materialized and broadcast; above it the join is left un-hinted
+# so AQE picks the strategy from measured size. 100k keys × ~40 B ≈ 4 MB
+# — far under any executor broadcast budget, and the probe that counts
+# them is bounded by the same cap (limit(cap+1)), so driver memory is
+# constant even on an adversarial corpus where the "small" side is huge.
+HOT_BROADCAST_MAX_ROWS = 100_000
+
+
+def gated_broadcast(
+    small: DataFrame, max_rows: int = HOT_BROADCAST_MAX_ROWS
+) -> DataFrame:
+    """Size-gate a forced broadcast hint (ADVICE r9: a bare
+    ``F.broadcast(hot)`` bypasses autoBroadcastJoinThreshold entirely, so
+    an adversarial corpus where the hot set is corpus-sized OOMs the
+    driver instead of degrading).
+
+    Probes the frame with ``limit(max_rows+1).collect()`` — the probe IS
+    the small-case fetch, the same bounded-collect pattern as the CC
+    union-find head probe — and:
+
+    - ≤ max_rows: rebuilds the rows as a driver-local relation and
+      broadcasts THAT, so the aggregate feeding ``small`` runs exactly
+      once (no recompute when the broadcast materializes) and the join
+      probe side never shuffles;
+    - > max_rows: returns ``small`` un-hinted — the degenerate
+      (all-boilerplate) corpus pays the aggregate again inside the join
+      and AQE chooses the strategy from runtime size, which is the
+      gracefully-degrading behavior the docstring used to promise only
+      in prose."""
+    rows = small.limit(max_rows + 1).collect()
+    if len(rows) <= max_rows:
+        from pyspark.sql import functions as F
+
+        local = small.sparkSession.createDataFrame(rows, small.schema)
+        return F.broadcast(local)
+    return small
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically release a ``localCheckpoint(eager=True)``
+    frame's pinned blocks (ADVICE r10: in an iterative loop each round's
+    checkpointed RDD otherwise stays in executor storage until the py4j
+    finalizer happens to run, so storage accumulates nondeterministically
+    over hundreds of rounds).
+
+    The checkpointed Dataset's analyzed plan is the LogicalRDD holding
+    the pinned RDD — unpersist THAT RDD, not ``df.rdd`` (a derived
+    conversion whose unpersist is a no-op on the checkpoint blocks;
+    measured). Only call this on a frame the loop will never read again:
+    a localCheckpoint cannot recompute, so a released frame is dead.
+    Best-effort — a plan shape this helper doesn't recognize degrades to
+    the old GC-based release, never an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def fixture_fingerprint(
+    sf_dir: str, table: str | tuple[str, ...] | None = None
+) -> str:
     """Cheap content fingerprint — file names, sizes, mtimes; no data
-    read — of one table's files (or every table in the fixture dir when
-    ``table`` is None). Every on-disk cache DERIVED from the fixtures
-    must carry this in its key: a cache keyed by sf_dir path alone goes
-    silently stale the moment a probe rebuilds its fixtures in place
-    (the r8 10x finding: stream_incremental_mv's 4-way split source
-    predated the events striking and the MV summed a 100k-row copy
-    against a 1M-row oracle — exactly 10x off, caught only because the
-    query is oracle-checked)."""
+    read — of one table's files, a tuple of tables' files, or every table
+    in the fixture dir when ``table`` is None. Every on-disk cache DERIVED
+    from the fixtures must carry this in its key: a cache keyed by sf_dir
+    path alone goes silently stale the moment a probe rebuilds its
+    fixtures in place (the r8 10x finding: stream_incremental_mv's 4-way
+    split source predated the events striking and the MV summed a
+    100k-row copy against a 1M-row oracle — exactly 10x off, caught only
+    because the query is oracle-checked).
+
+    Always 12 hex chars, whatever the table set — cache keys built from
+    this compose as ``tag_<12hex>`` and stay matchable by
+    ``vacuum_cache_siblings``'s generation regex (ADVICE r9: the bucketed
+    cache concatenated two fingerprints into an 18-hex suffix the vacuum
+    never matched, so stale bucketed generations leaked under /tmp
+    forever)."""
     import hashlib
 
     h = hashlib.md5()
@@ -200,7 +269,12 @@ def fixture_fingerprint(sf_dir: str, table: str | None = None) -> str:
             st = os.stat(path)
             h.update(f"{path}:{st.st_size}:{st.st_mtime_ns};".encode())
 
-    names = (table,) if table is not None else TABLES
+    if table is None:
+        names: tuple[str, ...] = TABLES
+    elif isinstance(table, str):
+        names = (table,)
+    else:
+        names = tuple(table)
     for t in names:
         _add(f"{sf_dir}/{t}.parquet")
     return h.hexdigest()[:12]
@@ -214,17 +288,22 @@ def vacuum_cache_siblings(parent: str, tag: str, keep: str) -> None:
     derived copy (split objects, round-trip fixtures, stream splits)
     under /tmp forever.
 
-    Sibling matching is anchored to the 12-hex fingerprint suffix, NOT a
+    Sibling matching is anchored to the hex fingerprint suffix, NOT a
     bare prefix: tags can extend each other (``sf0.1`` vs ``sf0.1_alt``),
     and a prefix match would let the shorter tag's vacuum delete the
     longer tag's perfectly valid cache generation, forcing spurious
-    rebuilds."""
+    rebuilds. The suffix width is 12-18 hex: current keys are always 12
+    (fixture_fingerprint's contract), but r9's bucketed cache
+    concatenated two fingerprints into an 18-hex suffix the exact-12
+    pattern never matched (ADVICE r10) — the wider match reclaims those
+    already-leaked generations while staying anchored (an extending tag's
+    ``_alt_...`` suffix contains non-hex characters and can't match)."""
     import re
     import shutil
 
     if not os.path.isdir(parent):
         return
-    gen = re.compile(re.escape(tag) + r"_[0-9a-f]{12}$")
+    gen = re.compile(re.escape(tag) + r"_[0-9a-f]{12,18}$")
     for name in os.listdir(parent):
         if name == keep:
             continue

@@ -159,14 +159,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucketed copies are fixture-DERIVED: key the table names and
     # paths by content fingerprint like every other derived cache, or a
     # probe rebuilding its fixtures in place would leave tableExists true
-    # for tables bucketed from the STALE data
+    # for tables bucketed from the STALE data. One combined 12-hex
+    # fingerprint over BOTH tables — not two concatenated ones — so the
+    # key shape stays tag_<12hex> and vacuum_cache_siblings's generation
+    # regex can reclaim superseded generations (ADVICE r9: the 18-hex
+    # suffix never matched and stale bucketed caches leaked forever)
     base_tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    tag = (
-        base_tag
-        + "_"
-        + fixture_fingerprint(sf_dir, "orders")
-        + fixture_fingerprint(sf_dir, "customer")[:6]
-    )
+    tag = base_tag + "_" + fixture_fingerprint(sf_dir, ("orders", "customer"))
     if not os.path.isdir(f"{_CACHE_ROOT}/{tag}"):
         vacuum_cache_siblings(_CACHE_ROOT, base_tag, tag)
     specs = [

@@ -242,19 +242,56 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vacuum_stale_sink_runs(parent: str = "/tmp/ocs_pyds_sink") -> None:
     """Remove prior runs' scratch dirs (uuid-named part/manifest dirs and
     their _ckpt siblings). Without this every sweep leaked an
-    orders-sized JSONL copy per run. Only entries older than an hour go
-    — a concurrently-running sweep's fresh dir is never touched."""
+    orders-sized JSONL copy per run.
+
+    Deletion requires age AND a completion marker, not age alone
+    (ADVICE r10): a directory's mtime only moves when entries are
+    created/removed DIRECTLY in it, so a >1h concurrent run whose part
+    files land in subpaths — a streaming checkpoint's offsets/commits
+    especially — looked stale to the old age-only rule and was deleted
+    mid-commit. Rules:
+
+    - a run dir goes when it is >1h old AND carries a published manifest
+      (``_manifest*.json`` — written last in the batch commit protocol,
+      and written directly into the dir per epoch by the stream sink, so
+      a live stream's dir mtime stays fresh anyway);
+    - a marker-less dir (crashed/aborted run that never committed) goes
+      only past a 24h fallback — far beyond any sweep's runtime, so a
+      live concurrent writer is never raced, but a crash doesn't leak
+      forever;
+    - an ``X_ckpt`` streaming checkpoint is NEVER judged by its own
+      mtime (its writes land in offsets/ and commits/ subdirs): its
+      lifetime is tied to its sibling run dir ``X`` — removed with it,
+      or as an orphan once ``X`` is gone."""
+    import glob as _glob
     import os as _os
     import shutil as _shutil
     import time as _time
 
     if not _os.path.isdir(parent):
         return
-    cutoff = _time.time() - 3600
-    for name in _os.listdir(parent):
+    now = _time.time()
+    cutoff = now - 3600
+    crash_cutoff = now - 86400
+    names = _os.listdir(parent)
+    run_dirs = [n for n in names if not n.endswith("_ckpt")]
+    for name in run_dirs:
         p = _os.path.join(parent, name)
         try:
-            if _os.stat(p).st_mtime < cutoff:
+            mtime = _os.stat(p).st_mtime
+            committed = bool(_glob.glob(_os.path.join(p, "_manifest*.json")))
+            if (committed and mtime < cutoff) or mtime < crash_cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+                _shutil.rmtree(p + "_ckpt", ignore_errors=True)
+        except OSError:
+            pass
+    for name in names:
+        if not name.endswith("_ckpt"):
+            continue
+        sibling = _os.path.join(parent, name[: -len("_ckpt")])
+        p = _os.path.join(parent, name)
+        try:
+            if not _os.path.isdir(sibling) and _os.stat(p).st_mtime < cutoff:
                 _shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

@@ -209,6 +209,60 @@ def test_propagate_min_label_converges_past_30_rounds(spark):
     assert set(got.values()) == {0}
 
 
+def test_propagate_min_label_releases_per_round_checkpoints(spark):
+    """Each round's localCheckpoint blocks must be explicitly released
+    once superseded (ADVICE r10): a diameter-40 run makes ~41 rounds, so
+    without the release executor storage holds ~41 pinned label frames
+    until driver GC. After the run, the loop may leave at most the FINAL
+    labels checkpoint pinned beyond what was pinned before."""
+    from ocs_duckdb_runner_spark.llm.dedup import _propagate_min_label
+
+    sc = spark.sparkContext
+
+    def pinned_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = pinned_ids()
+    und = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    edges = und.union(und.selectExpr("dst as src", "src as dst"))
+    out = _propagate_min_label(edges, width=2)
+    assert out.count() == 41  # materialized, still readable post-release
+    leftover = pinned_ids() - before
+    # ≤ 1 new pinned RDD: the final labels checkpoint the caller consumes
+    assert len(leftover) <= 1, (
+        f"{len(leftover)} checkpoint RDDs leaked from the CC loop"
+    )
+
+
+def test_release_local_checkpoint_frees_blocks_and_is_safe_on_plain_df(
+    spark,
+):
+    """release_local_checkpoint must drop a checkpointed frame's storage
+    deterministically, and degrade to a no-op on a non-checkpointed
+    frame (best-effort contract)."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import release_local_checkpoint
+
+    sc = spark.sparkContext
+
+    def pinned_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = pinned_ids()
+    df = (
+        spark.range(1000)
+        .select("id", (F.col("id") % 7).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    assert pinned_ids() - before  # the checkpoint pinned something
+    release_local_checkpoint(df)
+    assert pinned_ids() == before  # ...and the release freed it
+    release_local_checkpoint(spark.range(5))  # plain frame: no-op, no raise
+
+
 def test_minhash_bands_rejects_non_tiling_geometry(spark):
     """n_bands must tile the signature: the old implementation indexed
     with the module-global rows-per-band regardless of n_bands, reading

@@ -703,9 +703,11 @@ def test_df_cap_is_broadcast_anti_join(spark):
     """The hot-shingle df-cap must apply as a broadcast anti-join (hot
     set df > cap, map-side probe) — round 8 shipped it as an equi-join
     against the full df table whose claimed ReuseExchange never
-    materialized, costing the shingle family a 2-3x regression. Pin the
-    shape: exactly one exchange (the map-combined df aggregate), the
-    anti-join broadcast, never sort-merge."""
+    materialized, costing the shingle family a 2-3x regression. Since
+    r10 the broadcast is size-gated (gated_broadcast): a small hot set
+    is driver-materialized, so the df aggregate runs in the probe job
+    and the FINAL plan is pure map-side — broadcast anti-join, zero
+    shuffles of the corpus frame, never sort-merge."""
     from pyspark.sql import functions as F
 
     from ocs_duckdb_runner_spark.llm.dedup import _capped_shingle_docs
@@ -716,8 +718,58 @@ def test_df_cap_is_broadcast_anti_join(spark):
     plan = _raw_plan(spark, _capped_shingle_docs(sh, 4))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
-    # only the df aggregate's shuffle (broadcast exchanges excluded)
-    assert len(re.findall(r"(?<!Broadcast)Exchange \(", plan)) == 1
+    # the corpus frame must not shuffle to apply the cap (the df
+    # aggregate's exchange lives in the construction-time probe job)
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(", plan)) == 0
+
+
+def test_df_cap_degrades_without_forced_broadcast_when_hot_set_huge(spark):
+    """Adversarial all-boilerplate corpus: EVERY shingle crosses the df
+    cap. With the r9 forced hint this was a documented OOM cliff; the
+    size gate must fall back to the un-hinted join (AQE picks the
+    strategy) and still return the correct (empty) capped frame."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import gated_broadcast
+
+    # 64 distinct shingles, each in 8 docs > cap 4 → hot set = all 64
+    sh = spark.range(512).select(
+        (F.col("id") % 128).alias("doc_id"),
+        (F.col("id") % 64).alias("shingle"),
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 4)
+        .select("shingle")
+    )
+    gated = gated_broadcast(hot, max_rows=16)  # 64 > 16 → un-hinted
+    capped = sh.join(gated, "shingle", "left_anti")
+    assert capped.count() == 0  # every shingle hot → everything dropped
+    plan = _raw_plan(spark, capped)
+    # no forced broadcast of the oversized set: the hint is absent, so
+    # the join is whatever the planner/AQE picks — pin only that the
+    # query completed and the gate returned the non-local frame
+    assert "LocalTableScan" not in plan and "Scan ExistingRDD" not in plan
+
+
+def test_gated_broadcast_small_side_is_local_relation(spark):
+    """Below the row cap, gated_broadcast must return a driver-local
+    relation with a broadcast hint — the aggregate that produced the
+    small side runs exactly once (in the probe) and never again when
+    the broadcast materializes."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import gated_broadcast
+
+    small = spark.range(10).select(F.col("id").alias("k"))
+    gated = gated_broadcast(small, max_rows=100)
+    big = spark.range(50)
+    plan = _raw_plan(spark, big.join(gated, big.id == gated.k))
+    assert "BroadcastHashJoin" in plan
+    # driver-local relation (LocalTableScan pre-Arrow, Scan ExistingRDD
+    # under Arrow-backed createDataFrame) — NOT the original lineage
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
 
 
 def test_text_boilerplate_probe_is_broadcast(spark):
