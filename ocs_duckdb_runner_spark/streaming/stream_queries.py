@@ -252,11 +252,10 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py, which DOES exercise the multi-batch path.
 
     Spark 4's successor API (transformWithStateInPandas: typed value/list/
-    map state, timers, TTL) was probed and is env-gated here: its state
-    server requires google.protobuf, which this container lacks — the
-    operator contract (per-key state + per-batch Arrow rows → output rows)
-    is identical, so this query ports to it by swapping the decorator
-    surface when the dependency exists."""
+    map state, timers, TTL) is covered by stream_transform_with_state —
+    the same totals behind a StatefulProcessor, env-dispatched on
+    transform_with_state_available() because the TWS state server needs
+    google.protobuf, which this container lacks."""
     from pyspark.sql.types import (
         LongType,
         StructField,
@@ -281,6 +280,148 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+    return spark.table(_run_to_memory(totals, "update"))
+
+
+def transform_with_state_available() -> bool:
+    """True when Spark 4's transformWithStateInPandas can actually run
+    here: its Python worker speaks a protobuf protocol to the JVM-side
+    state server, so ``google.protobuf`` must be importable in the
+    worker env. This container lacks it — the API surface imports fine
+    but the TWS driver worker crashes on startup (probed r10:
+    'TransformWithStateInPySpark driver worker exited unexpectedly') —
+    while any real deployment with the pyspark[connect] extras has it.
+    Same dispatch contract as sources.hadoop_aws_available(): the gated
+    query takes the real path unchanged the moment the dependency
+    exists."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _totals_out_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value_c", T.LongType()),
+        ]
+    )
+
+
+def _make_user_totals_processor():
+    """Build the StatefulProcessor twin of _user_totals_state for
+    transformWithStateInPandas — same per-user (count, exact value-cents
+    sum) semantics, same half-away-from-zero rounding, carried in a
+    typed ValueState instead of the legacy GroupState tuple. Built by a
+    factory (not at module import) so importing this module never
+    requires the StatefulProcessor ABC at class-definition time on
+    stripped-down envs; the class body itself has no protobuf imports —
+    only the state-server transport does."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("cents", T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                v = pdf["value"].fillna(0.0).to_numpy() * 100.0
+                cents += int(
+                    (np.sign(v) * np.floor(np.abs(v) + 0.5))
+                    .astype("int64")
+                    .sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value_c": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _UserTotalsProcessor()
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "spark4"),
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stateful totals on Spark 4's transformWithStateInPandas —
+    the successor of applyInPandasWithState (typed value/list/map state,
+    timers, TTL, initial state) and the API a user migrating stateful
+    pipelines to Spark 4 hits first.
+
+    ENV-DISPATCHED, stated plainly: the TWS state server needs
+    google.protobuf in the worker env (transform_with_state_available —
+    absent in this container, present on any pyspark[connect] cluster).
+    With it, the query runs the real StatefulProcessor path; without it,
+    the SAME per-user totals run through the legacy
+    applyInPandasWithState operator, so the oracle checks identical
+    semantics either way and the processor body itself is twin-locked
+    against the legacy function by tests/test_streaming.py (fake-handle
+    drive, multi-batch). The two operator bodies share rounding and
+    state shape line-for-line — swapping the transport is the ONLY
+    difference, which is exactly the migration story the API promises.
+
+    Scale: state is per-user (distinct keys), not per-event; RocksDB
+    state store + changelog checkpointing on a cluster. Oracle
+    determinism: update mode emits one row per key per batch; the
+    availableNow drain over the fixture listing is a single micro-batch
+    (same contract as stream_custom_state, multi-batch path locked in
+    tests/test_streaming.py)."""
+    events = read_events_stream(spark, sf_dir)
+    out_schema = _totals_out_schema()
+    grouped = events.groupBy("user_id")
+    if transform_with_state_available():
+        totals = grouped.transformWithStateInPandas(
+            _make_user_totals_processor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        totals = grouped.applyInPandasWithState(
+            _user_totals_state,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("cents", T.LongType()),
+                ]
+            ),
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
     return spark.table(_run_to_memory(totals, "update"))
 
 

@@ -92,6 +92,134 @@ def test_custom_state_totals_match_batch(spark):
     assert got == want
 
 
+def test_transform_with_state_totals_match_batch(spark):
+    """The Spark-4 stateful query (whichever transport the env dispatch
+    picks) must equal the plain batch aggregate over the same fixture."""
+    from pyspark.sql import functions as F
+
+    from ocs_duckdb_runner_spark.registry import load_table, specs
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value_c)
+        for r in specs()["stream_transform_with_state"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+class _FakeValueState:
+    """In-memory stand-in for a TWS ValueState (exists/get/update)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):
+        return self.state
+
+
+class _FakeGroupState:
+    """In-memory stand-in for the legacy GroupState (property-style
+    exists/get, matching applyInPandasWithState's surface)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_stateful_processor_is_twin_of_legacy_group_state():
+    """Multi-batch twin lock: _UserTotalsProcessor (TWS StatefulProcessor)
+    and _user_totals_state (legacy applyInPandasWithState body) must emit
+    identical per-batch rows and carry identical state across batches —
+    the env dispatch in stream_transform_with_state is only honest if the
+    two bodies are semantically interchangeable. Driven with fake state
+    handles, so it exercises the real processor code without the
+    protobuf-backed state server this container lacks."""
+    import pandas as pd
+
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        _make_user_totals_processor,
+        _user_totals_state,
+    )
+
+    batches = [
+        pd.DataFrame({"value": [1.005, -2.5, None]}),
+        pd.DataFrame({"value": [0.004, 7.125]}),
+        pd.DataFrame({"value": [-0.005]}),
+    ]
+    proc = _make_user_totals_processor()
+    proc.init(_FakeHandle())
+    legacy_state = _FakeGroupState()
+    for batch in batches:
+        tws_out = list(proc.handleInputRows((42,), iter([batch]), None))
+        legacy_out = list(_user_totals_state((42,), iter([batch]), legacy_state))
+        assert len(tws_out) == len(legacy_out) == 1
+        assert tws_out[0].to_dict("records") == legacy_out[0].to_dict(
+            "records"
+        )
+    proc.close()
+    # final totals carried in state agree too
+    assert proc._state.get() == legacy_state.get
+    # and the rounding is half-away-from-zero, not numpy banker's:
+    # 1.005 is 100.4999... in float64 → 100 (both engines agree);
+    # -2.5 → -250 (banker's would give -2.48→wrong shape anyway);
+    # 7.125 → 712.5 → 713 (banker's would say 712); -0.005 → -0.5 → -1
+    n, cents = proc._state.get()
+    assert n == 6
+    assert cents == 100 - 250 + 0 + 713 - 1
+
+
+def test_transform_with_state_dispatch_matches_env():
+    """The dispatch must track the actual protobuf availability — on
+    this container that means the legacy fallback; on a cluster with
+    pyspark[connect] extras the same query takes the TWS path."""
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        transform_with_state_available,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert transform_with_state_available() == have
+
+
 def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
