@@ -232,7 +232,13 @@ def main() -> int:
             continue
         dt = time.monotonic() - t0
         rec["spark_rows"] = len(got)
-        rec["secs"] = round(dt, 2)
+        # spark_secs is the ENGINE-only wall (construct + execute +
+        # toPandas); the DuckDB oracle is timed separately below
+        # (oracle_secs) so probe artifacts attribute scaling behavior to
+        # the engine, not to engine+oracle combined (r9 verdict Next #2:
+        # the 1000x pipeline number was unattributable from "secs" alone).
+        # "secs" stays as an alias for older tooling reading the field.
+        rec["secs"] = rec["spark_secs"] = round(dt, 2)
         if name not in oracles:
             # a rows-only query with EMPTY output is a fail, not a pass:
             # every rows-only query in the registry is non-empty on every
@@ -249,7 +255,9 @@ def main() -> int:
             n_pass += 1
             continue
         try:
+            ot = time.monotonic()
             want = q_duck.execute(oracles[name]).fetchdf()
+            rec["oracle_secs"] = round(time.monotonic() - ot, 2)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {ex}")
             rec["err"] = f"oracle: {ex}"

@@ -179,6 +179,12 @@ def probe(
             with open(json_path, "w") as fh:
                 json.dump(
                     {"copies": copies, "base_sf": "0.1", "dir": out,
+                     # attribution note (r9 verdict Next #2): these walls
+                     # are ENGINE-only — noop sink, no DuckDB oracle in
+                     # the timed region (oracle checks live in the
+                     # driver_sim artifacts, which split spark_secs /
+                     # oracle_secs)
+                     "timing": "spark_only_noop_sink",
                      "queries": timings},
                     fh, indent=1, sort_keys=True,
                 )
