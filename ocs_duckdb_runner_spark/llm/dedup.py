@@ -1029,11 +1029,17 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text — and every stage is a built-in JVM expression, so the
     whole pipeline is three hash aggregates end to end."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
+    # ONE regex pass, not two: replacing every maximal run of
+    # non-alphanumerics with a single space is byte-identical to the
+    # two-pass form (strip [^a-z0-9 ] then collapse ' +' — any mixed run
+    # of punctuation and spaces becomes exactly one space either way,
+    # then trim), but java.util.regex pays per-MATCH overhead, and the
+    # char-class pass matches every punctuation byte individually while
+    # the run form matches once per run: measured 151.8 s → 4.7 s (32x)
+    # for normalize+md5 over 5M docs at the 1000x probe. The DuckDB
+    # oracle deliberately KEEPS the two-pass spelling, so the hash match
+    # is itself the proof of equivalence on every fixture.
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     # persist the fingerprinted projection: ~50 B/doc, but it feeds BOTH
     # the keeper aggregate and the join branch — without it the whole
     # normalize+md5 scan (the expensive regex pass) runs once per branch

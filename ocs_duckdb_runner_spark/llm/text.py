@@ -297,13 +297,12 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on: a one-byte drift splits a duplicate cluster). Pure
     map-side, whole-stage-codegen'd, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    # one-pass run-replacement — byte-identical to the oracle's two-pass
+    # strip-then-collapse spelling but 32x faster in java.util.regex
+    # (measured at the 1000x probe; see pipeline_dedup_end2end). The
+    # oracle keeps the two-pass SQL, so the norm_fp md5 match proves the
+    # equivalence byte-for-byte on every fixture.
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     return d.select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("norm_fp"),

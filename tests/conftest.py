@@ -25,11 +25,21 @@ def pytest_addoption(parser):
         default=False,
         help="run the full 182-query oracle sweep (tests/test_full_sweep.py)",
     )
+    parser.addoption(
+        "--run-hotshingle",
+        action="store_true",
+        default=False,
+        help="run the df-cap-BINDING oracle probe (tests/test_full_sweep.py)",
+    )
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "sweep: full driver-style oracle sweep (opt-in, ~10 min)"
+    )
+    config.addinivalue_line(
+        "markers",
+        "hotshingle: planted-viral-shingle oracle probe (opt-in, ~2 min)",
     )
 
 

@@ -263,6 +263,47 @@ def test_release_local_checkpoint_frees_blocks_and_is_safe_on_plain_df(
     release_local_checkpoint(spark.range(5))  # plain frame: no-op, no raise
 
 
+def test_one_pass_normalize_is_byte_identical_to_two_pass(spark):
+    """The r10 normalize rewrite (one regex pass replacing maximal
+    non-alphanumeric runs) must produce byte-identical output to the
+    original strip-[^a-z0-9 ]-then-collapse-' +' form — that identity is
+    what keeps pipeline_dedup_end2end/text_normalize hash-parity with
+    the DuckDB oracle, which deliberately keeps the two-pass spelling.
+    Exercised on adversarial strings: unicode runs, tabs/newlines,
+    leading/trailing junk, digit boundaries, all-junk, empty."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "Hello, World!",
+        "  a.b..c...d  ",
+        "tabs\tand\nnewlines\r\nmixed",
+        "émoji 🎉 and ünïcode—dashes",
+        "UPPER lower 123 mixed42case",
+        "!!!@@@###",
+        "",
+        " ",
+        "a",
+        "7",
+        "trailing junk!!!",
+        "???leading junk",
+        "a  b   c    d",
+        "digits123.456separate",
+        " nbsp emsp​zwsp",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    one = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    two = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    rows = df.select(one.alias("one"), two.alias("two")).collect()
+    for case, r in zip(cases, rows):
+        assert r.one == r.two, f"divergence on {case!r}: {r.one!r} != {r.two!r}"
+
+
 def test_minhash_bands_rejects_non_tiling_geometry(spark):
     """n_bands must tile the signature: the old implementation indexed
     with the module-global rows-per-band regardless of n_bands, reading

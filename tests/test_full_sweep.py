@@ -48,3 +48,35 @@ def test_full_oracle_sweep(request, tmp_path):
     tail = "\n".join(proc.stdout.splitlines()[-20:])
     assert proc.returncode == 0, f"sweep failed:\n{tail}\n{proc.stderr[-2000:]}"
     assert out.exists()
+
+
+@pytest.mark.hotshingle
+def test_hot_shingle_probe(request, tmp_path):
+    """The df-cap-BINDING oracle check as a pytest entry point, so it
+    can't silently rot between rounds (r9 verdict Next #6): builds the
+    planted-viral-shingle fixture (df ~2500 >> cap 256) and oracle-checks
+    the whole shingle/gram family there. Opt-in (~2 min):
+
+        python -m pytest tests/test_full_sweep.py --run-hotshingle -q
+
+    Round hygiene is to run it at the round's final tree and commit the
+    JSON artifact (HOTSHINGLE_r*.json)."""
+    if not request.config.getoption("--run-hotshingle"):
+        pytest.skip("hot-shingle probe is opt-in: pass --run-hotshingle")
+    out = tmp_path / "hotshingle.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/hot_shingle_probe.py",
+            "/root/testdata/sf0.1",
+            "--json",
+            str(out),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-12:])
+    assert proc.returncode == 0, f"probe failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert out.exists()
