@@ -180,6 +180,12 @@ HEADLINE = [
     "fn_variant_json",
     "agg_approx_top_k",
     "fn_sql_scripting",
+    # round-10 additions
+    "agg_listagg",
+    "window_ignore_nulls",
+    "explode_with_position",
+    "fn_string_mask",
+    "stream_transform_with_state",
 ]
 
 # Fixed canary trio, timed at suite START and END every run (r9 verdict

@@ -596,3 +596,41 @@ def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "fn_string_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked,
+           split_part(c_name, '#', 2) AS key_part,
+           CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER)
+             AS n_digit_runs,
+           printf('%s|%09d', c_mktsegment, c_custkey) AS seg_tag
+    FROM customer
+    """,
+    tags=("functions", "string", "spark4"),
+)
+def fn_string_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-masking string surface: ``mask()`` (Spark's built-in
+    PII-shape anonymizer — uppercase→X, lowercase→x, digit→n, punctuation
+    kept), ``split_part`` field extraction, ``regexp_count``, and
+    ``format_string`` tagging — the column-level redaction pass a
+    training-data pipeline runs before exporting identifier-bearing
+    columns. All four are JVM expressions inside one whole-stage-codegen
+    projection: zero shuffles, pruned scan. The oracle spells mask() as
+    the equivalent three-regex chain, so a hash match proves the
+    builtin's character-class semantics exactly; format_string and
+    DuckDB's printf share the %-spec dialect for these specifiers."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked"),
+        F.expr("split_part(c_name, '#', 2)").alias("key_part"),
+        F.expr("regexp_count(c_name, '[0-9]+')").alias("n_digit_runs"),
+        F.format_string(
+            "%s|%09d", F.col("c_mktsegment"), F.col("c_custkey")
+        ).alias("seg_tag"),
+    )

@@ -67,6 +67,36 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "explode_with_position",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM (SELECT doc_id, (string_split(text, ' '))[1:8] AS toks
+          FROM documents) t
+    """,
+    tags=("llm", "text", "udtf"),
+)
+def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — the position-preserving generator: (doc_id, pos, tok)
+    for the first 8 tokens of every document. Position matters wherever
+    order is signal: n-gram construction, positional prompt features,
+    sequence labeling. The prefix slice bounds output at 8 rows/doc so
+    the operator's cost is corpus-linear with a fixed constant, and the
+    slice sits INSIDE the generator input, so pruned columns + the slice
+    reach the scan and un-kept tokens are never materialized. Pure
+    map-side, no exchange. Oracle: DuckDB's unnest +
+    generate_subscripts, 1-based → 0-based to match posexplode."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
+            "pos", "tok"
+        ),
+    )
+
+
+@query(
     "text_stats",
     oracle="""
     WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token

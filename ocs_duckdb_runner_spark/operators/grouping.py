@@ -237,6 +237,61 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_listagg",
+    oracle="""
+    WITH top5 AS (
+      SELECT lang, doc_id
+      FROM (SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                     AS rn
+            FROM documents) r
+      WHERE rn <= 5)
+    SELECT lang,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS manifest,
+           CAST(count(*) AS BIGINT) AS n_listed
+    FROM top5
+    GROUP BY lang
+    """,
+    tags=("grouping", "spark4"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg(...) WITHIN GROUP (ORDER BY ...)`` — the ordered
+    string-concatenation aggregate (ANSI listagg / Postgres string_agg),
+    here building a deterministic per-language manifest of the 5 lowest
+    doc_ids: the few-shot-prompt-assembly shape (concatenate k chosen
+    snippets per group, in a defined order).
+
+    Scale discipline: a corpus-scale listagg whose group carries millions
+    of elements materializes an unbounded string on one reducer — so the
+    input is top-k-per-group bounded FIRST (rn <= 5, planned as
+    WindowGroupLimit: each partition forwards at most 5 rows per lang
+    before the exchange), making every aggregated string ≤ 5 ids however
+    large the corpus. The WITHIN GROUP ordering makes the result
+    deterministic, which is what lets it carry a value oracle at all
+    (an unordered listagg is rows-only by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("agg_la_docs")
+    return spark.sql(
+        """
+        WITH top5 AS (
+          SELECT lang, doc_id
+          FROM (SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                         AS rn
+                FROM agg_la_docs) r
+          WHERE rn <= 5)
+        SELECT lang,
+               listagg(CAST(doc_id AS STRING), ',')
+                 WITHIN GROUP (ORDER BY doc_id) AS manifest,
+               CAST(count(*) AS BIGINT) AS n_listed
+        FROM top5
+        GROUP BY lang
+        """
+    )
+
+
+@query(
     "agg_argmax",
     oracle="""
     WITH m AS (

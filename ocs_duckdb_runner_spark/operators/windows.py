@@ -268,3 +268,67 @@ def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price_c", "odate")
         .orderBy(F.col("price_c").desc())
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(round(value * 100) AS BIGINT) % 5 = 0
+                  THEN NULL ELSE value END AS v
+      FROM events),
+    filled AS (
+      SELECT event_id, user_id, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+             lag(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS v_prev
+      FROM g)
+    SELECT event_id, user_id, v_locf, v_prev
+    FROM filled WHERE v IS NULL
+    """,
+    tags=("windows", "timeseries"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window frames — last-observation-carried-forward
+    gap-fill, the standard sensor/time-series densify step: for every
+    missing reading, the most recent non-null value in the user's
+    event-time order (last_value IGNORE NULLS) and the previous non-null
+    regardless of recency (lag IGNORE NULLS). Nulls are planted
+    deterministically (value-cents % 5 — identical arithmetic in both
+    engines) because the fixture column is fully populated; the output
+    is only the filled gaps, so result size is the gap count, not the
+    corpus.
+
+    Scale: one hash exchange on user_id + per-partition sort — the same
+    single-window budget as event_sessionize; IGNORE NULLS is evaluated
+    inside the frame scan, not as a self-join (the pre-SQL:2008
+    workaround doubled the exchange). Ordering key is (ts, event_id) so
+    tie timestamps can't make the carried value nondeterministic.
+
+    Uses registry.load_table's events normalization (ts dtype dispatch,
+    UTC session)."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("win_in_events")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN CAST(round(value * 100) AS BIGINT) % 5 = 0
+                      THEN NULL ELSE value END AS v
+          FROM win_in_events),
+        filled AS (
+          SELECT event_id, user_id, v,
+                 last_value(v) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v_locf,
+                 lag(v) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS v_prev
+          FROM g)
+        SELECT event_id, user_id, v_locf, v_prev
+        FROM filled WHERE v IS NULL
+        """
+    )

@@ -793,3 +793,40 @@ def test_recursive_spine_joins_pre_aggregated_months(spark):
     assert "UnionLoop" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_listagg_input_is_window_group_limited(spark):
+    """agg_listagg must bound its groups BEFORE aggregation: the rn <= 5
+    predicate plans as WindowGroupLimit (each map task forwards at most
+    5 rows per lang), so the concatenated string can never grow with the
+    corpus — the property that makes a corpus-scale listagg safe at all."""
+    plan = plan_of(spark, "agg_listagg")
+    assert "WindowGroupLimit" in plan
+
+
+def test_ignore_nulls_gap_fill_is_single_exchange(spark):
+    """window_ignore_nulls must evaluate both IGNORE NULLS frames inside
+    ONE user_id window sort — not the pre-SQL:2008 self-join workaround,
+    which doubles the exchange. One hash exchange on user_id, no joins."""
+    import re as _re
+
+    plan = plan_of(spark, "window_ignore_nulls")
+    assert "Join" not in plan
+    assert len(_re.findall(r"(?<!Broadcast)Exchange \(", plan)) == 1
+
+
+def test_posexplode_prefix_slice_is_map_side(spark):
+    """explode_with_position: generator over a pruned 2-column scan, no
+    exchange — the slice bounds the fan-out before materialization."""
+    plan = plan_of(spark, "explode_with_position")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_string_mask_suite_is_pure_projection(spark):
+    """fn_string_mask: one codegen'd projection over a pruned scan —
+    zero exchanges, zero joins."""
+    plan = plan_of(spark, "fn_string_mask")
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
