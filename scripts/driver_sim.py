@@ -192,23 +192,32 @@ def main() -> int:
           f" ({time.monotonic() - t0:.1f}s)")
     assert len(rows) > 0
 
-    duck = duckdb.connect()
-    # bounded memory + disk spill: a runaway oracle degrades to slow, not
-    # to a 100 GB RAM thrash (the r4 10x-sweep failure mode)
-    duck.execute("SET memory_limit='24GB'")
-    duck.execute("SET temp_directory='/tmp/ocs_duckdb_spill'")
-    duck.execute("SET max_temp_directory_size='40GB'")
-    _register_views(duck, sf_dir)
+    def _fresh_con(view_dir: str):
+        # bounded memory + disk spill: a runaway oracle degrades to slow,
+        # not to a 100 GB RAM thrash (the r4 10x-sweep failure mode)
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        c.execute("SET temp_directory='/tmp/ocs_duckdb_spill'")
+        c.execute("SET max_temp_directory_size='40GB'")
+        _register_views(c, view_dir)
+        return c
+
+    duck = _fresh_con(sf_dir)
 
     cap_dir = None
     if _doc_count(sf_dir) > _CAP_THRESHOLD:
         cap_dir = _build_capped_dir(sf_dir)
-        duck_cap = duckdb.connect()
-        duck_cap.execute("SET memory_limit='24GB'")
-        duck_cap.execute("SET temp_directory='/tmp/ocs_duckdb_spill'")
-        duck_cap.execute("SET max_temp_directory_size='40GB'")
-        _register_views(duck_cap, cap_dir)
+        duck_cap = _fresh_con(cap_dir)
         print(f"CAPPED corpus for {sorted(_CAPPED_QUERIES)} -> {cap_dir}")
+
+    # an oracle heavy enough to fill its buffer pool / spill leaves tens
+    # of GB resident in THIS process and poisons every later query's
+    # spark_secs via page-cache/swap pressure (r10 find: embed_pq_codes's
+    # 449 s oracle at the 100x probe inflated the NEXT queries' engine
+    # walls 10-20x — text_repetition read 142 s contaminated vs 14 s
+    # clean). Recycle the connection after any heavy oracle so engine
+    # attribution stays honest.
+    _ORACLE_RECYCLE_SECS = 60.0
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
@@ -263,6 +272,15 @@ def main() -> int:
             rec["err"] = f"oracle: {ex}"
             n_fail += 1
             continue
+        if rec["oracle_secs"] > _ORACLE_RECYCLE_SECS:
+            # drop the inflated buffer pool before the next query's
+            # engine timing (see _ORACLE_RECYCLE_SECS note above)
+            q_duck.close()
+            if cap_dir and name in _CAPPED_QUERIES:
+                duck_cap = q_duck = _fresh_con(cap_dir)
+            else:
+                duck = q_duck = _fresh_con(sf_dir)
+            rec["oracle_recycled"] = True
         rec["oracle_rows"] = len(want)
         rec["rows_match"] = len(got) == len(want)
         rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
