@@ -634,3 +634,55 @@ def fn_string_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%s|%09d", F.col("c_mktsegment"), F.col("c_custkey")
         ).alias("seg_tag"),
     )
+
+
+@query(
+    "fn_time_type",
+    oracle="""
+    SELECT event_type,
+           CAST(min(CAST(ts AS TIME)) AS VARCHAR) AS first_tod,
+           CAST(max(CAST(ts AS TIME)) AS VARCHAR) AS last_tod,
+           CAST(count(*) FILTER (WHERE CAST(ts AS TIME) >= TIME '09:00:00'
+                                   AND CAST(ts AS TIME) <  TIME '17:00:00')
+                AS BIGINT) AS business_hours_events,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "time", "spark41"),
+)
+def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 TIME data type (spark.sql.timeType.enabled): derive the
+    time-of-day of each event as a first-class TIME(6) value, compare it
+    against TIME literals (the business-hours window), and aggregate
+    MIN/MAX in the TIME domain — the wall-clock-profile query class
+    (shift coverage, trading-hours gating, daily seasonality) that
+    previously needed error-prone seconds-since-midnight arithmetic.
+
+    Spark 4.1 does not yet cast TIMESTAMP_NTZ directly to TIME, so the
+    time-of-day is built with to_time(date_format(ts, 'HH:mm:ss.SSSSSS'))
+    — still whole-stage-codegen'd, still map-side. The final projection
+    casts TIME back to STRING, where both engines trim trailing
+    fractional zeros identically ('00:16:06.73809'), making the new type
+    value-hashable cross-engine. Scale shape: one map pass + one
+    event_type-keyed agg; TIME(6) is an 8-byte physical value, so the
+    exchange carries fixed-width keys, never formatted strings."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "fn_time_events"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(min(tod) AS STRING) AS first_tod,
+               CAST(max(tod) AS STRING) AS last_tod,
+               count(CASE WHEN tod >= TIME '09:00:00'
+                           AND tod <  TIME '17:00:00' THEN 1 END)
+                 AS business_hours_events,
+               count(*) AS n_events
+        FROM (SELECT event_type,
+                     to_time(date_format(ts, 'HH:mm:ss.SSSSSS')) AS tod
+              FROM fn_time_events)
+        GROUP BY event_type
+        """
+    )

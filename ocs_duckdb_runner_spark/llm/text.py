@@ -1664,3 +1664,83 @@ def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "text_unigram_lm",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM cnt),
+    vocab AS (SELECT w, CAST(round(ln(c) * 1000000) AS BIGINT) AS logc_fx
+              FROM cnt ORDER BY c DESC, w LIMIT 16)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+           round(ln(tot.n_corpus)
+                 - CAST(sum(coalesce(v.logc_fx, 0)) AS DOUBLE)
+                   / 1000000 / count(*), 9) AS cross_entropy
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w, tot
+    GROUP BY t.doc_id, tot.n_corpus
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the CCNet/KenLM filtering stage's
+    cheap in-engine proxy): train a corpus unigram model and score each
+    document by its cross-entropy under it — fluent/common text scores
+    low, rare-token and OOV-heavy text scores high, and the score feeds
+    the same keep/drop or reorder decision a real LM-perplexity filter
+    drives. OOV tokens take the count-1 floor, whose log is EXACTLY 0 in
+    both engines (no smoothing float drift).
+
+    Exactness: per-token log-counts are fixed-pointed to integer
+    micro-nats (round(ln(c)*1e6) — per-row on identical doubles, so
+    identical in both engines) and summed as integers, making the
+    per-doc fold order-independent; the final fold is one double
+    subtraction/division rounded to 9 (the text_entropy_trigram
+    pattern, green at 4 scales).
+
+    Plan at 100 TB: the model "training" is ONE word-count-shaped
+    token-keyed aggregate (map-side partial handles the Zipf head); the
+    top-V vocabulary is a TakeOrderedAndProject of V rows with a
+    deterministic (count DESC, token ASC) total order, broadcast to the
+    scoring join — the broadcast is bounded at V rows BY CONSTRUCTION
+    (contrast llm/dedup.py's hot-set hint, which needs a size gate);
+    scoring is a map-side lookup plus ONE doc-keyed integer aggregate.
+    Raw text never crosses an exchange. The corpus-size normalizer sums
+    the count table, so its exchange is the SAME subtree the vocabulary
+    reads — AQE's exchange reuse materializes the token counts once and
+    serves both (verified: ReusedExchange in the adaptive plan), keeping
+    the raw token stream at the intrinsic two passes: train and score."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("w"))
+        .limit(16)
+        .select("w", F.round(F.log("c") * 1000000).cast("long").alias("logc_fx"))
+    )
+    total = cnt.agg(F.sum("c").cast("long").alias("n_corpus"))
+    per = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("logc_fx").isNull(), 1))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce("logc_fx", F.lit(0))).cast("long").alias("s_fx"),
+        )
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.log("n_corpus")
+            - F.col("s_fx").cast("double") / 1000000 / F.col("n_tokens"),
+            9,
+        ).alias("cross_entropy"),
+    )

@@ -1588,3 +1588,39 @@ def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query("agg_hll_sketch_rollup", oracle=None, tags=("agg", "approx", "sketch", "hll"))
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches-HLL rollup (Spark 3.5+ hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate): per-event-type sketches of
+    distinct users, plus an 'ALL' grand-total row whose estimate comes
+    from UNIONING the per-group sketches — NOT from re-scanning the
+    fact. This is THE 100 TB cardinality pattern: persist one 2^lgK-byte
+    sketch per (dimension, day) cell once, then answer any rollup
+    (week, month, all-types, all-time) by merging cells — no raw-value
+    shuffle ever again, and unlike approx_count_distinct's internal HLL,
+    these sketches are STORABLE binary columns compatible with the
+    Apache DataSketches ecosystem outside Spark.
+
+    At fixture scale the union re-derives the per-group frame (two
+    passes over events); in production the per-group sketch table is the
+    materialized artifact and the union is 5 rows — the docstring cost
+    is a fixture artifact, the mergeability is the point. Estimates are
+    engine-specific sketch values → rows-only driver check; accuracy
+    (±5% of exact) and exact union==direct equality are locked in
+    tests/test_round10_ops.py."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    per_type = per.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("approx_users"),
+    )
+    rollup = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("approx_users")
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return per_type.unionByName(rollup)
