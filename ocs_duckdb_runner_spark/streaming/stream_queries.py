@@ -793,3 +793,53 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "sum_value_c")
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_state_reader",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_fx_sum('value')} AS sum_value_c
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "statestore", "spark4"),
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 State Data Source: run a stateful streaming aggregation to
+    a checkpoint, then read the state store BACK as a batch DataFrame
+    (spark.read.format('statestore').load(ckpt)) — the state-debugging /
+    state-migration surface: inspect what a production stream believes
+    without stopping it, audit skewed state keys, or bootstrap a new
+    pipeline from an old one's checkpoint. The returned frame is the
+    STATE, not the sink — so the oracle (the batch twin aggregate)
+    proves the checkpointed state itself is exactly the batch answer,
+    end-to-end through commit and recovery metadata.
+
+    Scale shape: the state source plans one input split per state-store
+    partition (shuffle partition), so a 10k-partition production
+    checkpoint reads as a 10k-task scan with no shuffle — state never
+    funnels through the driver."""
+    import uuid
+
+    ck = f"/tmp/ocs_stream_sink/{uuid.uuid4().hex}_state_ckpt"
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
+    )
+    _COUNTER["n"] += 1
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"stream_state_src_{_COUNTER['n']}")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.format("statestore").load(ck).select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n"),
+        F.col("value.sum").cast("long").alias("sum_value_c"),
+    )
