@@ -186,6 +186,10 @@ HEADLINE = [
     "explode_with_position",
     "fn_string_mask",
     "stream_transform_with_state",
+    "fn_time_type",
+    "agg_hll_sketch_rollup",
+    "text_unigram_lm",
+    "stream_state_reader",
 ]
 
 # Fixed canary trio, timed at suite START and END every run (r9 verdict
@@ -357,8 +361,16 @@ def main() -> int:
         },
     }
     print(json.dumps(detail))
+    # the bare sidecar name is the round-over-round mover baseline at the
+    # driver's sf0.1; a run at any other scale (local smoke at sf0.001)
+    # writes a suffixed file so it can't clobber that baseline
+    sidecar = (
+        "BENCH_QUERIES.json"
+        if sf_val == 0.1
+        else f"BENCH_QUERIES_sf{sf}.json"
+    )
     try:
-        with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as fh:
+        with open(os.path.join(REPO, sidecar), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout — the stdout line above still has it
@@ -377,7 +389,7 @@ def main() -> int:
         "value": rep["total_query_time_sec"],
         "unit": "sec",
         "queries": {k: primary[k] for k in key_queries if k in primary},
-        "queries_file": "BENCH_QUERIES.json",
+        "queries_file": sidecar,
         "n_queries": len(times),
         "sf": sf_val,
         "fanout": {
