@@ -105,6 +105,35 @@ def _events_fingerprint(sf_dir: str) -> str:
     return fixture_fingerprint(sf_dir, "events")
 
 
+def _stream_scratch(suffix: str = "", parent: str = "/tmp/ocs_stream_sink") -> str:
+    """Fresh uuid scratch path under /tmp/ocs_stream_sink for a
+    per-query sink/checkpoint, vacuuming siblings older than 24h on the
+    way. These dirs are dead the moment their query returns but carry no
+    completion marker to prove it, so the rule is age-only with a cutoff
+    far beyond any legitimate run (the full sweep pair is ~2h) — the
+    same crash-fallback tier _vacuum_stale_sink_runs uses, without the
+    marker tier it can afford (its sinks publish manifests; these
+    don't). Without this every sweep leaked ~60 uuid dirs forever (the
+    r9-ADVICE /tmp-leak class, third sighting)."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    try:
+        cutoff = time.time() - 86400
+        for name in os.listdir(parent):
+            p = os.path.join(parent, name)
+            try:
+                if os.stat(p).st_mtime < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+    return f"{parent}/{uuid.uuid4().hex}{suffix}"
+
+
 def _run_to_memory(agg: DataFrame, mode: str) -> str:
     """Drive a streaming aggregation to completion against the memory sink
     (single micro-batch over the fixture file) and return the table name."""
@@ -565,9 +594,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     would emit extra (event_type, batch_id) rows and fail the row-count
     check loudly. stream_incremental_mv exercises the multi-batch
     foreachBatch path explicitly."""
-    import uuid
-
-    out = f"/tmp/ocs_stream_sink/{uuid.uuid4().hex}"
+    out = _stream_scratch()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -748,9 +775,7 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     where an earlier revision set it (ADVICE r5) — so availableNow
     drains in 4 micro-batches and the state+delta merge path runs on
     every batch after the bootstrap, not just the empty-state branch."""
-    import uuid
-
-    base = f"/tmp/ocs_stream_sink/mv_{uuid.uuid4().hex}"
+    base = _stream_scratch("_mv")
     state_dir = f"{base}/state"
     # content-addressed cache key: path alone is NOT enough — the scale
     # probe rebuilds its fixtures in place, and a split source keyed only
@@ -821,9 +846,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (shuffle partition), so a 10k-partition production
     checkpoint reads as a 10k-task scan with no shuffle — state never
     funnels through the driver."""
-    import uuid
-
-    ck = f"/tmp/ocs_stream_sink/{uuid.uuid4().hex}_state_ckpt"
+    ck = _stream_scratch("_state_ckpt")
     events = read_events_stream(spark, sf_dir)
     agg = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")

@@ -128,3 +128,27 @@ def test_unigram_lm_oov_scores_worse(spark):
         worst_fit = max(r["cross_entropy"] for r in in_vocab)
         for r in all_oov:
             assert r["cross_entropy"] >= worst_fit
+
+
+def test_stream_scratch_vacuums_stale_siblings(tmp_path):
+    """_stream_scratch removes >24h-old sibling scratch dirs (age-only —
+    these dirs carry no completion marker) and leaves fresh ones, so
+    repeated sweeps can't accumulate uuid dirs under /tmp forever."""
+    import os
+    import time
+
+    from ocs_duckdb_runner_spark.streaming.stream_queries import _stream_scratch
+
+    parent = tmp_path / "scratch"
+    parent.mkdir()
+    old = parent / "deadbeef_state_ckpt"
+    old.mkdir()
+    stale = time.time() - 90000  # ~25h
+    os.utime(old, (stale, stale))
+    fresh = parent / "cafebabe_mv"
+    fresh.mkdir()
+
+    path = _stream_scratch("_x", parent=str(parent))
+    assert path.startswith(str(parent)) and path.endswith("_x")
+    assert not old.exists(), "stale sibling must be vacuumed"
+    assert fresh.exists(), "fresh sibling must survive"
