@@ -830,3 +830,30 @@ def test_string_mask_suite_is_pure_projection(spark):
     plan = plan_of(spark, "fn_string_mask")
     assert "Exchange" not in plan and "Join" not in plan
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_unigram_lm_vocab_is_broadcast_and_take_ordered(spark):
+    """text_unigram_lm's 100 TB shape: the top-V vocabulary is a
+    TakeOrderedAndProject (V rows, deterministic total order) feeding a
+    BroadcastHashJoin — the scoring join must never shuffle the token
+    stream — and the only hash exchanges are the two word-count-shaped
+    aggregates (token counts, per-doc fold) plus their AQE re-reads;
+    raw text never appears as an exchange key."""
+    plan = plan_of(spark, "text_unigram_lm")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # shuffle exchanges only (the "Exchange (" substring also matches
+    # BroadcastExchange): token-count agg duplicated across the vocab and
+    # normalizer subtrees (AQE reuses one at runtime — verified in the
+    # adaptive plan during development) + the per-doc fold; anything more
+    # means a NEW corpus-sized shuffle crept in
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert 1 <= shuffles <= 4
+
+
+def test_time_type_profile_is_single_agg(spark):
+    """fn_time_type: one map pass (to_time projection) + one
+    event_type-keyed aggregate; the scan is pruned to (ts, event_type)."""
+    plan = plan_of(spark, "fn_time_type")
+    assert plan.count("Exchange (") == 1
+    assert "ReadSchema: struct<ts:" in plan and "event_type:string" in plan
