@@ -291,7 +291,13 @@ def main() -> int:
     try:
         with open(os.path.join(REPO, "BENCH_QUERIES.json")) as fh:
             prev_doc = json.load(fh)
-        prev = prev_doc.get("queries", {})
+        # Mover detection must compare like-for-like: since r10 the
+        # sidecar's "queries" map mixes fresh-JVM re-times (systematically
+        # offset from in-suite by the documented ±30% band), so a query
+        # re-timed last round would chronically re-flag as a >1.3x mover.
+        # Use the previous doc's in-suite map when present; "queries" is
+        # the fallback for pre-r10 sidecars (whose numbers were in-suite).
+        prev = prev_doc.get("in_suite") or prev_doc.get("queries", {})
         if prev_doc.get("sf") != sf_val:
             prev = {}  # different fixture scale — ratios meaningless
             prev_doc = {}

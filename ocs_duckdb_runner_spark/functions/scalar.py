@@ -667,22 +667,33 @@ def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hashable cross-engine. Scale shape: one map pass + one
     event_type-keyed agg; TIME(6) is an 8-byte physical value, so the
     exchange carries fixed-width keys, never formatted strings."""
+    # The TIME type gate is only needed at parse/analysis time (TIME
+    # literals and to_time resolution happen inside spark.sql()); restore
+    # the prior value immediately so the shared session's planner state
+    # isn't mutated for unrelated queries running on the fan-out threads.
+    prior = spark.conf.get("spark.sql.timeType.enabled", None)
     spark.conf.set("spark.sql.timeType.enabled", "true")
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "fn_time_events"
-    )
-    return spark.sql(
-        """
-        SELECT event_type,
-               CAST(min(tod) AS STRING) AS first_tod,
-               CAST(max(tod) AS STRING) AS last_tod,
-               count(CASE WHEN tod >= TIME '09:00:00'
-                           AND tod <  TIME '17:00:00' THEN 1 END)
-                 AS business_hours_events,
-               count(*) AS n_events
-        FROM (SELECT event_type,
-                     to_time(date_format(ts, 'HH:mm:ss.SSSSSS')) AS tod
-              FROM fn_time_events)
-        GROUP BY event_type
-        """
-    )
+    try:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "fn_time_events"
+        )
+        return spark.sql(
+            """
+            SELECT event_type,
+                   CAST(min(tod) AS STRING) AS first_tod,
+                   CAST(max(tod) AS STRING) AS last_tod,
+                   count(CASE WHEN tod >= TIME '09:00:00'
+                               AND tod <  TIME '17:00:00' THEN 1 END)
+                     AS business_hours_events,
+                   count(*) AS n_events
+            FROM (SELECT event_type,
+                         to_time(date_format(ts, 'HH:mm:ss.SSSSSS')) AS tod
+                  FROM fn_time_events)
+            GROUP BY event_type
+            """
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.timeType.enabled")
+        else:
+            spark.conf.set("spark.sql.timeType.enabled", prior)

@@ -199,18 +199,32 @@ def gated_broadcast(
       broadcasts THAT, so the aggregate feeding ``small`` runs exactly
       once (no recompute when the broadcast materializes) and the join
       probe side never shuffles;
-    - > max_rows: returns ``small`` un-hinted — the degenerate
-      (all-boilerplate) corpus pays the aggregate again inside the join
-      and AQE chooses the strategy from runtime size, which is the
-      gracefully-degrading behavior the docstring used to promise only
-      in prose."""
-    rows = small.limit(max_rows + 1).collect()
+    - > max_rows: returns ``small`` PERSISTED (memory-and-disk) and
+      un-hinted — the probe's partial materialization is cached, so the
+      degenerate (all-boilerplate) corpus pays the aggregate once rather
+      than probe+join (ADVICE r10), and AQE chooses the join strategy
+      from runtime size. The cached entry lives for the session — one
+      bounded aggregate per adversarial invocation, spilling to disk,
+      which at scale is the cheap side of re-running a corpus-sized
+      aggregate; callers that loop may ``unpersist()`` the returned
+      frame after the join materializes."""
+    from pyspark import StorageLevel
+
+    # Persist BEFORE the probe: limit().collect() computes only the
+    # partitions the limit touches, but those land in the cache, and on
+    # the adversarial path the join's full materialization completes the
+    # cache instead of recomputing the probe's work from scratch.
+    persisted = small.persist(StorageLevel.MEMORY_AND_DISK)
+    rows = persisted.limit(max_rows + 1).collect()
     if len(rows) <= max_rows:
+        # gated path: the rows are already driver-local — the cache has
+        # nothing left to contribute; release it immediately.
+        persisted.unpersist(False)
         from pyspark.sql import functions as F
 
         local = small.sparkSession.createDataFrame(rows, small.schema)
         return F.broadcast(local)
-    return small
+    return persisted
 
 
 def release_local_checkpoint(df: DataFrame) -> None:

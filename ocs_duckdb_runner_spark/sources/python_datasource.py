@@ -291,7 +291,15 @@ def _vacuum_stale_sink_runs(parent: str = "/tmp/ocs_pyds_sink") -> None:
         sibling = _os.path.join(parent, name[: -len("_ckpt")])
         p = _os.path.join(parent, name)
         try:
-            if not _os.path.isdir(sibling) and _os.stat(p).st_mtime < cutoff:
+            # Orphan _ckpt dirs get the 24h crash cutoff, NOT the 1h one:
+            # the ckpt's own mtime is not a liveness signal (its writes
+            # land in offsets/ and commits/ subdirs), so a stream that
+            # created its checkpoint >1h before its first sink-dir commit
+            # (e.g. stuck upstream) must not lose a live checkpoint.
+            if (
+                not _os.path.isdir(sibling)
+                and _os.stat(p).st_mtime < crash_cutoff
+            ):
                 _shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

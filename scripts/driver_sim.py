@@ -67,6 +67,10 @@ _CAPPED_QUERIES = {
     "dedup_clusters",
 }
 _CAP_THRESHOLD = 20_000  # docs; sf0.1 has 5k — cap only kicks in at probes
+# auto-retime gate (--retime-ref): fresh-JVM re-time when the in-sweep
+# wall exceeds BOTH the absolute floor and FACTOR x the committed value
+_RETIME_ABS_SECS = 10.0
+_RETIME_FACTOR = 3.0
 _CAP_MOD = 7  # keep doc_id % 7 == 0 → ~1/7 of the corpus
 _CAP_KEY_STRIDE = 100_000_000  # scale_probe.KEY_STRIDE: first-copy cut
 
@@ -178,19 +182,49 @@ def _register_views(duck, sf_dir: str) -> None:
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    retime_ref = None
+    time_only = False
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--retime-ref":
+            # prior round's committed artifact for this fixture dir; any
+            # query whose wall exceeds 3x its committed value gets ONE
+            # fresh-JVM re-time before the artifact is written (r10: a
+            # ~90s transient host stall inflated 8 alphabetically
+            # consecutive rows and needed a manual audit — the sweep now
+            # self-heals the way bench.py already does)
+            retime_ref = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--time-only":
+            # internal mode used by the auto-retime subprocess: run the
+            # named queries, time construct+execute+toPandas, skip the
+            # smoke pass and the oracle entirely
+            time_only = True
+            argv = argv[1:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = build_spark(app_name="driver-sim")
 
-    t0 = time.monotonic()
-    smoke = entrymod.entry(spark)
-    rows = smoke.collect()
-    print(f"SMOKE entry(): {len(rows)} rows, schema={smoke.schema.simpleString()}"
-          f" ({time.monotonic() - t0:.1f}s)")
-    assert len(rows) > 0
+    if not time_only:
+        t0 = time.monotonic()
+        smoke = entrymod.entry(spark)
+        rows = smoke.collect()
+        print(f"SMOKE entry(): {len(rows)} rows,"
+              f" schema={smoke.schema.simpleString()}"
+              f" ({time.monotonic() - t0:.1f}s)")
+        assert len(rows) > 0
+    else:
+        # warm the fresh JVM before timing (bench.py's fresh-retime
+        # convention): codegen/scan setup otherwise lands on the first
+        # timed query and overstates it by several seconds
+        li = Path(f"{sf_dir}/lineitem.parquet")
+        warm = li if li.exists() else Path(f"{sf_dir}/documents.parquet")
+        if warm.exists():
+            spark.read.parquet(str(warm)).count()
 
     def _fresh_con(view_dir: str):
         # bounded memory + disk spill: a runaway oracle degrades to slow,
@@ -248,6 +282,35 @@ def main() -> int:
         # the 1000x pipeline number was unattributable from "secs" alone).
         # "secs" stays as an alias for older tooling reading the field.
         rec["secs"] = rec["spark_secs"] = round(dt, 2)
+        # Engine-vs-rig attribution for FULL-RESULT queries (r10 verdict
+        # Next #1): spark_secs folds in the harness's toPandas of the
+        # whole result, so a map-heavy query returning millions of rows
+        # reads 10x its engine wall (fn_math: 41 s recorded vs 4.5 s
+        # noop-sink at 10x). When the result is big enough that the
+        # Arrow collect could dominate (>=100k rows and >=5 s wall), a
+        # second warm run to the noop sink records the engine-only wall
+        # as engine_secs; collect_secs is the residual. Streaming/sink
+        # queries are excluded — re-running them replays side effects.
+        if (
+            dt >= 5.0
+            and len(got) >= 100_000
+            and not name.startswith(("stream_", "sink_", "src_"))
+        ):
+            try:
+                et = time.monotonic()
+                fn(spark, q_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rec["engine_secs"] = round(time.monotonic() - et, 2)
+                rec["collect_secs"] = round(
+                    max(0.0, dt - rec["engine_secs"]), 2
+                )
+            except Exception:  # noqa: BLE001 — attribution is best-effort
+                pass
+        if time_only:
+            print(f"TIME  {name}: {len(got)} rows ({dt:.1f}s)")
+            n_pass += 1
+            continue
         if name not in oracles:
             # a rows-only query with EMPTY output is a fail, not a pass:
             # every rows-only query in the registry is non-empty on every
@@ -263,24 +326,36 @@ def main() -> int:
             rec["err"] = "no_oracle"
             n_pass += 1
             continue
+        oracle_err = None
+        ot = time.monotonic()
         try:
-            ot = time.monotonic()
             want = q_duck.execute(oracles[name]).fetchdf()
-            rec["oracle_secs"] = round(time.monotonic() - ot, 2)
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL  {name}: oracle error: {ex}")
-            rec["err"] = f"oracle: {ex}"
+            oracle_err = ex
+        finally:
+            # Recycle on BOTH the success and the error path: an oracle
+            # that runs long and then errors (OOM/temp-space — the
+            # likeliest buffer-pool-filling case) would otherwise skip
+            # the recycle and contaminate subsequent queries' spark_secs
+            # — the exact attribution problem the recycle targets.
+            rec["oracle_secs"] = round(time.monotonic() - ot, 2)
+            if rec["oracle_secs"] > _ORACLE_RECYCLE_SECS:
+                # drop the inflated buffer pool before the next query's
+                # engine timing (see _ORACLE_RECYCLE_SECS note above)
+                try:
+                    q_duck.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                if cap_dir and name in _CAPPED_QUERIES:
+                    duck_cap = q_duck = _fresh_con(cap_dir)
+                else:
+                    duck = q_duck = _fresh_con(sf_dir)
+                rec["oracle_recycled"] = True
+        if oracle_err is not None:
+            print(f"FAIL  {name}: oracle error: {oracle_err}")
+            rec["err"] = f"oracle: {oracle_err}"
             n_fail += 1
             continue
-        if rec["oracle_secs"] > _ORACLE_RECYCLE_SECS:
-            # drop the inflated buffer pool before the next query's
-            # engine timing (see _ORACLE_RECYCLE_SECS note above)
-            q_duck.close()
-            if cap_dir and name in _CAPPED_QUERIES:
-                duck_cap = q_duck = _fresh_con(cap_dir)
-            else:
-                duck = q_duck = _fresh_con(sf_dir)
-            rec["oracle_recycled"] = True
         rec["oracle_rows"] = len(want)
         rec["rows_match"] = len(got) == len(want)
         rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
@@ -307,6 +382,54 @@ def main() -> int:
                     diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
                 print(f"FAIL  {name}: value mismatch {diff}")
                 n_fail += 1
+    # Stall-resistant sweeps (r10 verdict Next #6): any query whose wall
+    # exceeded 3x its committed prior-round value (and 10 s absolute — the
+    # ratio is meaningless in the jitter band) gets ONE re-time in a fresh
+    # JVM before the artifact is written. The fresh number becomes the
+    # primary spark_secs (same convention as bench.py's fresh re-times);
+    # the in-sweep wall is preserved as spark_secs_insweep and the row is
+    # tagged auto_retimed so the reader can see the instrument fired.
+    if retime_ref and not time_only:
+        import subprocess
+        import tempfile
+
+        try:
+            with open(retime_ref) as fh:
+                ref = {
+                    k: v.get("spark_secs") or v.get("secs")
+                    for k, v in json.load(fh).items()
+                    if isinstance(v, dict)
+                }
+        except (OSError, ValueError):
+            ref = {}
+        flagged = sorted(
+            n
+            for n, rec in report.items()
+            if rec.get("spark_secs") and ref.get(n)
+            and rec["spark_secs"] > _RETIME_ABS_SECS
+            and rec["spark_secs"] > _RETIME_FACTOR * ref[n]
+        )
+        for n in flagged:
+            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                try:
+                    subprocess.run(
+                        [sys.executable, __file__, "--time-only",
+                         "--json", tf.name, sf_dir, n],
+                        check=True, timeout=1800,
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                    )
+                    fresh = json.load(open(tf.name))[n]["spark_secs"]
+                except Exception as ex:  # noqa: BLE001
+                    print(f"RETIME {n}: fresh-JVM re-time failed: {ex}")
+                    continue
+            rec = report[n]
+            rec["auto_retimed"] = True
+            rec["spark_secs_insweep"] = rec["spark_secs"]
+            rec["secs"] = rec["spark_secs"] = fresh
+            print(f"RETIME {n}: in-sweep {rec['spark_secs_insweep']}s ->"
+                  f" fresh {fresh}s (committed ref {ref[n]}s)")
+
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if json_out:
         Path(json_out).write_text(json.dumps(report, indent=2) + "\n")
