@@ -96,6 +96,12 @@ def build_spark(
         # per-file task unit explicit (reference: one engine per file).
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark 4.1 Python DataSource filter pushdown (pushFilters): lets
+        # a custom Python source prune partitions / skip rows at the
+        # source instead of generating everything and filtering in Spark
+        # (sources/python_datasource.py implements it). Default-off
+        # upstream only for back-compat with pre-4.1 readers.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Long-lived sessions serving many queries accumulate broadcast and
         # shuffle state that ContextCleaner only releases after a driver
         # GC; with the JVM default (30 min periodic GC) a multi-query

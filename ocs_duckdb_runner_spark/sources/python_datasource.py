@@ -75,6 +75,162 @@ def _make_source():
     return SynthTelemetrySource
 
 
+def _make_pushdown_source():
+    """The same synthetic telemetry source with Spark 4.1 filter pushdown
+    — a SEPARATE registration (``ocs_synth_telemetry_pd``) because Spark
+    hard-errors on a reader that implements ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false
+    (DATA_SOURCE_PUSHDOWN_DISABLED), so the plain source must stay
+    pushdown-free to keep working on sessions without the conf (e.g. the
+    driver's own harness session)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        InputPartition,
+        IsNotNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    class _SynthPushdownReader(DataSourceReader):
+        """Reader with Spark 4.1 filter pushdown (``pushFilters``, r10
+        verdict Next #5 — the surface a real connector author hits
+        immediately after "it reads"):
+
+        - ``vid`` range/equality/IN predicates fold into a [lo, hi]
+          interval that PRUNES WHOLE PARTITIONS (``partitions()`` plans
+          only intersecting shards — the external-system analogue of
+          parquet row-group / object-listing pruning) and clamps each
+          surviving shard's generator to the sub-range;
+        - ``h`` comparisons are applied ROW-LEVEL inside ``read()`` —
+          rows Spark never sees, the way a database/REST source would
+          push a WHERE clause;
+        - ``IsNotNull`` on any column is consumed outright (the source
+          never yields nulls by construction).
+
+        Every filter NOT in those classes is yielded back, so Spark
+        re-applies it post-scan; every consumed filter is applied
+        exactly — the oracle check would catch an over- or under-prune.
+        At 100 TB the partition-prune is the one that matters: a vid
+        range touching 2 of 10,000 shards plans 2 tasks, not 10,000."""
+
+        _ROW_OPS = {
+            EqualTo: lambda a, b: a == b,
+            GreaterThan: lambda a, b: a > b,
+            GreaterThanOrEqual: lambda a, b: a >= b,
+            LessThan: lambda a, b: a < b,
+            LessThanOrEqual: lambda a, b: a <= b,
+        }
+
+        def __init__(self, options):
+            self.n_parts = int(options.get("parts", N_PARTS))
+            self.rows = int(options.get("rows", ROWS_PER_PART))
+            self.lo = 0  # inclusive pushed vid bounds
+            self.hi = self.n_parts * self.rows - 1
+            self.vid_in: frozenset | None = None
+            self.h_preds: list = []  # (op_class_key, value) row-level
+
+        def pushFilters(self, filters):
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                col = attr[0] if isinstance(attr, tuple) and len(attr) == 1 else None
+                if isinstance(f, IsNotNull) and col in ("vid", "h", "x"):
+                    continue  # never null by construction: consumed
+                val = getattr(f, "value", None)
+                if col == "vid" and type(f) in self._ROW_OPS and isinstance(
+                    val, int
+                ) and not isinstance(val, bool):
+                    if isinstance(f, EqualTo):
+                        self.lo, self.hi = max(self.lo, val), min(self.hi, val)
+                    elif isinstance(f, GreaterThan):
+                        self.lo = max(self.lo, val + 1)
+                    elif isinstance(f, GreaterThanOrEqual):
+                        self.lo = max(self.lo, val)
+                    elif isinstance(f, LessThan):
+                        self.hi = min(self.hi, val - 1)
+                    else:  # LessThanOrEqual
+                        self.hi = min(self.hi, val)
+                    continue
+                if (
+                    col == "vid"
+                    and isinstance(f, In)
+                    and all(
+                        isinstance(v, int) and not isinstance(v, bool)
+                        for v in f.value
+                    )
+                ):
+                    vals = frozenset(f.value)
+                    self.vid_in = (
+                        vals if self.vid_in is None else self.vid_in & vals
+                    )
+                    if vals:
+                        self.lo = max(self.lo, min(vals))
+                        self.hi = min(self.hi, max(vals))
+                    else:
+                        self.hi = self.lo - 1  # IN () — empty scan
+                    continue
+                if col == "h" and type(f) in self._ROW_OPS and isinstance(
+                    val, int
+                ) and not isinstance(val, bool):
+                    self.h_preds.append((type(f).__name__, val))
+                    continue
+                yield f  # unsupported: Spark evaluates it post-scan
+
+        def partitions(self):
+            # one InputPartition per shard -> one Spark task each;
+            # shards whose vid range misses the pushed bounds are never
+            # planned (partition-level pruning)
+            if self.vid_in is not None:
+                # IN membership: plan exactly the shards holding a member
+                shards = sorted(
+                    {
+                        v // self.rows
+                        for v in self.vid_in
+                        if self.lo <= v <= self.hi
+                    }
+                )
+                return [InputPartition(i) for i in shards] or [
+                    InputPartition(0)
+                ]
+            parts = [
+                InputPartition(i)
+                for i in range(self.n_parts)
+                if i * self.rows <= self.hi
+                and i * self.rows + self.rows - 1 >= self.lo
+            ]
+            # contradiction (e.g. vid = 3 AND vid = 5) prunes everything;
+            # plan one shard whose clamped range is empty rather than
+            # handing Spark a zero-partition scan
+            return parts or [InputPartition(0)]
+
+        def read(self, partition):
+            ops = {k.__name__: v for k, v in self._ROW_OPS.items()}
+            base = partition.value * self.rows
+            for vid in range(max(base, self.lo), min(base + self.rows - 1, self.hi) + 1):
+                if self.vid_in is not None and vid not in self.vid_in:
+                    continue
+                h = (vid * _KNUTH) % _MOD
+                if all(ops[op](h, v) for op, v in self.h_preds):
+                    yield (vid, h, h / float(_MOD))
+
+    class SynthTelemetryPushdownSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ocs_synth_telemetry_pd"
+
+        def schema(self):
+            return "vid bigint, h bigint, x double"
+
+        def reader(self, schema):
+            return _SynthPushdownReader(self.options)
+
+    return SynthTelemetryPushdownSource
+
+
 @query(
     "src_python_datasource",
     oracle=f"""
@@ -96,6 +252,68 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", str(N_PARTS))
         .option("rows", str(ROWS_PER_PART))
         .load()
+    )
+
+
+@query(
+    "src_python_datasource_pushdown",
+    oracle=f"""
+    SELECT CAST(vid AS BIGINT) AS vid,
+           CAST((vid * {_KNUTH}) % {_MOD} AS BIGINT) AS h,
+           CAST((vid * {_KNUTH}) % {_MOD} AS DOUBLE) / {_MOD}.0 AS x
+    FROM range({N_PARTS * ROWS_PER_PART}) t(vid)
+    WHERE vid >= {2 * ROWS_PER_PART} AND vid < {5 * ROWS_PER_PART}
+      AND (vid * {_KNUTH}) % {_MOD} < 500000
+    """,
+    tags=("sources", "python-datasource", "pushdown", "spark41"),
+)
+def src_python_datasource_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered read through the custom Python DataSource with Spark 4.1
+    filter pushdown engaged (``pushFilters`` on ``_SynthReader``): the
+    vid range prunes shards 0-1 and 5-7 at PLANNING time (3 of 8
+    partitions are ever scheduled) and clamps the survivors' generators,
+    and ``h < 500000`` is applied inside ``read()`` so roughly half the
+    surviving rows never cross into Spark. The oracle regenerates the
+    same rows with plain SQL arithmetic, so the check proves the pruned
+    scan delivers EXACTLY the declared subset — an over-prune (missing
+    rows) or a stale consumed filter (extra rows) both hash-mismatch.
+    This is the reference's pushdown-measurement spirit
+    (reference README: reading 46 MB of a larger object) re-expressed
+    for the Python-source extension point; unit/plan locks live in
+    tests/test_python_datasource_pushdown.py.
+
+    Pushdown engages when the session has
+    spark.sql.python.filterPushdown.enabled (build_spark sets it). On a
+    session WITHOUT the conf — the driver's own harness session — the
+    query falls back to the plain source and Spark evaluates the same
+    predicates post-scan, because Spark 4.1 hard-errors on a reader
+    implementing pushFilters under a disabled conf
+    (DATA_SOURCE_PUSHDOWN_DISABLED) rather than silently skipping it.
+    Same rows either way; only the plan differs."""
+    enabled = (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        == "true"
+    )
+    if enabled:
+        spark.dataSource.register(_make_pushdown_source())
+        fmt = "ocs_synth_telemetry_pd"
+    else:
+        spark.dataSource.register(_make_source())
+        fmt = "ocs_synth_telemetry"
+    df = (
+        spark.read.format(fmt)
+        .option("parts", str(N_PARTS))
+        .option("rows", str(ROWS_PER_PART))
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    return df.filter(
+        (F.col("vid") >= 2 * ROWS_PER_PART)
+        & (F.col("vid") < 5 * ROWS_PER_PART)
+        & (F.col("h") < 500000)
     )
 
 
