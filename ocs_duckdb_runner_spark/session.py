@@ -70,9 +70,31 @@ def build_spark(
     executor threads (``local[N]`` here, executor cores on a cluster).
     """
     cpus = default_parallelism()
+    # SPARK_GRAFT_MASTER lets the whole harness (driver_sim, pytest,
+    # probes) run under a different master without code churn — the
+    # round-11 use is local-cluster[N,c,m], which launches REAL executor
+    # JVMs so task-result serialization, driver-local broadcast
+    # relations, and localCheckpoint block placement cross an actual
+    # process boundary (local[32] cannot show any of that).
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    # Executor python workers must be able to import this package BY
+    # REFERENCE (module-level functions — the sink's commit helpers, the
+    # legacy stateful bodies — pickle as module+name, unlike the classes
+    # built inside _make_*_source factories, which cloudpickle ships by
+    # value). Under local[*] the workers inherit the driver's sys.path,
+    # which HID this; real executor processes (local-cluster, found in
+    # the r11 probe: sink_python_datasource and the applyInPandasWithState
+    # path both died on import) do not. Same-host masters get the repo
+    # root on the executors' PYTHONPATH; a real multi-host cluster ships
+    # a wheel via --py-files instead, which takes precedence harmlessly.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exec_pp = os.pathsep.join(
+        p for p in (repo_root, os.environ.get("PYTHONPATH")) if p
+    )
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or env_master or f"local[{cpus}]")
+        .config("spark.executorEnv.PYTHONPATH", exec_pp)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.default.parallelism", str(cpus))
         # AQE: runtime coalescing / skew-join splitting / join demotion —

@@ -454,6 +454,227 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_run_to_memory(totals, "update"))
 
 
+_SESSION_GAP_MS = 600_000  # 10 min, matching the sessionize family
+
+
+def _count_sessions(ts_ms, last_ms, n_sessions, n_events):
+    """Shared gap-count math for both stateful bodies: given this batch's
+    SORTED event times (ms) and the carried state, return the updated
+    (last_ms, n_sessions, n_events). A gap STRICTLY greater than
+    _SESSION_GAP_MS starts a new session — the same rule as the
+    event_sessionize / stream_sessionize oracles."""
+    import numpy as np
+
+    if len(ts_ms) == 0:
+        return last_ms, n_sessions, n_events
+    if last_ms is None or ts_ms[0] - last_ms > _SESSION_GAP_MS:
+        n_sessions += 1
+    n_sessions += int((np.diff(ts_ms) > _SESSION_GAP_MS).sum())
+    n_events += len(ts_ms)
+    return int(ts_ms[-1]), n_sessions, n_events
+
+
+def _batch_ts_ms(pdfs):
+    """All of a micro-batch's event times as one sorted int64-ms array."""
+    import numpy as np
+
+    arrs = [
+        pdf["ts"].to_numpy(dtype="datetime64[ms]").astype("int64")
+        for pdf in pdfs
+    ]
+    ts = np.concatenate(arrs) if arrs else np.empty(0, dtype="int64")
+    ts.sort()
+    return ts
+
+
+def _session_row(user_id, n_sessions, n_events):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def _user_sessions_state(key, pdfs, state):
+    """Legacy applyInPandasWithState body with EVENT-TIME TIMEOUT state
+    eviction: per-user gap-session counts where the activity half of the
+    state (last_ms) is DROPPED once the watermark passes last_ms + gap.
+
+    Eviction is semantically invisible BY CONSTRUCTION: after the
+    watermark passes last_ms + gap, every future event has
+    ts > watermark >= last_ms + gap, i.e. it starts a NEW session whether
+    last_ms is remembered or not — so forgetting it changes nothing about
+    the answer and everything about state size: live state is bounded by
+    users active within one gap window, not by all users ever seen. The
+    running totals stay (they're the answer), carried as the same tuple
+    with a null last_ms. Multi-batch + eviction path locked by
+    tests/test_streaming.py (live stream, maxFilesPerTrigger) and the
+    fake-handle twin drive."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed last_ms + gap: evict the activity half
+        _, n_sessions, n_events = state.get
+        state.update((None, n_sessions, n_events))
+        return
+    last_ms, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    ts = _batch_ts_ms(pdfs)
+    last_ms, n_sessions, n_events = _count_sessions(
+        ts, last_ms, n_sessions, n_events
+    )
+    state.update((last_ms, n_sessions, n_events))
+    if last_ms is not None:
+        # the timeout must be strictly beyond the current watermark or
+        # Spark rejects it (late-arriving final events can leave
+        # last_ms + gap already behind the watermark)
+        state.setTimeoutTimestamp(
+            max(last_ms + _SESSION_GAP_MS, state.getCurrentWatermarkMs() + 1)
+        )
+    yield _session_row(user_id, n_sessions, n_events)
+
+
+def _make_user_sessions_processor():
+    """StatefulProcessor twin of _user_sessions_state for
+    transformWithStateInPandas — the r10 verdict's 'beyond the basic
+    path' ask: EVENT-TIME TIMERS (registerTimer / handleExpiredTimer)
+    evict the activity state deterministically when the watermark passes
+    last_ms + gap, and the same activity state ALSO carries a TTL
+    (ttlDurationMs = gap) as the processing-time belt-and-suspenders for
+    keys the watermark never advances past (an idle source). Both
+    eviction routes are safe for the same reason: a forgotten last_ms is
+    indistinguishable from a gap-expired one (see _user_sessions_state).
+    The totals state carries no TTL — it IS the answer. Fake-handle twin
+    drive in tests/test_streaming.py locks both bodies emitting
+    identically across an input/expire/input schedule and the expired
+    timer actually CLEARING the state."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _UserSessionsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState(
+                "last_seen",
+                T.StructType([T.StructField("last_ms", T.LongType())]),
+                ttlDurationMs=_SESSION_GAP_MS,
+            )
+            self._totals = handle.getValueState(
+                "totals",
+                T.StructType(
+                    [
+                        T.StructField("n_sessions", T.LongType()),
+                        T.StructField("n_events", T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_ms = (
+                self._last.get()[0] if self._last.exists() else None
+            )
+            n_sessions, n_events = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            ts = _batch_ts_ms(rows)
+            last_ms, n_sessions, n_events = _count_sessions(
+                ts, last_ms, n_sessions, n_events
+            )
+            if last_ms is not None:
+                self._last.update((last_ms,))
+                self._handle.registerTimer(last_ms + _SESSION_GAP_MS)
+            self._totals.update((n_sessions, n_events))
+            yield _session_row(key[0], n_sessions, n_events)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # watermark passed last_ms + gap: drop the activity state
+            # (the totals stay — they're the answer, not bookkeeping)
+            self._last.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return _UserSessionsProcessor()
+
+
+@query(
+    "stream_tws_session_gap",
+    oracle="""
+    WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                          > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM x)
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM marked
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "spark4", "timers"),
+)
+def stream_tws_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-session COUNTS as a custom stateful operator with
+    state eviction — the timers/TTL face of the Spark 4 stateful API
+    (r10 verdict Next #7), env-dispatched exactly like
+    stream_transform_with_state: with google.protobuf present the real
+    transformWithStateInPandas path runs (timeMode='EventTime', an
+    event-time timer per key evicting the activity state, TTL on the
+    same state as the processing-time belt); without it the legacy
+    applyInPandasWithState body with EventTimeTimeout carries identical
+    semantics. State per user is (last_ms, n_sessions, n_events) — the
+    activity half evicted one gap past last activity, so live state
+    tracks users active within the gap window, not all users ever seen:
+    the difference between O(active) and O(lifetime) state at 100 TB.
+
+    Oracle: the batch lag/gap cumsum derivation of the same counts.
+    Update mode + availableNow single-batch drain = one row per user
+    (same determinism contract as stream_custom_state); the multi-batch
+    and eviction paths are locked by tests/test_streaming.py."""
+    events = read_events_stream(spark, sf_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    grouped = events.select("user_id", "ts").groupBy("user_id")
+    if transform_with_state_available():
+        sessions = grouped.transformWithStateInPandas(
+            _make_user_sessions_processor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    else:
+        sessions = grouped.applyInPandasWithState(
+            _user_sessions_state,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("last_ms", T.LongType()),
+                    T.StructField("n_sessions", T.LongType()),
+                    T.StructField("n_events", T.LongType()),
+                ]
+            ),
+            outputMode="update",
+            timeoutConf="EventTimeTimeout",
+        )
+    return spark.table(_run_to_memory(sessions, "update"))
+
+
 @query(
     "stream_dedup_wm",
     oracle="""
