@@ -510,3 +510,243 @@ def test_stream_mv_crash_after_merge_recovers_exactly_once(spark, tmp_path):
     assert crash_flag.exists()
     run()  # restart: epoch 1 replays (already merged), then 2..N run
     assert _mv_state_rows(spark, state) == _batch_mv_rows(spark)
+
+
+class _FakeNamedValueState:
+    """In-memory TWS ValueState with clear(), recording its TTL."""
+
+    def __init__(self, ttl_ms):
+        self._v = None
+        self.ttl_ms = ttl_ms
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeTimerHandle:
+    """Fake StatefulProcessorHandle with named states + timer registry."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.states[name] = _FakeNamedValueState(ttlDurationMs)
+        return self.states[name]
+
+    def registerTimer(self, ts_ms):
+        self.timers.append(ts_ms)
+
+
+class _FakeTimedGroupState:
+    """Fake legacy GroupState with event-time timeout surface."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+        self.watermark_ms = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutTimestamp(self, ts_ms):
+        assert ts_ms > self.watermark_ms  # Spark rejects stale timeouts
+        self.timeout_ts = ts_ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+
+def test_session_processor_timer_evicts_state_twin_of_legacy():
+    """The r10 verdict Next #7 unit lock: drive BOTH session bodies
+    (TWS StatefulProcessor with event-time timers + TTL'd activity
+    state; legacy EventTimeTimeout body) through the same
+    input -> expire -> input schedule and assert (a) identical emissions,
+    (b) the expired timer actually DROPS the activity state on both
+    sides, (c) the totals survive eviction, (d) a post-eviction arrival
+    counts a NEW session — i.e. eviction is semantically invisible, the
+    property that makes gap-TTL'd state safe at all."""
+    import pandas as pd
+
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        _SESSION_GAP_MS,
+        _make_user_sessions_processor,
+        _user_sessions_state,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame({"ts": [t0, t0 + pd.Timedelta(minutes=1)]})
+    b2 = pd.DataFrame({"ts": [t0 + pd.Timedelta(minutes=40)]})
+
+    proc = _make_user_sessions_processor()
+    handle = _FakeTimerHandle()
+    proc.init(handle)
+    legacy = _FakeTimedGroupState()
+
+    # the activity state carries the gap as its TTL (processing-time belt)
+    assert handle.states["last_seen"].ttl_ms == _SESSION_GAP_MS
+    assert handle.states["totals"].ttl_ms is None  # the answer never expires
+
+    # batch 1: one session, two events; a timer is registered at
+    # last_ms + gap on the TWS side, a timeout timestamp on the legacy
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    leg1 = list(_user_sessions_state((7,), iter([b1]), legacy))
+    assert out1[0].to_dict("records") == leg1[0].to_dict("records")
+    assert out1[0].to_dict("records")[0] == {
+        "user_id": 7, "n_sessions": 1, "n_events": 2,
+    }
+    last_ms = int((t0 + pd.Timedelta(minutes=1)).value // 1_000_000)
+    assert handle.timers == [last_ms + _SESSION_GAP_MS]
+    assert legacy.timeout_ts == last_ms + _SESSION_GAP_MS
+
+    # watermark passes last_ms + gap: the timer fires
+    legacy.watermark_ms = last_ms + _SESSION_GAP_MS + 1
+    assert list(proc.handleExpiredTimer((7,), None, None)) == []
+    legacy.hasTimedOut = True
+    assert list(_user_sessions_state((7,), iter([]), legacy)) == []
+    legacy.hasTimedOut = False
+
+    # eviction dropped the activity state but kept the totals
+    assert not handle.states["last_seen"].exists()
+    assert handle.states["totals"].get() == (1, 2)
+    assert legacy.get == (None, 1, 2)
+
+    # batch 2 after eviction: a new session is counted from scratch
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))
+    leg2 = list(_user_sessions_state((7,), iter([b2]), legacy))
+    assert out2[0].to_dict("records") == leg2[0].to_dict("records")
+    assert out2[0].to_dict("records")[0] == {
+        "user_id": 7, "n_sessions": 2, "n_events": 3,
+    }
+
+
+def test_session_gap_eviction_live_multibatch(spark, tmp_path):
+    """Live multi-batch lock for the legacy path (the one runnable in
+    this container): four files drained one per micro-batch so the
+    watermark advances BETWEEN batches and user 1's event-time timeout
+    fires mid-stream; then the checkpoint's state store is read back
+    (statestore data source) to prove the activity half of the state was
+    REALLY evicted (last_ms null) while the totals survived — the
+    observable that emissions alone can't show, because eviction is
+    semantically invisible by design."""
+    import os
+
+    import pandas as pd
+
+    from ocs_duckdb_runner_spark.streaming.stream_queries import (
+        _user_sessions_state,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    files = [
+        # u1 burst 1 (2 events) -> timeout armed at t0+1m+gap = t0+11m
+        pd.DataFrame({"user_id": [1, 1],
+                      "ts": [t0, t0 + pd.Timedelta(minutes=1)]}),
+        # u1 burst 2 (gap > 10m): session 2; timer re-armed at t0+40m
+        pd.DataFrame({"user_id": [1],
+                      "ts": [t0 + pd.Timedelta(minutes=30)]}),
+        # u2 advances the watermark to t0+50m > t0+40m ...
+        pd.DataFrame({"user_id": [2],
+                      "ts": [t0 + pd.Timedelta(minutes=60)]}),
+        # ... so u1's timeout fires while THIS batch processes
+        pd.DataFrame({"user_id": [2],
+                      "ts": [t0 + pd.Timedelta(minutes=120)]}),
+    ]
+    src = tmp_path / "events_in"
+    src.mkdir()
+    for i, pdf in enumerate(files):
+        p = src / f"f{i}.parquet"
+        # µs precision: pandas' default ns-TIMESTAMP parquet can't be
+        # read back as Spark TimestampType (the fixture-dtype gotcha)
+        pdf.to_parquet(p, coerce_timestamps="us")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))  # listing order
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _user_sessions_state,
+        outputStructType=out_schema,
+        stateStructType=T.StructType(
+            [
+                T.StructField("last_ms", T.LongType()),
+                T.StructField("n_sessions", T.LongType()),
+                T.StructField("n_events", T.LongType()),
+            ]
+        ),
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+    ck = str(tmp_path / "ckpt")
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_ttl_live")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last emitted totals per user match the batch gap-count
+    rows = spark.sql(
+        "SELECT user_id, max_by(n_sessions, n_events) AS s,"
+        " max(n_events) AS e FROM tws_ttl_live GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["s"], r["e"]) for r in rows}
+    assert got == {1: (2, 3), 2: (2, 2)}
+
+    # the state store proves the eviction: u1's activity half is null
+    # (timer fired in the final batch), totals intact; u2 was active in
+    # the last batch, so its last_ms is still set
+    state = (
+        spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.groupState.last_ms").alias("last_ms"),
+            F.col("value.groupState.n_sessions").alias("n_sessions"),
+            F.col("value.groupState.n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    by_user = {r["user_id"]: r for r in state}
+    assert by_user[1]["last_ms"] is None  # EVICTED
+    assert by_user[1]["n_sessions"] == 2 and by_user[1]["n_events"] == 3
+    assert by_user[2]["last_ms"] is not None  # still within its gap window
