@@ -697,3 +697,83 @@ def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.timeType.enabled")
         else:
             spark.conf.set("spark.sql.timeType.enabled", prior)
+
+
+@query(
+    "fn_exec_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("functions", "sql", "spark4"),
+)
+def fn_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 EXECUTE IMMEDIATE — dynamic SQL with parameter BINDING
+    (USING) instead of string interpolation: the query text arrives as a
+    string (the pattern behind templated dashboards / stored-procedure
+    migrations) and the filter value binds as a positional marker, so
+    user input can never splice into the statement. The statement
+    compiles to exactly the same Catalyst plan as the static form (the
+    oracle), because EXECUTE IMMEDIATE is a parse-time indirection, not
+    an interpreter: one pruned scan + one hash aggregate, no penalty for
+    going dynamic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "fn_exec_orders"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                count(*) AS n_orders,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c
+         FROM fn_exec_orders
+         WHERE o_orderstatus = ?
+         GROUP BY o_orderpriority'
+        USING 'F'
+        """
+    )
+
+
+@query(
+    "fn_identifier_dynamic",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_c
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("functions", "sql", "spark4"),
+)
+def fn_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause + session variables (Spark 4): the table AND
+    the grouping column are chosen at runtime from DECLAREd variables,
+    resolved through IDENTIFIER(...) — the injection-safe alternative to
+    f-string SQL for multi-tenant / per-dataset dashboards (an
+    identifier can only ever BE an identifier; a value that isn't a
+    valid name fails analysis rather than splicing syntax). Resolution
+    happens at analysis time, so the executed plan is the ordinary
+    static aggregate over the named table — same scan pruning, same
+    exchange — as the oracle proves."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "fn_ident_customer"
+    )
+    spark.sql("DECLARE OR REPLACE v_ident_tbl STRING DEFAULT 'x'")
+    spark.sql("DECLARE OR REPLACE v_ident_col STRING DEFAULT 'x'")
+    spark.sql("SET VAR v_ident_tbl = 'fn_ident_customer'")
+    spark.sql("SET VAR v_ident_col = 'c_mktsegment'")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(v_ident_col) AS c_mktsegment,
+               count(*) AS n_customers,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_c
+        FROM IDENTIFIER(v_ident_tbl)
+        GROUP BY IDENTIFIER(v_ident_col)
+        """
+    )
