@@ -101,11 +101,19 @@ def test_vacuum_stale_sink_runs_ckpt_lifetime_tied_to_sibling(tmp_path):
     with open(os.path.join(done, "_manifest-0.json"), "w") as fh:
         fh.write("[]")
     os.utime(done, (past, past))
-    # orphan ckpt (sibling vacuumed in a prior pass) — must go
+    # orphan ckpt (sibling vacuumed in a prior pass): its own mtime is
+    # NOT a liveness signal (writes land in subdirs), so it gets the 24h
+    # crash cutoff, not the 1h one (ADVICE r10) — a 2h-old orphan
+    # SURVIVES, a >24h one goes
     orphan = os.path.join(parent, "stream_gone_ckpt")
     os.makedirs(orphan)
     os.utime(orphan, (past, past))
+    old_orphan = os.path.join(parent, "stream_long_gone_ckpt")
+    os.makedirs(old_orphan)
+    ancient = time.time() - 90000  # > 24h
+    os.utime(old_orphan, (ancient, ancient))
     _vacuum_stale_sink_runs(parent)
     assert os.path.exists(run) and os.path.exists(ck)
     assert not os.path.exists(done) and not os.path.exists(done_ck)
-    assert not os.path.exists(orphan)
+    assert os.path.exists(orphan)  # young orphan kept (24h tier)
+    assert not os.path.exists(old_orphan)
