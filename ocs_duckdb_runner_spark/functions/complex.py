@@ -531,3 +531,77 @@ def fn_array_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("zip_csv"),
     )
+
+
+@query(
+    "fn_generators",
+    oracle="""
+    SELECT n_nationkey, 'seq' AS part,
+           CAST(i - n_regionkey AS VARCHAR) AS k, CAST(i AS BIGINT) AS v
+    FROM (SELECT n_nationkey, n_regionkey,
+                 unnest(generate_series(n_regionkey, n_regionkey + 3)) AS i
+          FROM nation)
+    UNION ALL
+    SELECT n_nationkey, 'stack', 'name_len',
+           CAST(length(n_name) AS BIGINT) FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'stack', 'key_mod',
+           CAST(n_nationkey % 5 AS BIGINT) FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'inline', concat('f', j),
+           CAST(n_regionkey * j AS BIGINT)
+    FROM (SELECT n_nationkey, n_regionkey, unnest([1, 2]) AS j FROM nation)
+    """,
+    tags=("function", "generator", "lateral"),
+)
+def fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generator surface — the three table-generating functions a
+    SQL user reaches for beyond plain explode: sequence() + posexplode
+    (numeric range fan-out WITH the ordinal position, DuckDB's
+    generate_series), stack() (the inline k-row unpivot literal —
+    contrast the UNPIVOT relational operator in unpivot_measures), and
+    inline() (explode an array-of-structs straight into columns, no
+    intermediate struct column). One unified (key, part, k, v) schema
+    so all three generators hash into one comparable result.
+
+    All three are Generate nodes evaluated MAP-SIDE in whole-stage
+    codegen over the 25-row dim — fan-out happens inside the scan
+    stage, no shuffle, no join; at 100 TB the same shapes fan out
+    facts (sequence for date spines, stack for measure unpivots,
+    inline for nested-struct flattening) with output-batched codegen
+    rather than a per-row UDTF crossing."""
+    n = load_table(spark, sf_dir, "nation")
+    seq = n.select(
+        "n_nationkey",
+        F.posexplode(
+            F.sequence(F.col("n_regionkey"), F.col("n_regionkey") + 3)
+        ).alias("pos", "i"),
+    ).select(
+        "n_nationkey",
+        F.lit("seq").alias("part"),
+        F.col("pos").cast("string").alias("k"),
+        F.col("i").cast("long").alias("v"),
+    )
+    stacked = n.select(
+        "n_nationkey",
+        F.stack(
+            F.lit(2),
+            F.lit("name_len"),
+            F.length("n_name").cast("long"),
+            F.lit("key_mod"),
+            (F.col("n_nationkey") % 5).cast("long"),
+        ).alias("k", "v"),
+    ).select("n_nationkey", F.lit("stack").alias("part"), "k", "v")
+    inlined = n.select(
+        "n_nationkey",
+        F.inline(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(2)),
+                lambda j: F.struct(
+                    F.concat(F.lit("f"), j.cast("string")).alias("k"),
+                    (F.col("n_regionkey") * j).cast("long").alias("v"),
+                ),
+            )
+        ),
+    ).select("n_nationkey", F.lit("inline").alias("part"), "k", "v")
+    return seq.unionByName(stacked).unionByName(inlined)

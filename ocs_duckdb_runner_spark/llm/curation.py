@@ -1545,3 +1545,127 @@ def _syndication_build(
         .orderBy("src_a", "src_b")
     )
     return out, [sg]
+
+
+_DSIR_DIM = 64  # hashed-feature buckets (text_feature_hashing's dim)
+
+
+@query(
+    "quality_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                   % {_DSIR_DIM} AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''),
+    cnt AS (
+        SELECT b,
+               CAST(count(*) AS BIGINT) AS cr,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+        FROM tok GROUP BY b),
+    tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+        FROM cnt),
+    model AS (
+        SELECT b,
+               CAST(round((ln((CAST(ct AS DOUBLE) + 1)
+                              / (CAST(nt AS DOUBLE) + {_DSIR_DIM}))
+                           - ln((CAST(cr AS DOUBLE) + 1)
+                                / (CAST(nr AS DOUBLE) + {_DSIR_DIM})))
+                          * 1000000) AS BIGINT) AS lr_fx
+        FROM cnt, tot)
+    SELECT t.doc_id,
+           any_value(t.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(m.lr_fx) AS BIGINT) AS dsir_fx,
+           CAST(sum(m.lr_fx) > 0 AS BOOLEAN) AS keep
+    FROM tok t JOIN model m USING (b)
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "curation", "dsir", "data-selection"),
+)
+def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every document by the
+    log importance ratio log p_target(doc) / log p_raw(doc) under two
+    hashed-unigram bag-of-words models — the method behind
+    domain-targeted pretraining mixes. Target distribution = the 'en'
+    slice (stand-in for "high-quality domain sample"); raw = the whole
+    corpus; features = md5-hashed token buckets (dim {_DSIR_DIM}, the
+    text_feature_hashing trick — no vocabulary build, stable across
+    shards). Laplace add-one smoothing on both models; keep = positive
+    mean per-token log-ratio, i.e. "looks more target than raw".
+
+    Cross-engine exactness: the per-bucket log-ratio is fixed-pointed to
+    integer micro-nats (round(ln(..)*1e6) on identical doubles from
+    identical integer counts) and the per-doc score stays an INTEGER sum
+    of those (dsir_fx, micro-nats) — not a rounded per-token mean,
+    because at the 10x probe three docs landed on exact 5e-10 rounding
+    ties where the engines' HALF_UP disagree (the text_bigram_lm_kn
+    lesson; integer div is no refuge here since dsir_fx goes negative
+    and Spark's `div` truncates while DuckDB's `//` floors).
+
+    Plan at 100 TB: bucketing is map-side (token never leaves the map
+    stage); BOTH models come from ONE {_DSIR_DIM}-row conditional
+    aggregate over the bucketed stream (target = FILTER'd sum inside the
+    same pass — no second scan for the target corpus); the scoring join
+    broadcasts the {_DSIR_DIM}-row model; scoring itself is one
+    doc-keyed integer aggregate. Two passes over tokens total — train
+    and score — which is DSIR's intrinsic minimum."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % _DSIR_DIM
+            ).alias("b"),
+        )
+    )
+    cnt = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("ct"),
+    )
+    tot = cnt.agg(
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("ct").cast("long").alias("nt"),
+    )
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct").cast("double") + 1)
+                    / (F.col("nt").cast("double") + _DSIR_DIM)
+                )
+                - F.log(
+                    (F.col("cr").cast("double") + 1)
+                    / (F.col("nr").cast("double") + _DSIR_DIM)
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lr_fx"),
+    )
+    return (
+        tok.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_fx").cast("long").alias("dsir_fx"),
+            (F.sum("lr_fx") > 0).alias("keep"),
+        )
+    )

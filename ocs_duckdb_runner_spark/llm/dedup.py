@@ -2101,3 +2101,106 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cum_novelty_ratio"),
     ).orderBy("bucket")
+
+
+_SPAN_N = 16  # tokens per window — Lee et al. use 50; fixture docs avg ~54
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    win AS (
+        SELECT doc_id,
+               unnest([CAST(concat('0x',
+                           substr(md5(array_to_string(
+                               l[i:i+{_SPAN_N - 1}], ' ')), 1, 15)) AS BIGINT)
+                       for i in generate_series(
+                           1, greatest(len(l) - {_SPAN_N - 1}, 0))]) AS g
+        FROM tok),
+    df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM win GROUP BY g),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+        FROM win JOIN df USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN coalesce(per.n_windows, 0) = 0 THEN 0.0
+                ELSE round(CAST(per.n_dup_windows AS DOUBLE)
+                           / per.n_windows, 9) END AS dup_window_ratio
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("llm", "dedup", "substring", "exact-span"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup measurement (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every {_SPAN_N}-token
+    sliding window is fingerprinted, and a window whose fingerprint
+    occurs in >= 2 distinct documents is a duplicated span — the
+    passage-level redundancy that document-level MinHash misses (two
+    long documents sharing one boilerplate paragraph are NOT near-dups,
+    but the paragraph still leaks into training data twice). Output per
+    document: window count, duplicated-window count, and the ratio the
+    span-removal pass would cut.
+
+    The suffix-array of the original paper is inherently single-machine;
+    the Spark-native equivalent is this rolling-window fingerprint
+    join — the standard distributed reformulation (windows shuffle as
+    60-bit integers, never text). Cross-engine exactness: the
+    fingerprint is the SAME md5-prefix hash on both sides, so even a
+    collision (~2^-60 per pair) produces identical counts.
+
+    Plan at 100 TB: window fingerprints are computed MAP-SIDE inside one
+    whole-stage-codegen'd transform over the token array (no posexplode
+    then window — the array form never materializes per-token rows);
+    the duplicated-gram table is one fingerprint-keyed aggregate
+    (map-side combine collapses each doc's repeats first), re-joined on
+    the same 8-byte key — two shuffles of hashes total, the intrinsic
+    cost of cross-document matching. The left join back to documents
+    keeps zero-window short docs in the report."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= _SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SPAN_N - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_N))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    win = d.select("doc_id", F.explode(grams).alias("g"))
+    df_counts = win.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per = (
+        win.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 9
+            )
+        )
+        .alias("dup_window_ratio"),
+    )

@@ -1744,3 +1744,127 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cross_entropy"),
     )
+
+
+@query(
+    "text_bigram_lm_kn",
+    oracle="""
+    WITH big AS (
+        SELECT doc_id,
+               unnest([struct_pack(w1 := l[i], w2 := l[i+1])
+                       for i in generate_series(1, len(l) - 1)]) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+    bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+    types AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS nf
+            FROM types GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nr
+             FROM types GROUP BY w2),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM types),
+    model AS (
+        SELECT w1, w2,
+               CAST(round(ln(
+                   (CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+                   + ((0.75 * CAST(nf AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                     * (CAST(nr AS DOUBLE) / CAST(t_types AS DOUBLE))
+               ) * 1000000) AS BIGINT) AS logp_fx
+        FROM types JOIN ctx USING (w1) JOIN cont USING (w2), tt)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(m.logp_fx) AS BIGINT) AS logprob_fx,
+           CAST((-sum(m.logp_fx)) // count(*) AS BIGINT)
+               AS cross_entropy_unats
+    FROM bg b JOIN model m USING (w1, w2)
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "text", "quality", "lm", "kneser-ney"),
+)
+def text_bigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM scoring — the canonical n-gram
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999) behind
+    KenLM-style perplexity filters: P(w2|w1) = max(c(w1w2)-d, 0)/c(w1)
+    + d·N1+(w1·)/c(w1) · P_cont(w2), with the continuation probability
+    P_cont(w2) = N1+(·w2)/|bigram types| — the part unigram backoff
+    gets wrong ("San Francisco" makes 'Francisco' frequent but NOT
+    freely combinable). Discount d = 0.75, every count from the corpus
+    itself, so every scored bigram is in-model (no OOV path; contrast
+    text_unigram_lm's count-1 floor).
+
+    Cross-engine exactness: all model inputs are integer counts; the
+    per-bigram-TYPE probability is computed with an IDENTICAL
+    operation order in both engines on those integers
+    ((c12-d)/c1 + ((d*nf)/c1)*(nr/T) — IEEE doubles agree bit-for-bit),
+    fixed-pointed to micro-nats per type and integer-summed per doc.
+    The per-token cross-entropy is reported in INTEGER micro-nats via
+    exact integer division — not a rounded double, because a real tie
+    surfaced at the fixture: doc 135's mean lands on exactly
+    3.4106673125, where Spark's HALF_UP and DuckDB's rounding disagree
+    by 1e-9 (positive//positive floors identically in both engines).
+
+    Plan at 100 TB: the bigram stream is built MAP-SIDE from the token
+    array (zip_with of two slices — no posexplode + self-join); the
+    model is three token-type-keyed aggregates over the TYPE table
+    (types ≈ Zipf-bounded, far smaller than the stream) whose joins
+    AQE broadcasts when small and shuffles on the (w1,w2) key when not
+    — deliberately NOT force-broadcast (the hot-set lesson behind
+    registry.gated_broadcast); scoring is one model join + one
+    doc-keyed integer aggregate. Two passes over tokens: train, score."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    # persist the TYPE table: three model aggregates (ctx/cont/T) and the
+    # model join all read it, and per-branch column pruning makes the
+    # subtrees non-identical so AQE exchange reuse can NOT deduplicate
+    # them (verified: zero ReusedExchange even with broadcasts disabled;
+    # unpersisted, every branch re-tokenizes the corpus). The type table
+    # is Zipf-bounded (unique-bigram count, orders of magnitude under
+    # the token stream), so caching it is the cheap side at any scale;
+    # with the cache the corpus is scanned exactly twice — types build
+    # and scoring join — the train/score intrinsic minimum.
+    types = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .persist()
+    )
+    ctx = types.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    cont = types.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    tt = types.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    p = (F.col("c12").cast("double") - 0.75) / F.col("c1").cast("double") + (
+        (0.75 * F.col("nf").cast("double")) / F.col("c1").cast("double")
+    ) * (F.col("nr").cast("double") / F.col("t_types").cast("double"))
+    model = (
+        types.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p) * 1000000).cast("long").alias("logp_fx"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("logp_fx").cast("long").alias("logprob_fx"),
+            F.expr("(-sum(logp_fx)) div count(*)")
+            .cast("long")
+            .alias("cross_entropy_unats"),
+        )
+    )

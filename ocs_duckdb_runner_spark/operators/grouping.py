@@ -1624,3 +1624,154 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_users")
     ).select(F.lit("ALL").alias("event_type"), "approx_users")
     return per_type.unionByName(rollup)
+
+
+@query(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view' AND extract(hour FROM ts) < 1),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND extract(hour FROM ts) < 1)
+    SELECT
+        CAST((SELECT count(*) FROM v) AS BIGINT) AS viewers,
+        CAST((SELECT count(*) FROM p) AS BIGINT) AS purchasers,
+        CAST((SELECT count(*) FROM (SELECT user_id FROM v
+                                    UNION SELECT user_id FROM p)) AS BIGINT)
+            AS either_users,
+        CAST((SELECT count(*) FROM (SELECT user_id FROM v
+                                    INTERSECT SELECT user_id FROM p)) AS BIGINT)
+            AS both_users,
+        CAST((SELECT count(*) FROM (SELECT user_id FROM v
+                                    EXCEPT SELECT user_id FROM p)) AS BIGINT)
+            AS view_only_users,
+        round(CAST((SELECT count(*) FROM (SELECT user_id FROM v
+                                          INTERSECT SELECT user_id FROM p))
+                   AS DOUBLE)
+              / (SELECT count(*) FROM v), 9) AS view_to_purchase_rate
+    """,
+    tags=("agg", "approx", "sketch", "theta", "spark4"),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Spark 4.1 theta_sketch_agg / theta_union /
+    theta_intersection / theta_difference) — the audience-overlap question
+    ("how many users BOTH viewed AND purchased?") answered from two
+    mergeable sketches instead of a distinct-union/intersect re-scan.
+    This is what HLL cannot do: HLL unions but never intersects; theta
+    sketches close the set algebra, so persisted per-(dimension, day)
+    sketches answer ANY audience boolean combination later without
+    touching the fact table again.
+
+    Exactness regime (what makes the full oracle honest): with
+    lgNomEntries=20 a theta sketch keeps every distinct hash until it
+    holds > 2^20 entries, so theta stays 1.0 and estimates — including
+    union/intersection/difference — are EXACT integers. Fixture users
+    are 150 (sf0.01) / 1.5k (10x) / 150k (1000x), all far under 2^20, so
+    both engines must agree bit-for-bit here; at true 100 TB cardinality
+    the same plan degrades gracefully to bounded-RSE estimates (the
+    documented trade every Datasketches deployment makes).
+
+    Plan: ONE pass over events builds both sketches as conditional
+    aggregates (map-side partial sketch merge — the shuffle carries two
+    fixed-size sketch payloads per partition, never user_ids); the set
+    algebra is driver-trivial scalar expressions on the single merged
+    row. Contrast the oracle's two DISTINCT subqueries + union +
+    intersect + except: five fact passes. The audiences are scoped to
+    the 00:xx night hour so the sets genuinely differ (the fixture's
+    every-user-does-everything shape would otherwise make intersection
+    == both inputs and difference == 0, a degenerate check)."""
+    e = load_table(spark, sf_dir, "events")
+    night = F.hour("ts") < 1
+    sk = e.agg(
+        F.theta_sketch_agg(
+            F.when((F.col("event_type") == "view") & night, F.col("user_id")),
+            F.lit(20),
+        ).alias("sv"),
+        F.theta_sketch_agg(
+            F.when(
+                (F.col("event_type") == "purchase") & night, F.col("user_id")
+            ),
+            F.lit(20),
+        ).alias("sp"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate("sv").cast("long").alias("viewers"),
+        F.theta_sketch_estimate("sp").cast("long").alias("purchasers"),
+        # lgMaxK must match the input sketches' 20: theta_union defaults
+        # to 12, which would silently DOWNSAMPLE the union to 4096
+        # retained hashes and break the exact regime at the 100x spot
+        F.theta_sketch_estimate(F.theta_union("sv", "sp", F.lit(20)))
+        .cast("long")
+        .alias("either_users"),
+        F.theta_sketch_estimate(F.theta_intersection("sv", "sp"))
+        .cast("long")
+        .alias("both_users"),
+        F.theta_sketch_estimate(F.theta_difference("sv", "sp"))
+        .cast("long")
+        .alias("view_only_users"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sv", "sp")).cast(
+                "double"
+            )
+            / F.theta_sketch_estimate("sv"),
+            9,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@query(
+    "agg_kll_quantile_rollup",
+    oracle=None,
+    tags=("agg", "approx", "sketch", "kll", "quantile", "spark4"),
+)
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile-sketch rollup (Spark 4.1
+    kll_sketch_agg_double / kll_sketch_merge_double /
+    kll_sketch_get_quantile_double) — agg_hll_sketch_rollup's pattern
+    applied to QUANTILES: per-event-type sketches of the value column,
+    plus an 'ALL' grand-total row whose p50/p90/p99 come from MERGING
+    the per-group sketches, never from re-sorting the fact. At 100 TB
+    this is the only tractable shape for percentile dashboards: exact
+    percentiles need a full sort per rollup cell; a KLL sketch is a few
+    KB per (dimension, day) cell, merges associatively map-side, and
+    answers any later rollup with bounded rank error (~1.3% at k=800).
+
+    Rows-only driver check by declared design (KLL compaction is
+    randomized, so estimates are engine- and run-specific — same rule as
+    agg_hll_sketch_rollup); the semantics are locked in
+    tests/test_round11_ops.py instead: n from the sketch is EXACT, each
+    estimated quantile must sit between the exact p-5% and p+5% order
+    statistics, and merged-ALL must satisfy the same bound vs the
+    ungrouped exact quantiles.
+
+    Plan: ONE pass over events builds the per-group sketches (map-side
+    partial sketch merge; the exchange carries sketch bytes, not
+    values); the ALL row folds the 5 per-group payloads with the binary
+    kll_sketch_merge_double (Spark ships merge as a scalar two-sketch
+    function, so the rollup is a collect_list of 5 sketch blobs + an
+    F.aggregate fold — constant work, never a fact re-scan)."""
+    e = load_table(spark, sf_dir, "events")
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    per = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value", F.lit(800)).alias("sk")
+    )
+
+    def unpack(df: DataFrame) -> DataFrame:
+        est = F.kll_sketch_get_quantile_double("sk", qs)
+        return df.select(
+            "event_type",
+            F.kll_sketch_get_n_double("sk").cast("long").alias("n_rows"),
+            est.getItem(0).alias("p50"),
+            est.getItem(1).alias("p90"),
+            est.getItem(2).alias("p99"),
+        )
+
+    merged = F.aggregate(
+        F.slice(F.col("sks"), 2, F.size("sks") - 1),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    rollup = per.agg(F.collect_list("sk").alias("sks")).select(
+        F.lit("ALL").alias("event_type"), merged.alias("sk")
+    )
+    return unpack(per).unionByName(unpack(rollup)).orderBy("event_type")

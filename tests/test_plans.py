@@ -857,3 +857,55 @@ def test_time_type_profile_is_single_agg(spark):
     plan = plan_of(spark, "fn_time_type")
     assert plan.count("Exchange (") == 1
     assert "ReadSchema: struct<ts:" in plan and "event_type:string" in plan
+
+
+def test_theta_setops_single_pass_single_exchange(spark):
+    """agg_theta_sketch_setops: both audience sketches come from ONE
+    conditional-aggregate pass over events (single exchange carrying
+    two fixed-size sketch payloads), scan pruned to the three used
+    columns — never one scan per audience like the oracle's subqueries."""
+    plan = plan_of(spark, "agg_theta_sketch_setops")
+    # tree header + detail section each mention the scan once
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange (") == 1
+    assert "user_id" in plan and "event_type" in plan
+
+
+def test_substring_spans_windows_are_array_transform_not_posexplode(spark):
+    """dedup_substring_spans: window fingerprints are built inside ONE
+    map-side transform over the token array — a per-token posexplode
+    followed by a window self-join would shuffle raw tokens. The
+    exchanges carry only the 60-bit gram hash / doc_id keys, so `text`
+    must never appear in an exchange's output attributes."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles <= 4
+    # text survives only between scan and the Generate that hashes it
+    for line in plan.splitlines():
+        if line.strip().startswith("Arguments:") and "hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_dsir_model_is_single_conditional_aggregate(spark):
+    """quality_dsir_weights: target AND raw bucket counts come from ONE
+    64-row conditional aggregate (FILTER'd count inside the same pass),
+    never a second corpus scan for the target slice; the scoring join
+    broadcasts the model."""
+    plan = plan_of(spark, "quality_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles <= 4
+    # one corpus scan per pass (train, score; x2 for tree+detail
+    # mentions) — more means the target count became its own scan
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_kn_bigram_types_table_is_cached(spark):
+    """text_bigram_lm_kn: the bigram TYPE table must be persisted — the
+    three model aggregates' differing column pruning defeats AQE
+    exchange reuse (verified during development: zero ReusedExchange
+    even with broadcasts disabled), so without the cache every branch
+    re-tokenizes the corpus."""
+    plan = plan_of(spark, "text_bigram_lm_kn")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
