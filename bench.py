@@ -190,6 +190,21 @@ HEADLINE = [
     "agg_hll_sketch_rollup",
     "text_unigram_lm",
     "stream_state_reader",
+    # round-11 additions
+    "fn_exec_immediate",
+    "fn_identifier_dynamic",
+    "src_python_datasource_pushdown",
+    "stream_tws_session_gap",
+    "agg_theta_sketch_setops",
+    "agg_kll_quantile_rollup",
+    "dedup_substring_spans",
+    "quality_dsir_weights",
+    "text_bigram_lm_kn",
+    "fn_generators",
+    "fn_sql_sugar",
+    "fn_sql_params",
+    "sim_hybrid_bm25_cosine",
+    "embed_binary_hamming_topk",
 ]
 
 # Fixed canary trio, timed at suite START and END every run (r9 verdict

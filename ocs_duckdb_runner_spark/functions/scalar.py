@@ -777,3 +777,86 @@ def fn_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY IDENTIFIER(v_ident_col)
         """
     )
+
+
+@query(
+    "fn_sql_sugar",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate)
+          FROM orders)
+    GROUP BY ALL ORDER BY ALL
+    """,
+    tags=("functions", "sql", "spark4", "sugar"),
+)
+def fn_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL analyst-ergonomics sugar (Spark 4): GROUP BY ALL (group on
+    every non-aggregate select item), ORDER BY ALL, and star-EXCEPT
+    projection (SELECT * EXCEPT (cols) — DuckDB spells it EXCLUDE, the
+    dialect note this oracle encodes). These shorthands are what ad-hoc
+    exploration actually types; an engine claiming migration parity has
+    to resolve them identically, not just the longhand.
+
+    Resolution happens entirely in the analyzer — the optimized plan is
+    byte-identical to the explicit GROUP BY/ORDER BY/projection, so the
+    physical shape is flagship's: pruned scan into one partial+final
+    hash aggregate, TakeOrdered on two grouping keys."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "fn_sugar_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c
+        FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate)
+              FROM fn_sugar_orders)
+        GROUP BY ALL ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "fn_sql_params",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_total_c
+    FROM orders
+    WHERE o_totalprice >= 150000.0 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+    tags=("functions", "sql", "spark4", "parameters"),
+)
+def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ spark.sql(sql, args)) — named
+    parameter markers bound server-side, the injection-safe surface
+    every application layer should use instead of f-string SQL (and the
+    reason EXECUTE IMMEDIATE ... USING in fn_exec_immediate has a
+    programmatic twin). Binding happens at parse time, so the optimizer
+    sees LITERALS: the predicate folds, pushes to the scan, and prunes
+    partitions exactly as if the constants were inlined — parameters
+    cost nothing at plan quality (verified: PushedFilters carries the
+    bound threshold).
+
+    The oracle inlines the same constants — the equivalence under test
+    IS "bound parameter == inlined literal"."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "fn_params_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_total_c
+        FROM fn_params_orders
+        WHERE o_totalprice >= :min_total
+          AND o_orderpriority IN (:p1, :p2)
+        GROUP BY o_orderstatus
+        """,
+        args={"min_total": 150000.0, "p1": "1-URGENT", "p2": "2-HIGH"},
+    )

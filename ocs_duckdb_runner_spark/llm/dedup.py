@@ -2118,13 +2118,15 @@ _SPAN_N = 16  # tokens per window — Lee et al. use 50; fixture docs avg ~54
                        for i in generate_series(
                            1, greatest(len(l) - {_SPAN_N - 1}, 0))]) AS g
         FROM tok),
-    df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM win GROUP BY g),
+    wd AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+           FROM win GROUP BY doc_id, g),
+    df AS (SELECT g, count(*) AS nd FROM wd GROUP BY g),
     per AS (
         SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_windows,
-               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(sum(c) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
                    AS n_dup_windows
-        FROM win JOIN df USING (g) GROUP BY doc_id)
+        FROM wd JOIN df USING (g) GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
            CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
@@ -2151,16 +2153,24 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the standard distributed reformulation (windows shuffle as
     60-bit integers, never text). Cross-engine exactness: the
     fingerprint is the SAME md5-prefix hash on both sides, so even a
-    collision (~2^-60 per pair) produces identical counts.
+    collision (~2^-60 per pair) produces identical counts. The
+    md5-of-the-concatenated-gram IS the measured-fast shape: a
+    hash-each-token-once + position-weighted-integer-sum variant that
+    avoids re-hashing each byte {_SPAN_N}x lost the interleaved A/B
+    5x (15.3 s vs 78.6 s warm window-build at the 100x probe) because
+    nested higher-order lambdas (transform->aggregate->zip_with) run
+    interpreted per element while md5-of-concat stays one codegen'd
+    call into the JVM digest.
 
     Plan at 100 TB: window fingerprints are computed MAP-SIDE inside one
     whole-stage-codegen'd transform over the token array (no posexplode
-    then window — the array form never materializes per-token rows);
-    the duplicated-gram table is one fingerprint-keyed aggregate
-    (map-side combine collapses each doc's repeats first), re-joined on
-    the same 8-byte key — two shuffles of hashes total, the intrinsic
-    cost of cross-document matching. The left join back to documents
-    keeps zero-window short docs in the report."""
+    then window — per-token rows never materialize); the stream
+    collapses FIRST to distinct (doc_id, g) with within-doc repeat
+    counts (map-side combine eats boilerplate-heavy docs), so the
+    gram-frequency aggregate and the annotate join both run on the
+    collapsed pairs — one full-stream shuffle + two collapsed ones, the
+    intrinsic cost of cross-document matching. The left join back to
+    documents keeps zero-window short docs in the report."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     grams = F.when(
@@ -2177,15 +2187,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<long>"))
     win = d.select("doc_id", F.explode(grams).alias("g"))
-    df_counts = win.groupBy("g").agg(
-        F.count_distinct("doc_id").alias("nd")
+    wd = win.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
+    df_counts = wd.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     per = (
-        win.join(df_counts, "g")
+        wd.join(df_counts, "g")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_dup_windows"),
         )

@@ -2057,3 +2057,280 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b.unpersist()
     return out
+
+
+# ---- hybrid retrieval: score-level BM25 + cosine fusion ----
+
+HYBRID_TERMS = ("join", "vector", "stream")  # text_bm25_topk's fixed query
+HYBRID_TOPK = 15
+HYBRID_ALPHA_NUM = 1  # lexical weight = 1/2, written as integer halves so
+HYBRID_ALPHA_DEN = 2  # both engines compute 0.5*nb + 0.5*nc identically
+
+
+def _hybrid_oracle() -> str:
+    tfs = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(HYBRID_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(HYBRID_TERMS))
+    )
+    score = " + ".join(
+        f"(ln(CAST(2 * n + 2 AS DOUBLE) / (2 * df{i} + 1))"
+        f" * (CAST(22 * tf{i} * sumdl AS DOUBLE)"
+        f"    / (10 * tf{i} * sumdl + 3 * sumdl + 9 * dl * n)))"
+        for i in range(len(HYBRID_TERMS))
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tfs} FROM t),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS sumdl, {dfs}
+          FROM d),
+    q AS (SELECT {_SQL_FP.format(v='embedding')} AS qv
+          FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    hb AS (
+        SELECT d.doc_id, ({score}) AS bm25,
+               {_sql_cosine("{fp}".format(fp=_SQL_FP.format(v='e.embedding')), 'qv')}
+                   AS cos_sim
+        FROM d JOIN embeddings e ON e.vec_id = d.doc_id, s, q),
+    ext AS (SELECT min(bm25) AS bmin, max(bm25) AS bmax,
+                   min(cos_sim) AS cmin, max(cos_sim) AS cmax
+            FROM hb)
+    SELECT doc_id, round(bm25, 9) AS bm25, round(cos_sim, 9) AS cos_sim,
+           round(0.5 * ((bm25 - bmin) / (bmax - bmin))
+                 + 0.5 * ((cos_sim - cmin) / (cmax - cmin)), 9) AS hybrid
+    FROM hb, ext
+    ORDER BY 0.5 * ((bm25 - bmin) / (bmax - bmin))
+             + 0.5 * ((cos_sim - cmin) / (cmax - cmin)) DESC, doc_id
+    LIMIT {HYBRID_TOPK}
+    """
+
+
+@query(
+    "sim_hybrid_bm25_cosine",
+    oracle=_hybrid_oracle(),
+    tags=("llm", "similarity", "retrieval", "hybrid"),
+)
+def sim_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with SCORE-level fusion — min-max-normalized BM25
+    plus cosine, the convex combination every production RAG stack ships
+    (rank_fusion_rrf is the RANK-level alternative; score fusion keeps
+    magnitude information rank fusion throws away, which is why it wins
+    when the two retrievers' confidence actually means something).
+    Lexical side = text_bm25_topk's exact integer-cleared BM25 over the
+    fixed 3-term query, scored for EVERY doc (tf=0 terms contribute an
+    exact 0.0, no filter); dense side = sim_cosine_topk's fixed-point
+    cosine against the vec_id-{QUERY_VEC_ID} query vector, joined
+    doc_id = vec_id (the fixture's 1:1 doc-embedding pairing).
+
+    Exactness: both scores are the established bit-identical recipes;
+    min/max are order-independent over identical doubles; the
+    normalization and the 0.5/0.5 blend are the same literal expression
+    in both engines, and the top-k orders by the UNROUNDED hybrid with
+    doc_id tiebreak.
+
+    Plan at 100 TB: one corpus pass computes tf/dl map-side; corpus
+    stats are a 1-row broadcast; the dense join is doc-keyed (co-ranged
+    ids — in production the embedding store is bucketed on doc_id so
+    this join is shuffle-free); the min-max extremes are a second 1-row
+    broadcast; top-k is a TakeOrderedAndProject heap. Two 1-row
+    exchanges + one key join — no corpus-sized shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, (lambda term: lambda x: x == term)(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(HYBRID_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(HYBRID_TERMS))
+        ],
+    )
+    term_score = [
+        F.log((2 * F.col("n") + 2).cast("double") / (2 * F.col(f"df{i}") + 1))
+        * (
+            (22 * F.col(f"tf{i}") * F.col("sumdl")).cast("double")
+            / (
+                10 * F.col(f"tf{i}") * F.col("sumdl")
+                + 3 * F.col("sumdl")
+                + 9 * F.col("dl") * F.col("n")
+            )
+        )
+        for i in range(len(HYBRID_TERMS))
+    ]
+    bm25 = term_score[0]
+    for ts in term_score[1:]:
+        bm25 = bm25 + ts
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        fp_vec(F.col("embedding")).alias("qv")
+    )
+    both = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", *[f"tf{i}" for i in range(len(HYBRID_TERMS))],
+                bm25.alias("bm25"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                fp_vec(F.col("embedding")).alias("ev"),
+            ),
+            "doc_id",
+        )
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", "bm25", cosine(F.col("ev"), F.col("qv")).alias("cos_sim"))
+    )
+    ext = both.agg(
+        F.min("bm25").alias("bmin"),
+        F.max("bm25").alias("bmax"),
+        F.min("cos_sim").alias("cmin"),
+        F.max("cos_sim").alias("cmax"),
+    )
+    hybrid = 0.5 * (
+        (F.col("bm25") - F.col("bmin")) / (F.col("bmax") - F.col("bmin"))
+    ) + 0.5 * (
+        (F.col("cos_sim") - F.col("cmin")) / (F.col("cmax") - F.col("cmin"))
+    )
+    return (
+        both.crossJoin(F.broadcast(ext))
+        .orderBy(hybrid.desc(), "doc_id")
+        .limit(HYBRID_TOPK)
+        .select(
+            "doc_id",
+            F.round("bm25", 9).alias("bm25"),
+            F.round("cos_sim", 9).alias("cos_sim"),
+            F.round(hybrid, 9).alias("hybrid"),
+        )
+    )
+
+
+# ---- binary quantization: 1-bit sign pack + Hamming prefilter ----
+
+BQ_CANDIDATES = 64  # Hamming shortlist size
+BQ_TOPK = 10
+
+# two 32-bit halves, not one 64-bit word: bit 63 (2^63) overflows DuckDB's
+# checked BIGINT, and the split keeps every literal in exact range on both
+# engines; hamming(a,b) = bit_count(xor(lo)) + bit_count(xor(hi))
+_SQL_PACK_LO = (
+    "CAST(list_sum(list_transform(generate_series(1, 32),"
+    " i -> CASE WHEN {v}[i] > 0 THEN 1::BIGINT << (i - 1)"
+    " ELSE 0::BIGINT END)) AS BIGINT)"
+)
+_SQL_PACK_HI = (
+    "CAST(list_sum(list_transform(generate_series(33, 64),"
+    " i -> CASE WHEN {v}[i] > 0 THEN 1::BIGINT << (i - 33)"
+    " ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+
+def _pack_bits(col: Column, lo: int, hi: int) -> Column:
+    """Sign-bit pack dims [lo, hi) of a float vector into one long —
+    map-side, exact (the > 0 comparison is the same float predicate in
+    both engines). The bit weights are a constant power-of-two array
+    (shiftleft needs a literal shift amount, so the weight carries the
+    position instead)."""
+    weights = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(hi - lo)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.slice(col, lo + 1, hi - lo),
+            weights,
+            lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "embed_binary_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id, label,
+               {_SQL_PACK_LO.format(v='embedding')} AS blo,
+               {_SQL_PACK_HI.format(v='embedding')} AS bhi,
+               {_SQL_FP.format(v='embedding')} AS ev
+        FROM embeddings),
+    q AS (SELECT blo AS qlo, bhi AS qhi, ev AS qv FROM packed
+          WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT vec_id, label, ev, qv,
+               CAST(bit_count(xor(blo, qlo)) AS BIGINT)
+               + CAST(bit_count(xor(bhi, qhi)) AS BIGINT) AS hamming
+        FROM packed, q
+        ORDER BY hamming, vec_id LIMIT {BQ_CANDIDATES})
+    SELECT vec_id, label, hamming,
+           round({_sql_cosine('ev', 'qv')}, 9) AS cos_sim
+    FROM cand
+    ORDER BY {_sql_cosine('ev', 'qv')} DESC, vec_id
+    LIMIT {BQ_TOPK}
+    """,
+    tags=("llm", "similarity", "quantization", "binary", "ann"),
+)
+def embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization retrieval — pack each embedding's sign
+    bits into two 32-bit words (64x memory cut vs float32), shortlist
+    the {BQ_CANDIDATES} nearest by Hamming distance (popcount of XOR —
+    integer ops on 8 bytes/vector instead of 256), then rerank the
+    shortlist with the exact fixed-point cosine. This is the
+    two-stage shape modern vector stores ship as "binary quantization
+    with rescoring": the coarse pass touches only packed words, the
+    exact pass touches only the shortlist — contrast embed_quantize
+    (int8, 4x) and embed_pq_codes (codebook, lossy-no-rescoring).
+
+    Exactness: packing is the same (x > 0) predicate per dim on both
+    engines; Hamming is integer XOR+popcount (bit 63 deliberately
+    avoided by the 32/32 split — 1<<63 overflows DuckDB's checked
+    BIGINT); both the shortlist cut (hamming, vec_id) and the final
+    cut (unrounded cosine DESC, vec_id) carry deterministic tiebreaks.
+
+    Plan at 100 TB: packing is map-side whole-stage codegen over the
+    scan; the query row is a 1-row broadcast; the shortlist is a
+    TakeOrderedAndProject heap (per-partition top-{BQ_CANDIDATES},
+    merged at the driver — no global sort); the rerank touches
+    {BQ_CANDIDATES} rows. One pass over vectors, zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        "label",
+        _pack_bits(F.col("embedding"), 0, 32).alias("blo"),
+        _pack_bits(F.col("embedding"), 32, 64).alias("bhi"),
+        fp_vec(F.col("embedding")).alias("ev"),
+    )
+    q = packed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("blo").alias("qlo"),
+        F.col("bhi").alias("qhi"),
+        F.col("ev").alias("qv"),
+    )
+    hamming = F.bit_count(
+        F.col("blo").bitwiseXOR(F.col("qlo"))
+    ).cast("long") + F.bit_count(F.col("bhi").bitwiseXOR(F.col("qhi"))).cast(
+        "long"
+    )
+    cand = (
+        packed.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "ev", "qv", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(BQ_CANDIDATES)
+    )
+    cos = cosine(F.col("ev"), F.col("qv"))
+    return (
+        cand.orderBy(cos.desc(), "vec_id")
+        .limit(BQ_TOPK)
+        .select("vec_id", "label", "hamming", F.round(cos, 9).alias("cos_sim"))
+    )

@@ -909,3 +909,39 @@ def test_kn_bigram_types_table_is_cached(spark):
     plan = plan_of(spark, "text_bigram_lm_kn")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_params_bind_as_literals_and_push_down(spark):
+    """fn_sql_params: named parameters must reach the scan as folded
+    literal predicates — PushedFilters carries the bound threshold, so
+    parameterization costs nothing at plan quality."""
+    plan = plan_of(spark, "fn_sql_params")
+    assert "GreaterThanOrEqual(o_totalprice,150000.0)" in plan
+    assert "In(o_orderpriority" in plan
+
+
+def test_hybrid_fusion_no_corpus_shuffle(spark):
+    """sim_hybrid_bm25_cosine: corpus stats, query vector, and min-max
+    extremes are 1-row broadcasts; the only wide operators are those
+    single-row exchanges, the doc-keyed embedding join, and the final
+    TakeOrdered heap — never a corpus-sized sort or shuffle."""
+    plan = plan_of(spark, "sim_hybrid_bm25_cosine")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange (") >= 3
+    # the 1-row aggregates are SinglePartition exchanges; no
+    # hash-partitioned corpus exchange may appear outside the dense join
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert all("text" not in ln for ln in hash_exchanges)
+
+
+def test_binary_hamming_is_single_pass_heap(spark):
+    """embed_binary_hamming_topk: packing is map-side, the shortlist is a
+    TakeOrderedAndProject heap, and no shuffle exchange appears — one
+    pass over the vectors."""
+    plan = plan_of(spark, "embed_binary_hamming_topk")
+    assert plan.count("TakeOrderedAndProject") >= 2  # shortlist + rerank
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles == 0

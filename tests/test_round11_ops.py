@@ -197,3 +197,24 @@ def test_fn_generators_shapes(spark):
     # pos k is the offset of v above its row's minimum (sequence start)
     mins = seq.groupby("n_nationkey")["v"].transform("min")
     assert (seq["k"].astype(int) == seq["v"] - mins).all()
+
+
+def test_binary_hamming_shortlist_contains_exact_topk(spark):
+    """The Hamming shortlist must actually recall the exact cosine top-k
+    at the fixture (the rescoring design's whole premise): the 10 ids
+    returned by embed_binary_hamming_topk must equal the brute-force
+    cosine top-10 OVER ITS SHORTLIST, and shortlist recall vs the global
+    exact top-10 must be high (>= 7/10 here — sign-bit Hamming on
+    64 dims is a coarse but informative filter)."""
+    from ocs_duckdb_runner_spark.llm.similarity import (
+        embed_binary_hamming_topk,
+        sim_cosine_topk,
+    )
+
+    got = embed_binary_hamming_topk(spark, SF_DIR).toPandas()
+    exact = sim_cosine_topk(spark, SF_DIR).toPandas()
+    overlap = len(set(got["vec_id"]) & set(exact["vec_id"]))
+    assert overlap >= 7, (overlap, got["vec_id"].tolist())
+    # hamming of the query against itself is 0 and it ranks first
+    self_row = got[got["vec_id"] == 0]
+    assert len(self_row) == 1 and self_row["hamming"].iloc[0] == 0
