@@ -205,6 +205,9 @@ HEADLINE = [
     "fn_sql_params",
     "sim_hybrid_bm25_cosine",
     "embed_binary_hamming_topk",
+    "fn_sql_udf",
+    "agg_regr_family",
+    "monitor_psi_drift",
 ]
 
 # Fixed canary trio, timed at suite START and END every run (r9 verdict

@@ -2962,3 +2962,101 @@ def event_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_bucket_log2s")
     )
+
+
+@query(
+    "monitor_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ), c AS (
+      SELECT bucket,
+             CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      FROM b GROUP BY bucket
+    ), t AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+             CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+             CAST(count(*) AS BIGINT) AS k
+      FROM c
+    ), terms AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST(round(
+               ((n_cur + 1.0) / (tot_cur + k) - (n_ref + 1.0) / (tot_ref + k))
+               * ln(((n_cur + 1.0) / (tot_cur + k))
+                    / ((n_ref + 1.0) / (tot_ref + k)))
+               * 1000000000) AS BIGINT) AS psi_term_nano
+      FROM c, t
+    )
+    SELECT bucket, n_ref, n_cur, psi_term_nano,
+           CAST(sum(psi_term_nano) OVER () AS BIGINT) AS psi_total_nano
+    FROM terms
+    """,
+    tags=("events", "monitoring", "drift"),
+)
+def monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference window (first half
+    of the month) and the current window over fixed-width value buckets
+    — the standard "did the feature distribution move under me" monitor
+    a training pipeline runs per ingest batch (monitor_embedding_drift
+    is the vector-space sibling; this is the scalar-feature one).
+
+    Exactness: bucket ids are floor-division of doubles by an exact
+    constant (identical IEEE result both engines); counts are integers;
+    Laplace add-one proportions are rationals of those integers; each
+    PSI term is fixed-pointed to an INTEGER nano-nat per bucket
+    (round(x*1e9) on bit-identical doubles — the quality_dsir_weights
+    recipe) and the headline psi_total_nano is a SUM OF THOSE INTEGERS,
+    never a rounded float sum. Buckets come from the data (both engines
+    derive the same set), so absent buckets can't diverge.
+
+    Plan at 100 TB: ONE pruned scan -> map-side partial count into a
+    <=10-row hash aggregate; totals, PSI terms, and the grand total are
+    all unpartitioned-window passes over those 10 rows in one task (an
+    agg+crossJoin formulation re-scanned the fact table for the totals
+    — pinned away in tests/test_plans.py). Per-batch cost is a single
+    scan regardless of table size."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    totals = c.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w).cast("long").alias("tot_ref"),
+        F.sum("n_cur").over(w).cast("long").alias("tot_cur"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + F.col("k"))
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + F.col("k"))
+    terms = totals.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1e9)
+        .cast("long")
+        .alias("psi_term_nano"),
+    )
+    return terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "psi_term_nano",
+        F.sum("psi_term_nano").over(w).cast("long").alias("psi_total_nano"),
+    )

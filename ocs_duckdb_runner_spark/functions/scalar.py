@@ -860,3 +860,66 @@ def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_total": 150000.0, "p1": "1-URGENT", "p2": "2-HIGH"},
     )
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem
+    WHERE l_quantity >= 25.0
+    GROUP BY l_returnflag
+    """,
+    tags=("functions", "sql", "spark4", "udf"),
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 CREATE FUNCTION DDL): a scalar UDF
+    (RETURNS BIGINT RETURN expr) and a parameterized table function
+    (RETURNS TABLE ... RETURN SELECT) — the catalog surface teams use to
+    share business logic without shipping Python. Unlike udf_surface's
+    deliberate row-at-a-time slow path, SQL UDFs are pure analyzer
+    sugar: the body INLINES into the calling plan, so the scalar UDF
+    compiles into the aggregate expression and the table function's
+    parameterized predicate folds to a literal that reaches the scan
+    (PushedFilters carries l_quantity >= 25.0 — pinned in
+    tests/test_plans.py). Zero runtime cost at any scale; the oracle is
+    the fully-inlined equivalent, which is exactly the equivalence the
+    feature promises.
+
+    Function names are query-prefixed so the 8-thread fan-out runner's
+    shared session never sees two queries racing on one catalog name
+    (CREATE OR REPLACE of an identical body is idempotent)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "fn_sqludf_lineitem"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fn_sqludf_disc_c(
+            p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(p * (1 - d) * 100) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fn_sqludf_lines(min_qty DOUBLE)
+        RETURNS TABLE (l_returnflag STRING, l_extendedprice DOUBLE,
+                       l_discount DOUBLE)
+        RETURN SELECT l_returnflag, l_extendedprice, l_discount
+               FROM fn_sqludf_lineitem
+               WHERE l_quantity >= min_qty
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               sum(fn_sqludf_disc_c(l_extendedprice, l_discount))
+                   AS revenue_c
+        FROM fn_sqludf_lines(25.0)
+        GROUP BY l_returnflag
+        """
+    )

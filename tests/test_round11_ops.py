@@ -218,3 +218,74 @@ def test_binary_hamming_shortlist_contains_exact_topk(spark):
     # hamming of the query against itself is 0 and it ranks first
     self_row = got[got["vec_id"] == 0]
     assert len(self_row) == 1 and self_row["hamming"].iloc[0] == 0
+
+
+def test_regr_family_matches_numpy_least_squares(spark):
+    """agg_regr_family: the builtin regr_* stats must agree with an
+    independent numpy least-squares fit per group (1e-6 rel tol — the
+    query's own rounding discipline)."""
+    from ocs_duckdb_runner_spark.operators.grouping import agg_regr_family
+
+    got = agg_regr_family(spark, SF_DIR).toPandas().set_index("l_returnflag")
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT l_returnflag, l_quantity, l_extendedprice
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    ).df()
+    for flag, g in raw.groupby("l_returnflag"):
+        x, y = g["l_quantity"].to_numpy(), g["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got.loc[flag]
+        assert row["n_pairs"] == len(g)
+        assert abs(row["avg_x"] - x.mean()) < 1e-5
+        assert abs(row["slope"] - slope) < 1e-4 * max(1, abs(slope))
+        assert abs(row["intercept"] - intercept) < 1e-3
+        assert abs(row["r2"] - r * r) < 1e-8
+
+
+def test_psi_drift_total_is_integer_sum_and_matches_numpy(spark):
+    """monitor_psi_drift: psi_total_nano must equal the integer sum of
+    the per-bucket terms (never a re-rounded float), and the nano-nat
+    terms must match an independent numpy PSI within 1 unit."""
+    from ocs_duckdb_runner_spark.events.timeseries import monitor_psi_drift
+
+    got = monitor_psi_drift(spark, SF_DIR).toPandas()
+    assert got["psi_total_nano"].nunique() == 1
+    assert got["psi_total_nano"].iloc[0] == got["psi_term_nano"].sum()
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END AS is_ref
+            FROM '{SF_DIR}/events.parquet'"""
+    ).df()
+    k = raw["bucket"].nunique()
+    nr = (raw["is_ref"] == 1).sum()
+    nc = (raw["is_ref"] == 0).sum()
+    for _, row in got.iterrows():
+        p = (row["n_cur"] + 1.0) / (nc + k)
+        q = (row["n_ref"] + 1.0) / (nr + k)
+        want = round((p - q) * np.log(p / q) * 1e9)
+        assert abs(row["psi_term_nano"] - want) <= 1
+    # identical distributions => zero drift (Laplace-smoothed p == q)
+    same = raw[raw["is_ref"] == 1]
+    p0 = (same["bucket"].value_counts() + 1) / (len(same) + k)
+    psi0 = ((p0 - p0) * np.log(p0 / p0)).sum()
+    assert psi0 == 0.0
+
+
+def test_sql_table_udf_parameter_binds(spark):
+    """fn_sql_udf: the table function's min_qty parameter must actually
+    gate rows — the query's group totals cover exactly the rows a
+    manual filter keeps."""
+    from ocs_duckdb_runner_spark.functions.scalar import fn_sql_udf
+
+    got = fn_sql_udf(spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_quantity >= 25.0"""
+    ).fetchone()[0]
+    assert got["n_lines"].sum() == want
