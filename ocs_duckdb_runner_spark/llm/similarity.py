@@ -2137,7 +2137,29 @@ def sim_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids — in production the embedding store is bucketed on doc_id so
     this join is shuffle-free); the min-max extremes are a second 1-row
     broadcast; top-k is a TakeOrderedAndProject heap. Two 1-row
-    exchanges + one key join — no corpus-sized shuffle."""
+    exchanges + one key join — no corpus-sized shuffle. The tf pass and
+    the scored (doc_id, bm25, cos_sim) frame are PERSISTED: the stats,
+    extremes, and top-k branches each consume the same frame but prune
+    different columns, which defeats AQE exchange reuse (the
+    text_bigram_lm_kn lesson) — unpersisted, the corpus tokenized 3x
+    and the cosine ran 2x (measured 1.5x warm wall at the 100x probe,
+    interleaved A/B in SCALING.md). Result is 15 rows, eagerly
+    checkpointed so both caches release before return (tests pin the
+    pre-checkpoint plan via _hybrid_plan)."""
+    out, per_doc, both = _hybrid_plan(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    both.unpersist()
+    per_doc.unpersist()
+    return out
+
+
+def _hybrid_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """sim_hybrid_bm25_cosine's live plan, pre-checkpoint: returns
+    (top-k frame, persisted tf frame, persisted scored frame) so the
+    public query can release the caches and the plan test can pin the
+    physical shape the checkpoint would otherwise hide."""
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     toks = F.split(F.col("text"), " ")
@@ -2150,7 +2172,7 @@ def sim_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"tf{i}")
             for i, t in enumerate(HYBRID_TERMS)
         ],
-    )
+    ).persist()
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("sumdl"),
@@ -2192,6 +2214,7 @@ def sim_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(qv))
         .select("doc_id", "bm25", cosine(F.col("ev"), F.col("qv")).alias("cos_sim"))
+        .persist()
     )
     ext = both.agg(
         F.min("bm25").alias("bmin"),
@@ -2204,7 +2227,7 @@ def sim_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + 0.5 * (
         (F.col("cos_sim") - F.col("cmin")) / (F.col("cmax") - F.col("cmin"))
     )
-    return (
+    out = (
         both.crossJoin(F.broadcast(ext))
         .orderBy(hybrid.desc(), "doc_id")
         .limit(HYBRID_TOPK)
@@ -2215,6 +2238,7 @@ def sim_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hybrid, 9).alias("hybrid"),
         )
     )
+    return out, per_doc, both
 
 
 # ---- binary quantization: 1-bit sign pack + Hamming prefilter ----

@@ -922,19 +922,35 @@ def test_sql_params_bind_as_literals_and_push_down(spark):
 
 def test_hybrid_fusion_no_corpus_shuffle(spark):
     """sim_hybrid_bm25_cosine: corpus stats, query vector, and min-max
-    extremes are 1-row broadcasts; the only wide operators are those
-    single-row exchanges, the doc-keyed embedding join, and the final
-    TakeOrdered heap — never a corpus-sized sort or shuffle."""
-    plan = plan_of(spark, "sim_hybrid_bm25_cosine")
+    extremes are 1-row broadcasts; the tf and scored frames are
+    persisted (stats/extremes/top-k branches prune different columns,
+    defeating AQE exchange reuse — 1.5x warm wall at 100x without the
+    caches); the only wide operators are single-row exchanges, the
+    doc-keyed embedding join, and the final TakeOrdered heap — never a
+    corpus-sized sort or shuffle. Pins the pre-checkpoint plan (the
+    public query returns a 15-row eager checkpoint)."""
+    from ocs_duckdb_runner_spark.llm.similarity import _hybrid_plan
+
+    out, per_doc, both = _hybrid_plan(spark, SF_DIR)
+    try:
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        both.unpersist()
+        per_doc.unpersist()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange (") >= 3
-    # the 1-row aggregates are SinglePartition exchanges; no
-    # hash-partitioned corpus exchange may appear outside the dense join
+    assert "InMemoryTableScan" in plan  # both caches feed the branches
+    # the 1-row aggregates are SinglePartition exchanges; with the
+    # caches in place NO hash-partitioned corpus exchange may remain
     hash_exchanges = [
         ln for ln in plan.splitlines()
         if "Arguments: hashpartitioning" in ln
     ]
-    assert all("text" not in ln for ln in hash_exchanges)
+    assert hash_exchanges == []
 
 
 def test_binary_hamming_is_single_pass_heap(spark):
