@@ -208,6 +208,7 @@ HEADLINE = [
     "fn_sql_udf",
     "agg_regr_family",
     "monitor_psi_drift",
+    "stream_observe_metrics",
 ]
 
 # Fixed canary trio, timed at suite START and END every run (r9 verdict

@@ -1087,3 +1087,63 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("long").alias("n"),
         F.col("value.sum").cast("long").alias("sum_value_c"),
     )
+
+
+@query(
+    "stream_observe_metrics",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_fx_sum('value')} AS value_c,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS n_errors,
+           CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+               AS n_value_null
+    FROM events
+    """,
+    tags=("streaming", "observe", "monitoring"),
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality observation — `observe()` on a STREAMING
+    frame (table_observe_metrics is the batch sibling): the counters
+    ride along inside each micro-batch's execution as a CollectMetrics
+    node and surface in the query progress as `observedMetrics`, so a
+    production job gets row counts / error rates / null rates per batch
+    WITHOUT a second aggregation over the stream. Totals here are the
+    per-batch metrics SUMMED across the drain — count/fixed-point-sum/
+    conditional-count are all associative integers, so the totals are
+    exact regardless of how the trigger splits the input, which is what
+    lets a DuckDB batch aggregate oracle the streaming path end-to-end.
+
+    Metrics retrieval: recentProgress after the availableNow drain
+    (maxFilesPerTrigger unset => the listing drains in one micro-batch,
+    far inside recentProgress's 100-entry ring; a long-lived production
+    job uses the push-based StreamingQueryListener instead — same
+    `observedMetrics` payload, no ring limit).
+
+    Plan at 100 TB: CollectMetrics is a map-side accumulator on the
+    stream the sink was already consuming — zero extra scan, zero extra
+    shuffle; the observation cost is four integer updates per row."""
+    events = read_events_stream(spark, sf_dir)
+    observed = events.observe(
+        "dq_stream",
+        F.count(F.lit(1)).alias("n_rows"),
+        fx_sum("value").alias("value_c"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_value_null"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_rows": 0, "value_c": 0, "n_errors": 0, "n_value_null": 0}
+    for p in q.recentProgress:
+        row = (p.observedMetrics or {}).get("dq_stream")
+        if row is not None:
+            for k in totals:
+                totals[k] += row[k] or 0
+    return spark.createDataFrame(
+        [tuple(totals[k] for k in totals)],
+        "n_rows long, value_c long, n_errors long, n_value_null long",
+    )

@@ -750,3 +750,48 @@ def test_session_gap_eviction_live_multibatch(spark, tmp_path):
     assert by_user[1]["last_ms"] is None  # EVICTED
     assert by_user[1]["n_sessions"] == 2 and by_user[1]["n_events"] == 3
     assert by_user[2]["last_ms"] is not None  # still within its gap window
+
+
+def test_stream_observe_metrics_sums_across_batches(spark, tmp_path):
+    """stream_observe_metrics' cross-batch total contract: with the
+    source split into 3 files and maxFilesPerTrigger=1, availableNow
+    runs 3 micro-batches, each progress carries its own observedMetrics
+    row, and the SUM of those rows equals the one-shot batch aggregate
+    — the associativity the query's oracle relies on."""
+    from ocs_duckdb_runner_spark.exactness import fx_sum
+    from ocs_duckdb_runner_spark.registry import load_table
+
+    src = str(tmp_path / "events3")
+    load_table(spark, SF_DIR, "events").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    observed = events.observe(
+        "dq_multi",
+        F.count(F.lit(1)).alias("n_rows"),
+        fx_sum("value").alias("value_c"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (p.observedMetrics or {}).get("dq_multi")
+        for p in q.recentProgress
+    ]
+    rows = [r for r in rows if r is not None]
+    assert len(rows) >= 2  # the multi-batch premise
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .agg(F.count(F.lit(1)).alias("n"), fx_sum("value").alias("v"))
+        .collect()[0]
+    )
+    assert sum(r["n_rows"] for r in rows) == want["n"]
+    assert sum(r["value_c"] for r in rows) == want["v"]
