@@ -209,6 +209,8 @@ HEADLINE = [
     "agg_regr_family",
     "monitor_psi_drift",
     "stream_observe_metrics",
+    "agg_bitmap_builtins",
+    "udtf_analyze_surface",
 ]
 
 # Fixed canary trio, timed at suite START and END every run (r9 verdict

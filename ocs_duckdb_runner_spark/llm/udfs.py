@@ -237,3 +237,84 @@ def udf_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return li.mapInArrow(_net_cents, "l_orderkey long, net_c long")
+
+
+@query(
+    "udtf_analyze_surface",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id % 20 = 0),
+    g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i,
+                 toks
+          FROM t)
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram,
+           CAST(i - 1 AS INT) AS pos
+    FROM g
+    """,
+    tags=("llm", "udf", "udtf", "spark4", "polymorphic"),
+)
+def udtf_analyze_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 static `analyze()`): the output
+    schema is computed at ANALYSIS time from the call's literal
+    arguments — here the n-gram width names its own column (gram_2 for
+    n=2) — the API a reusable table function needs when its shape
+    depends on how it's called (unpivot-N-columns, parse-with-schema,
+    top-K-wide). udtf_surface is the fixed-schema sibling; this one
+    proves the analyzer round-trip: AnalyzeArgument.value carries the
+    literal into analyze(), the planner trusts the returned StructType,
+    and eval() rows are validated against it. Like every Python UDTF
+    this is the deliberate slow path (per-row generator over Arrow
+    batches); text_ngram_stats is the JVM-side production equivalent.
+
+    The test locks the polymorphism itself: calling with n=3 must yield
+    a `gram_3` column (tests/test_round11_ops.py)."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("ocs_ngrams_poly", _ngrams_poly_udtf())
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d.createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.gram_2 AS gram, s.pos
+        FROM udtf_poly_docs d, LATERAL ocs_ngrams_poly(d.text, 2) s
+        """
+    )
+
+
+def _ngrams_poly_udtf():
+    """The polymorphic n-gram UDTF class, importable by tests: analyze()
+    derives (gram_<n> string, pos int) from the literal width."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGramsPoly:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            width = n.value
+            if not isinstance(width, int) or width < 1:
+                raise ValueError(
+                    "ocs_ngrams_poly: n must be a positive INT literal"
+                )
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"gram_{width}", StringType()),
+                        StructField("pos", IntegerType()),
+                    ]
+                )
+            )
+
+        def eval(self, text, n):
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - n + 1):
+                yield " ".join(toks[i : i + n]), i
+
+    return udtf(NGramsPoly)

@@ -1820,3 +1820,61 @@ def agg_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 9).alias("r2"),
     )
+
+
+@query(
+    "agg_bitmap_builtins",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("agg", "bitmap", "distinct", "builtins"),
+)
+def agg_bitmap_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap_* BUILTIN family (Spark 3.5: bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count) — the engine's own binary-payload exact-distinct
+    surface. agg_distinct_bitmap hand-rolls the same trick with 64-bit
+    words to SHOW the shuffle algebra; this covers the contract that the
+    builtins themselves agree with count(DISTINCT), payload merge
+    included: per-flag counts come from bitmap_construct_agg per
+    (flag, 32768-bit bucket), and the ALL row OR-merges the per-flag
+    bitmaps with bitmap_or_agg BEFORE counting — distinct counts don't
+    add across overlapping groups, merged bitmaps do, which is the whole
+    reason the payload type exists (partial bitmaps from 1000 executors
+    merge losslessly).
+
+    Plan at 100 TB: the bucketed frame is (groups x domain/32768) rows
+    of fixed 4 KiB payloads regardless of fact rows — it is PERSISTED
+    because the per-flag and ALL branches both consume it (one fact scan
+    total, pinned); the result is <=4 rows, eagerly checkpointed so the
+    cache releases before return."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(l_partkey))"
+            ).alias("bm")
+        )
+        .persist()
+    )
+    per = b.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_parts")
+    )
+    merged = (
+        b.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm2"))
+        .agg(F.sum(F.expr("bitmap_count(bm2)")).cast("long").alias("n_parts"))
+        .select(F.lit("ALL").alias("l_returnflag"), "n_parts")
+    )
+    out = per.unionByName(merged).localCheckpoint(eager=True)
+    b.unpersist()
+    return out

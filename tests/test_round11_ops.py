@@ -289,3 +289,39 @@ def test_sql_table_udf_parameter_binds(spark):
             WHERE l_quantity >= 25.0"""
     ).fetchone()[0]
     assert got["n_lines"].sum() == want
+
+
+def test_udtf_analyze_is_polymorphic(spark):
+    """udtf_analyze_surface's analyze() must derive the schema from the
+    literal call argument: n=3 yields a gram_3 column of 3-token grams,
+    n=2 a gram_2 column — same class, two shapes."""
+    from ocs_duckdb_runner_spark.llm.udfs import _ngrams_poly_udtf
+
+    spark.udtf.register("ocs_ngrams_poly_t", _ngrams_poly_udtf())
+    r3 = spark.sql("SELECT * FROM ocs_ngrams_poly_t('a b c d', 3)")
+    assert r3.columns == ["gram_3", "pos"]
+    assert [row["gram_3"] for row in r3.collect()] == ["a b c", "b c d"]
+    r2 = spark.sql("SELECT * FROM ocs_ngrams_poly_t('a b c d', 2)")
+    assert r2.columns == ["gram_2", "pos"]
+
+
+def test_bitmap_builtins_merge_is_lossless(spark):
+    """agg_bitmap_builtins: the OR-merged ALL row must equal the true
+    global distinct (not the sum of per-flag counts, which double-counts
+    parts appearing under several flags)."""
+    import duckdb as _duck
+
+    from ocs_duckdb_runner_spark.operators.grouping import (
+        agg_bitmap_builtins,
+    )
+
+    got = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in agg_bitmap_builtins(spark, SF_DIR).collect()
+    }
+    want_all = _duck.connect().execute(
+        f"SELECT count(DISTINCT l_partkey) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert got["ALL"] == want_all
+    per_sum = sum(v for k, v in got.items() if k != "ALL")
+    assert got["ALL"] <= per_sum  # overlap means merge, not addition
