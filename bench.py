@@ -211,6 +211,7 @@ HEADLINE = [
     "stream_observe_metrics",
     "agg_bitmap_builtins",
     "udtf_analyze_surface",
+    "fn_lateral_alias",
 ]
 
 # Fixed canary trio, timed at suite START and END every run (r9 verdict

@@ -923,3 +923,56 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "fn_lateral_alias",
+    oracle="""
+    SELECT l_returnflag, size_class,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(net_after_tax_c) AS BIGINT) AS net_after_tax_sum_c
+    FROM (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 - CAST(round(l_extendedprice * l_tax * 100) AS BIGINT)
+                 AS net_after_tax_c,
+             CASE WHEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)
+                       - CAST(round(l_extendedprice * l_tax * 100) AS BIGINT)
+                       > 5000000
+                  THEN 'big' ELSE 'small' END AS size_class
+      FROM lineitem)
+    GROUP BY l_returnflag, size_class
+    """,
+    tags=("functions", "sql", "sugar", "lateral-alias"),
+)
+def fn_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4+): a SELECT item referencing a
+    sibling alias defined earlier in the SAME select list — net_c feeds
+    net_after_tax_c feeds size_class, three derivation steps written
+    once each instead of inlined combinatorially (the oracle shows the
+    pre-feature expansion: every downstream reference re-states the full
+    upstream expression). Resolution is pure analyzer rewrite — the
+    optimized plan is identical to the expanded form, so the aggregate
+    above the chain keeps flagship's shape: one pruned scan into a
+    partial+final hash aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "fn_lca_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, size_class,
+               count(*) AS n_lines,
+               sum(net_after_tax_c) AS net_after_tax_sum_c
+        FROM (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS net_c,
+                 net_c - CAST(round(l_extendedprice * l_tax * 100) AS BIGINT)
+                     AS net_after_tax_c,
+                 CASE WHEN net_after_tax_c > 5000000
+                      THEN 'big' ELSE 'small' END AS size_class
+          FROM fn_lca_lineitem)
+        GROUP BY l_returnflag, size_class
+        """
+    )
