@@ -2972,6 +2972,7 @@ def event_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
                   THEN 1 ELSE 0 END AS is_ref
       FROM events
+      WHERE value IS NOT NULL
     ), c AS (
       SELECT bucket,
              CAST(sum(is_ref) AS BIGINT) AS n_ref,
@@ -3020,7 +3021,13 @@ def monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     — pinned away in tests/test_plans.py). Per-batch cost is a single
     scan regardless of table size."""
     e = load_table(spark, sf_dir, "events")
-    b = e.select(
+    # NULL values are excluded EXPLICITLY on both sides (r11 ADVICE):
+    # both engines' least() skip NULLs, which would silently route a NULL
+    # value into bucket 9 — and DuckDB only adopted that null-skipping
+    # semantic in 1.1, so the implicit behavior is engine-version-
+    # dependent. An explicit IS NOT NULL makes the contract visible and
+    # pins the hash across engine versions.
+    b = e.filter(F.col("value").isNotNull()).select(
         F.least(
             F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
         ).alias("bucket"),

@@ -766,17 +766,28 @@ def fn_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql("DECLARE OR REPLACE v_ident_tbl STRING DEFAULT 'x'")
     spark.sql("DECLARE OR REPLACE v_ident_col STRING DEFAULT 'x'")
-    spark.sql("SET VAR v_ident_tbl = 'fn_ident_customer'")
-    spark.sql("SET VAR v_ident_col = 'c_mktsegment'")
-    return spark.sql(
-        """
-        SELECT IDENTIFIER(v_ident_col) AS c_mktsegment,
-               count(*) AS n_customers,
-               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_c
-        FROM IDENTIFIER(v_ident_tbl)
-        GROUP BY IDENTIFIER(v_ident_col)
-        """
-    )
+    try:
+        spark.sql("SET VAR v_ident_tbl = 'fn_ident_customer'")
+        spark.sql("SET VAR v_ident_col = 'c_mktsegment'")
+        df = spark.sql(
+            """
+            SELECT IDENTIFIER(v_ident_col) AS c_mktsegment,
+                   count(*) AS n_customers,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_c
+            FROM IDENTIFIER(v_ident_tbl)
+            GROUP BY IDENTIFIER(v_ident_col)
+            """
+        )
+        # IDENTIFIER() and variable refs resolve at ANALYSIS time; touch
+        # the schema so the plan is fully resolved before the variables
+        # are dropped — the returned frame then executes independently of
+        # session state (session-hygiene standard set by the r10 timeType
+        # fix: no v_ident_* variables remain visible after the query).
+        df.schema
+        return df
+    finally:
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS v_ident_tbl")
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS v_ident_col")
 
 
 @query(

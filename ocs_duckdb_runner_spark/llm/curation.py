@@ -28,7 +28,11 @@ from ocs_duckdb_runner_spark.llm.similarity import (
     cosine,
     fp_vec,
 )
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import (
+    checkpoint_release,
+    load_table,
+    query,
+)
 
 CHUNK_W = 64  # tokens per chunk
 CHUNK_S = 48  # chunk stride (overlap = W - S = 16)
@@ -699,10 +703,8 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("jaccard"),
         )
-        .localCheckpoint(eager=True)
     )
-    st.unpersist()
-    return out
+    return checkpoint_release(out, st)
 
 
 _FLAG_TOKENS = ("the", "a", "of", "and", "to")  # stand-in for PII hits
@@ -1007,10 +1009,8 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", kl_term.alias("kl_term"))
         .groupBy("source")
         .agg(F.round(F.sum("kl_term"), 6).alias("jsd_nats"))
-        .localCheckpoint(eager=True)
     )
-    sc.unpersist()
-    return out
+    return checkpoint_release(out, sc)
 
 
 @query(
@@ -1489,10 +1489,7 @@ def corpus_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard choice (the oracle compares raw gram strings; a
     cross-gram collision is ~1e-11). Source-size frames broadcast."""
     out, persisted = _syndication_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    for df in persisted:
-        df.unpersist()
-    return out
+    return checkpoint_release(out, *persisted)
 
 
 def _syndication_build(

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import (
+    checkpoint_release,
+    load_table,
+    query,
+)
 
 # 16 shards from the first md5 hex char of the doc key. Uniform by
 # construction; at a real export you'd take 3-4 chars (4096-65536 shards)
@@ -442,11 +446,8 @@ def pipeline_pretrain_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_tok") * F.col("n_copies")).alias("n_tokens"),
         )
         .orderBy("shard")
-        .localCheckpoint(eager=True)
     )
-    kept.unpersist()
-    base.unpersist()
-    return out
+    return checkpoint_release(out, kept, base)
 
 
 @query(

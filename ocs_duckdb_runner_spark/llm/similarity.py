@@ -24,7 +24,11 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import (
+    checkpoint_release,
+    load_table,
+    query,
+)
 
 DIM = 64
 # SRP-LSH plane count SCALES WITH CORPUS SIZE (r6 verdict #1): a fixed
@@ -571,9 +575,8 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cid").cast("long").alias("cluster"),
         F.col("d2").alias("d2_fp"),
-    ).localCheckpoint(eager=True)
-    vecs.unpersist()
-    return out
+    )
+    return checkpoint_release(out, vecs)
 
 
 @query(
@@ -888,9 +891,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned self-join on the cluster id, one key-only min
     aggregate, one left join back."""
     out, assign = _semantic_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    assign.unpersist()
-    return out
+    return checkpoint_release(out, assign)
 
 
 def _semantic_build(spark: SparkSession, sf_dir: str):
@@ -1088,10 +1089,8 @@ def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cell").cast("long").alias("cell"), "adc_fp")
         .orderBy(F.col("adc_fp"), F.col("vec_id"))
         .limit(IVFPQ_TOPK)
-        .localCheckpoint(eager=True)
     )
-    vecs.unpersist()
-    return out
+    return checkpoint_release(out, vecs)
 
 
 # ---- reciprocal-rank fusion of two retrieval rankings ----
@@ -1259,10 +1258,8 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rk", F.row_number().over(w))
         .filter((F.col("rk") <= KNN_K) & (F.col("src") % 10 == 0))
         .select("src", "dst", F.col("rk").cast("long").alias("rk"))
-        .localCheckpoint(eager=True)
     )
-    b.unpersist()
-    return out
+    return checkpoint_release(out, b)
 
 
 # ---- index-quality evaluation: LSH-ANN recall@k vs brute force ----
@@ -1352,19 +1349,18 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         exact.join(
             ann,
-            (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avec")),
+            (F.col("qid") == F.col("aqid"))
+            & (F.col("vec_id") == F.col("avec")),
             "left",
         )
         .groupBy("qid")
         .agg(
             F.count("avec").cast("long").alias("n_hit"),
-            F.round(F.count("avec") / RECALL_K, 6).alias(f"recall_at_{RECALL_K}"),
+            F.round(F.count("avec") / RECALL_K, 6)
+            .alias(f"recall_at_{RECALL_K}"),
         )
-        .localCheckpoint(eager=True)
     )
-    b.unpersist()
-    scored.unpersist()
-    return out
+    return checkpoint_release(out, b, scored)
 
 
 # ---- embedding-population drift monitoring ----
@@ -2053,10 +2049,8 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 9).alias("cos_sim"),
         )
         .orderBy("vec_a")
-        .localCheckpoint(eager=True)
     )
-    b.unpersist()
-    return out
+    return checkpoint_release(out, b)
 
 
 # ---- hybrid retrieval: score-level BM25 + cosine fusion ----
@@ -2145,12 +2139,12 @@ def sim_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cosine ran 2x (measured 1.5x warm wall at the 100x probe,
     interleaved A/B in SCALING.md). Result is 15 rows, eagerly
     checkpointed so both caches release before return (tests pin the
-    pre-checkpoint plan via _hybrid_plan)."""
+    pre-checkpoint plan via _hybrid_plan). The unpersists sit in a
+    finally block (r11 ADVICE): an exception during the eager
+    materialization must not leak two persisted frames into the shared
+    long-lived session."""
     out, per_doc, both = _hybrid_plan(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    both.unpersist()
-    per_doc.unpersist()
-    return out
+    return checkpoint_release(out, both, per_doc)
 
 
 def _hybrid_plan(

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import (
+    checkpoint_release,
+    load_table,
+    query,
+)
 
 # Deterministic keyword sets for the n-gram/stopword language-ID heuristic.
 # The fixture vocabulary is an engine-word soup; these play the role of the
@@ -566,10 +570,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             top_frac.alias("top_bigram_frac"),
             ((dup_frac > 0.85) | (top_frac > 0.05)).alias("is_repetitive"),
         )
-        .localCheckpoint(eager=True)
     )
-    toks_df.unpersist()
-    return out
+    return checkpoint_release(out, toks_df)
 
 
 @query(
@@ -697,10 +699,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(sum(c_bg * 1000000 div c_w1) div count(*) as bigint)"
             ).alias("lm_micro_avg"),
         )
-        .localCheckpoint(eager=True)
     )
-    bg.unpersist()
-    return out
+    return checkpoint_release(out, bg)
 
 
 @query(
@@ -1011,10 +1011,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(PMI_TOPK)
-        .localCheckpoint(eager=True)
     )
-    big.unpersist()
-    return out
+    return checkpoint_release(out, big)
 
 
 @query(
@@ -1318,9 +1316,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
         prev.unpersist()
-    result = out.orderBy("merge_round").localCheckpoint(eager=True)
-    w.unpersist()
-    return result
+    return checkpoint_release(out.orderBy("merge_round"), w)
 
 
 MATTR_W = 25  # MATTR window (tokens per full chunk)

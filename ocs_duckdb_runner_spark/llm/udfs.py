@@ -299,7 +299,10 @@ def _ngrams_poly_udtf():
             text: AnalyzeArgument, n: AnalyzeArgument
         ) -> AnalyzeResult:
             width = n.value
-            if not isinstance(width, int) or width < 1:
+            # type() is int, not isinstance: bool subclasses int, and a
+            # BOOLEAN literal would otherwise pass the guard and emit a
+            # nonsensical gram_True column (r11 ADVICE)
+            if type(width) is not int or width < 1:
                 raise ValueError(
                     "ocs_ngrams_poly: n must be a positive INT literal"
                 )

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import (
+    checkpoint_release,
+    load_table,
+    query,
+)
 
 # shared SQL for the undirected co-purchase edge set (a < b, distinct):
 # join lineitem to itself on the order key — the bipartite
@@ -159,10 +163,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation joins + wedge/close joins, all on 8-byte vertex keys; the
     edge and oriented frames are persisted so each is built once."""
     out, persisted = _triangle_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    for df in persisted:
-        df.unpersist()
-    return out
+    return checkpoint_release(out, *persisted)
 
 
 def _triangle_build(spark: SparkSession, sf_dir: str):
@@ -313,10 +314,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     edges.unpersist()
     out, persisted = _pagerank_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    for df in persisted:
-        df.unpersist()
-    return out
+    return checkpoint_release(out, *persisted)
 
 
 def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -457,9 +455,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges to edge pairs before scoring. Integer cn/degrees → one double
     division, so the ranking is oracle-exact."""
     out, edges = _common_neighbors_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
+    return checkpoint_release(out, edges)
 
 
 def _common_neighbors_build(spark: SparkSession, sf_dir: str):
@@ -687,10 +683,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym_last.agg(F.countDistinct("node").alias("n_core_nodes"))
         .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_core_edges")))
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges_initial")))
-        .localCheckpoint(eager=True)
     )
-    edges.unpersist()
-    return out
+    return checkpoint_release(out, edges)
 
 
 # symmetrized adjacency over the association edge set — shared by the
@@ -817,10 +811,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.groupBy("community_size")
         .agg(F.count(F.lit(1)).alias("n_communities"))
         .orderBy("community_size")
-        .localCheckpoint(eager=True)
     )
-    adj.unpersist()
-    return out
+    return checkpoint_release(out, adj)
 
 
 _BFS_ROUNDS = 3
@@ -890,10 +882,8 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.groupBy(F.col("dist").alias("distance"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("distance")
-        .localCheckpoint(eager=True)
     )
-    adj.unpersist()
-    return out
+    return checkpoint_release(out, adj)
 
 
 # HITS fixed-point scale: scores in micro-units, L-infinity normalized
@@ -1085,10 +1075,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(h.toDF("node", "hub_micro"), "node")
         .select(F.col("node").alias("nationkey"), "auth_micro", "hub_micro")
         .orderBy(F.col("auth_micro").desc(), F.col("hub_micro").desc(), "nationkey")
-        .localCheckpoint(eager=True)
     )
-    edges.unpersist()
-    return out
+    return checkpoint_release(out, edges)
 
 
 @query(
@@ -1244,9 +1232,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             9,
         ).alias("assortativity"),
-    ).localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
+    )
+    return checkpoint_release(out, edges)
 
 
 @query(
@@ -1328,7 +1315,5 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("modularity"),
         )
-        .localCheckpoint(eager=True)
     )
-    adj.unpersist()
-    return out
+    return checkpoint_release(out, adj)

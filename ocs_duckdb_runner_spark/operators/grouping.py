@@ -13,7 +13,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.exactness import fx_sum, sql_fx_sum
-from ocs_duckdb_runner_spark.registry import load_table, query
+from ocs_duckdb_runner_spark.registry import (
+    checkpoint_release,
+    load_table,
+    query,
+)
 
 
 @query(
@@ -1875,6 +1879,6 @@ def agg_bitmap_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("bitmap_count(bm2)")).cast("long").alias("n_parts"))
         .select(F.lit("ALL").alias("l_returnflag"), "n_parts")
     )
-    out = per.unionByName(merged).localCheckpoint(eager=True)
-    b.unpersist()
-    return out
+    # finally-guarded (r11 ADVICE): a failed materialization must not
+    # leak the persisted bitmap frame into the shared session
+    return checkpoint_release(per.unionByName(merged), b)

@@ -38,6 +38,8 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -179,6 +181,36 @@ def _register_views(duck, sf_dir: str) -> None:
             )
 
 
+def auto_retime_ref(json_out: str) -> str | None:
+    """Discover the prior-round artifact to use as the auto-retime ref.
+
+    r11 verdict Next #1: the r11 10x sweep shipped with the
+    stall-resistance flag unarmed and 11 walls needed a follow-up RETIMES
+    artifact. Arm it permanently: a round-numbered artifact name
+    (``FAMILY_r{N}.json``) auto-discovers the highest prior-round artifact
+    of the same family in the same directory, so the sweep self-heals
+    without the caller remembering ``--retime-ref``. Returns None for the
+    first-ever artifact of a family or a non-round-numbered name.
+    """
+    m = re.match(r"(.+_r)(\d+)(\.json)$", os.path.basename(json_out))
+    if not m:
+        return None
+    fam, rnd, ext = m.group(1), int(m.group(2)), m.group(3)
+    d = os.path.dirname(json_out) or "."
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return None
+    prior = sorted(
+        (int(mm.group(1)), f)
+        for f in names
+        if (mm := re.match(re.escape(fam) + r"(\d+)" + re.escape(ext) + "$",
+                           f))
+        and int(mm.group(1)) < rnd
+    )
+    return os.path.join(d, prior[-1][1]) if prior else None
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -205,6 +237,13 @@ def main() -> int:
             argv = argv[1:]
         else:
             raise SystemExit(f"unknown flag {argv[0]}")
+    if retime_ref is None and json_out and not time_only:
+        retime_ref = auto_retime_ref(json_out)
+        if retime_ref:
+            print(f"RETIME-REF auto-armed: {retime_ref}")
+        elif re.match(r".+_r\d+\.json$", os.path.basename(json_out)):
+            print("RETIME-REF: no prior artifact of this family found — "
+                  "first of its kind, proceeding un-reffed")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = build_spark(app_name="driver-sim")

@@ -27,6 +27,35 @@ def pytest_addoption_checker(config):  # pragma: no cover - doc helper
     return config.getoption("--run-sweep", default=False)
 
 
+def test_auto_retime_ref_discovery(tmp_path):
+    """r11 verdict Next #1: the sweep must arm its own stall-resistance.
+
+    A round-numbered --json target auto-discovers the highest prior-round
+    artifact of the same family in the same directory; retime suffixes
+    (``_r11_RETIMES.json``) and other families never match; the first
+    artifact of a family returns None (proceed un-reffed, printed notice).
+    """
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import auto_retime_ref
+
+    for f in [
+        "SCALE_SWEEP_r05.json", "SCALE_SWEEP_r10.json",
+        "SCALE_SWEEP_r11.json", "SCALE_SWEEP_r11_RETIMES.json",
+        "CORRECTNESS_LOCAL_r11.json", "BENCH_r11.json",
+    ]:
+        (tmp_path / f).write_text("{}")
+
+    got = auto_retime_ref(str(tmp_path / "SCALE_SWEEP_r12.json"))
+    assert got == str(tmp_path / "SCALE_SWEEP_r11.json")
+    got = auto_retime_ref(str(tmp_path / "CORRECTNESS_LOCAL_r12.json"))
+    assert got == str(tmp_path / "CORRECTNESS_LOCAL_r11.json")
+    # strictly-prior only: re-running r11 refs r10, not itself
+    got = auto_retime_ref(str(tmp_path / "SCALE_SWEEP_r11.json"))
+    assert got == str(tmp_path / "SCALE_SWEEP_r10.json")
+    assert auto_retime_ref(str(tmp_path / "NEWFAM_r01.json")) is None
+    assert auto_retime_ref(str(tmp_path / "adhoc.json")) is None
+
+
 @pytest.mark.sweep
 def test_full_oracle_sweep(request, tmp_path):
     if not request.config.getoption("--run-sweep"):
