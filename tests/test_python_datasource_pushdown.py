@@ -123,37 +123,42 @@ def test_boolean_value_not_misread_as_int():
 
 @pytest.mark.usefixtures("spark")
 def test_plan_prunes_partitions_and_absorbs_filter(spark):
-    """Integration pin: conf on -> 3 planned partitions and no Filter
-    node above the BatchScan; conf off -> identical rows (degradation
-    path), restored conf either way."""
+    """Integration pin against a DRIVER-SHAPED session (conf explicitly
+    OFF, the driver harness's state): the query set-with-restores the
+    pushdown conf around its own eager execution (r11 verdict Next #5),
+    so the pruned path runs in EVERY session — 3 planned partitions, no
+    Filter node above the BatchScan in the live pre-checkpoint plan —
+    and the session conf is provably back to its prior value after."""
     import __spark_entry__ as entrymod
+    from ocs_duckdb_runner_spark.sources.python_datasource import (
+        _pushdown_plan,
+    )
 
     fn = entrymod.queries()["src_python_datasource_pushdown"]
     sf = "/root/testdata/sf0.001"
-    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(key, None)
     try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        # driver-shaped: the conf is OFF when the query is invoked
+        spark.conf.set(key, "false")
         df = fn(spark, sf)
+        # the query restored the conf behind itself
+        assert spark.conf.get(key) == "false"
+        # the checkpointed result came from the 3-shard pruned scan
         assert df.rdd.getNumPartitions() == 3
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "BatchScan ocs_synth_telemetry_pd" in plan
-        assert "Filter (" not in plan  # all predicates consumed at the source
         pushed = sorted((r[0], r[1]) for r in df.collect())
+        assert len(pushed) > 0
 
-        # degradation path: a session without the conf falls back to the
-        # plain (pushdown-free) source — Spark 4.1 hard-errors on a
-        # pushFilters reader under a disabled conf, so the fallback IS
-        # the graceful path — and evaluates the predicates post-scan
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
-        df_off = fn(spark, sf)
-        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
-        assert "BatchScan ocs_synth_telemetry" in plan_off
-        assert "_pd" not in plan_off
-        assert "Filter (" in plan_off or "+- Filter" in plan_off  # Spark-side
-        assert df_off.rdd.getNumPartitions() == 8  # nothing pruned
-        assert sorted((r[0], r[1]) for r in df_off.collect()) == pushed
+        # pin the live pre-checkpoint plan shape with the conf on
+        spark.conf.set(key, "true")
+        live = _pushdown_plan(spark)
+        plan = live._jdf.queryExecution().executedPlan().toString()
+        assert "BatchScan ocs_synth_telemetry_pd" in plan
+        assert "Filter (" not in plan  # all predicates consumed at source
+        assert live.rdd.getNumPartitions() == 3
+        assert sorted((r[0], r[1]) for r in live.collect()) == pushed
     finally:
         if prior is None:
-            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+            spark.conf.unset(key)
         else:
-            spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
+            spark.conf.set(key, prior)
