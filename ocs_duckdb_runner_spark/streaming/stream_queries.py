@@ -643,6 +643,16 @@ def stream_tws_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir).withWatermark(
         "ts", "10 minutes"
     )
+    return spark.table(
+        _run_to_memory(_session_gap_stateful(events), "update")
+    )
+
+
+def _session_gap_stateful(events: DataFrame) -> DataFrame:
+    """The session-gap stateful transform shared by stream_tws_session_gap
+    and its RocksDB-provider twin: watermarked events -> per-user gap
+    session counts via the TWS/legacy dispatch (see stream_tws_session_gap
+    for the dispatch contract)."""
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -652,27 +662,192 @@ def stream_tws_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grouped = events.select("user_id", "ts").groupBy("user_id")
     if transform_with_state_available():
-        sessions = grouped.transformWithStateInPandas(
+        return grouped.transformWithStateInPandas(
             _make_user_sessions_processor(),
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="EventTime",
         )
-    else:
-        sessions = grouped.applyInPandasWithState(
-            _user_sessions_state,
-            outputStructType=out_schema,
-            stateStructType=T.StructType(
-                [
-                    T.StructField("last_ms", T.LongType()),
-                    T.StructField("n_sessions", T.LongType()),
-                    T.StructField("n_events", T.LongType()),
-                ]
-            ),
-            outputMode="update",
-            timeoutConf="EventTimeTimeout",
+    return grouped.applyInPandasWithState(
+        _user_sessions_state,
+        outputStructType=out_schema,
+        stateStructType=T.StructType(
+            [
+                T.StructField("last_ms", T.LongType()),
+                T.StructField("n_sessions", T.LongType()),
+                T.StructField("n_events", T.LongType()),
+            ]
+        ),
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+def _split_events_source(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per fixture content) a time-split two-part derived
+    events source: ``lo/`` holds every event at or below the min/max
+    midpoint timestamp, ``hi/`` the rest — so a stream that drains lo
+    first can never see hi rows fall behind the checkpointed watermark
+    (watermark after lo = max(ts_lo) - 10min < every hi ts). Content-
+    addressed like the events4 split (stream_incremental_mv): the scale
+    probe rebuilds fixtures in place, so path-keyed caches go stale."""
+    sf_tag = sf_dir.strip("/").replace("/", "_")
+    tag = sf_tag + "_" + _events_fingerprint(sf_dir)
+    root = f"/tmp/ocs_stream_src/rocks2_{tag}"
+    lo_dir, hi_dir = f"{root}/lo", f"{root}/hi"
+    if not (
+        os.path.exists(f"{lo_dir}/_SUCCESS")
+        and os.path.exists(f"{hi_dir}/_SUCCESS")
+    ):
+        from ocs_duckdb_runner_spark.registry import vacuum_cache_siblings
+
+        vacuum_cache_siblings(
+            "/tmp/ocs_stream_src", f"rocks2_{sf_tag}", f"rocks2_{tag}"
         )
-    return spark.table(_run_to_memory(sessions, "update"))
+        ev = load_table(spark, sf_dir, "events")
+        bounds = ev.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+        ev.filter(F.col("ts") <= F.lit(mid)).write.mode("overwrite").parquet(
+            lo_dir
+        )
+        ev.filter(F.col("ts") > F.lit(mid)).write.mode("overwrite").parquet(
+            hi_dir
+        )
+    return lo_dir, hi_dir
+
+
+def _link_parts(src_dir: str, dst_dir: str) -> None:
+    """Hardlink a written parquet directory's part files into a live
+    stream-source directory (no byte copy; names stay unique because
+    Spark part files carry a per-write uuid)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in sorted(os.listdir(src_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        try:
+            os.link(f"{src_dir}/{name}", f"{dst_dir}/{name}")
+        except OSError:
+            import shutil
+
+            shutil.copy2(f"{src_dir}/{name}", f"{dst_dir}/{name}")
+
+
+@query(
+    "stream_tws_rocksdb",
+    oracle="""
+    WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                          > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM x)
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM marked
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "rocksdb", "spark4"),
+)
+def stream_tws_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-gap stateful operator under the RocksDB state store
+    provider with CHANGELOG CHECKPOINTING, across a real query restart —
+    the round-11 verdict's Next #4: at 100 TB the keyed-state lever is
+    not the operator but the store (RocksDB spills keyed state to local
+    SSD instead of executor heap, and changelog checkpointing uploads
+    per-batch deltas instead of full snapshots), and local[32]'s default
+    HDFS-backed provider hides every state-size cliff.
+
+    Same semantics and ORACLE as stream_tws_session_gap; what's new is
+    the harness around it: (1) set-with-restore of the provider +
+    changelog confs (the fn_time_type try/finally pattern — both are
+    per-query runtime confs read at stream start); (2) the fixture is
+    drained in TWO phases against ONE checkpoint — phase 1 streams the
+    early time-half, the query STOPS, phase 2 starts a NEW query from
+    the same checkpoint over the late half — so every user active in
+    both halves proves their (last_ms, totals) state survived a RocksDB
+    commit -> changelog upload -> restart -> replay round-trip (the
+    time-split keeps hi rows ahead of the checkpointed watermark, see
+    _split_events_source); (3) the query SELF-ASSERTS the provider took
+    effect by requiring ``*.changelog`` files in the checkpoint's state
+    directory — only the RocksDB provider with changelog checkpointing
+    writes those, so a silent fallback to the default provider fails the
+    CORRECTNESS row instead of passing vacuously. Per-user totals are
+    max() across both phases' update-mode emissions (n_sessions and
+    n_events are monotone nondecreasing)."""
+    prior_provider = spark.conf.get(_PROVIDER_CONF, None)
+    prior_changelog = spark.conf.get(_CHANGELOG_CONF, None)
+    lo_dir, hi_dir = _split_events_source(spark, sf_dir)
+    base = _stream_scratch("_rocksdb")
+    src, ck, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    schema = spark.read.parquet(lo_dir).schema
+
+    # memory sinks refuse checkpoint recovery (they are not fault
+    # tolerant), and update-mode stateful output can't go to a plain
+    # parquet sink — foreachBatch is the restart-safe way to land the
+    # per-batch update rows (same sink pattern as stream_incremental_mv)
+    def _land_updates(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, "true")
+    try:
+        for phase_dir in (lo_dir, hi_dir):
+            _link_parts(phase_dir, src)
+            events = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .withWatermark("ts", "10 minutes")
+            )
+            q = (
+                _session_gap_stateful(events)
+                .writeStream.outputMode("update")
+                .foreachBatch(_land_updates)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prior_provider is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prior_provider)
+        if prior_changelog is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, prior_changelog)
+    n_changelog = sum(
+        1
+        for _root, _dirs, files in os.walk(f"{ck}/state")
+        for f in files
+        if f.endswith(".changelog")
+    )
+    if n_changelog == 0:
+        raise RuntimeError(
+            "RocksDB changelog checkpointing left no *.changelog files — "
+            "the state store fell back to a different provider"
+        )
+    both = spark.read.parquet(out)
+    return both.groupBy("user_id").agg(
+        F.max("n_sessions").cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("n_events"),
+    )
 
 
 @query(
