@@ -588,3 +588,125 @@ def event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "event_match_recognize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             substr(event_type, 1, 1) AS code
+      FROM events),
+    seqs AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq
+      FROM x GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(seq, 'vp')) AS BIGINT)
+               AS n_direct,
+           CAST(length(regexp_extract_all(seq, 'v[ces]*p')) AS BIGINT)
+               AS n_funnel
+    FROM seqs
+    """,
+    tags=("events", "pattern", "match-recognize"),
+)
+def event_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching, the SQL:2016 feature
+    Spark lacks as a keyword, recovered as compose-of-operators: encode
+    each user's event-type history as a character sequence (one char per
+    event, ordered by (ts, event_id) — event_id breaks timestamp ties
+    deterministically) and count non-overlapping regex occurrences over
+    it. Two patterns: `vp` (view immediately followed by purchase) and
+    `v[ces]*p` (view, any click/error/signup noise, then purchase — the
+    classic conversion funnel with intervening activity). The character
+    class excludes both anchors, so maximal matches are unambiguous and
+    Java regex (Spark) and RE2 (DuckDB) agree by construction.
+
+    Scale: ONE shuffle on user_id; per-user sequences are bounded by
+    per-user activity (the fixtures strike users with the corpus, so
+    sequence length is scale-invariant), and the regex scan is linear
+    map-side work after the aggregate. This is how row-pattern queries
+    should run at 100 TB: never a driver loop, never a cross-row UDF —
+    sessionize the pattern alphabet into a string column and let a
+    linear matcher do the recognizing."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("code"),
+            ).alias("k"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("k")), lambda x: x["code"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.regexp_count("seq", F.lit("vp")).cast("long").alias("n_direct"),
+        F.regexp_count("seq", F.lit("v[ces]*p"))
+        .cast("long")
+        .alias("n_funnel"),
+    )
+
+
+@query(
+    "event_tumbling_ohlc",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL)
+    SELECT date_trunc('hour', ts) AS bar_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           first(vc ORDER BY ts, event_id) AS open_c,
+           CAST(max(vc) AS BIGINT) AS high_c,
+           CAST(min(vc) AS BIGINT) AS low_c,
+           last(vc ORDER BY ts, event_id) AS close_c
+    FROM x
+    GROUP BY 1, 2
+    """,
+    tags=("events", "timeseries", "ohlc"),
+)
+def event_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (open/high/low/close) per hour per event
+    type — the financial-rollup face of tumbling windows, and the
+    min_by/max_by ordered-aggregate surface: open/close are the values
+    at the first/last (ts, event_id) in the bar (event_id breaks ties,
+    so both engines pick the same row), high/low are plain extremes.
+    Values ride as exact integer cents; NULL values are filtered
+    EXPLICITLY on both sides (the monitor_psi_drift lesson: never leave
+    NULL routing to engine-version-dependent aggregate semantics).
+
+    Scale: one hash aggregate on (hour, event_type) with full map-side
+    combine — min_by/max_by partials carry a single (value, key) pair
+    each, so the exchange is O(groups), same as the plain tumbling
+    rollup."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return x.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bar_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min_by("vc", ord_key).alias("open_c"),
+        F.max("vc").cast("long").alias("high_c"),
+        F.min("vc").cast("long").alias("low_c"),
+        F.max_by("vc", ord_key).alias("close_c"),
+    )

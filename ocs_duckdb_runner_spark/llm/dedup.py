@@ -2215,3 +2215,210 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dup_window_ratio"),
     )
+
+
+@query(
+    "corpus_dedup_scaling_curve",
+    oracle="""
+    WITH doc AS (
+      SELECT md5(text) AS fp,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS h
+      FROM documents),
+    fpmin AS (SELECT fp, min(h) AS mh FROM doc GROUP BY fp),
+    th AS (SELECT * FROM (VALUES (25), (50), (75), (100)) v(pct)),
+    d1 AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_docs
+           FROM doc CROSS JOIN th WHERE h < pct GROUP BY pct),
+    d2 AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_distinct
+           FROM fpmin CROSS JOIN th WHERE mh < pct GROUP BY pct)
+    SELECT CAST(pct AS BIGINT) AS pct, n_docs, n_distinct,
+           CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT)
+               AS dup_ppm
+    FROM d1 JOIN d2 USING (pct) ORDER BY pct
+    """,
+    tags=("llm", "corpus", "dedup", "scaling-law"),
+)
+def corpus_dedup_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate scaling curve: exact-dup fraction measured on
+    nested deterministic 25/50/75/100% corpus samples — the measurement
+    behind "dedup rate grows with corpus size" scaling-law plots
+    (Hernandez et al. 2022's data-repetition analysis does exactly this
+    sweep): because duplicate PAIRS grow quadratically while docs grow
+    linearly, a sub-sampled corpus understates the dedup win, and this
+    curve quantifies by how much, per sample fraction.
+
+    The trick that makes it ONE pass instead of four: nested samples
+    are doc_id-md5 buckets (h in 0..99; sample f keeps h < f), and a
+    fingerprint is PRESENT in sample f iff its MINIMUM bucket over
+    member docs is < f — so distinct-fingerprint counts at every
+    fraction come from the same fp -> min(h) aggregate, and doc counts
+    from the same per-doc bucket column. No re-scan, no per-fraction
+    shuffle of the corpus: one fingerprint aggregate (16-byte keys),
+    then two 4-row conditional rollups via a broadcast 4-row threshold
+    frame. dup_ppm uses integer div on both engines (positive, so
+    Spark's trunc == DuckDB's floor).
+
+    At 100 TB this is the cheap pre-flight before a dedup campaign:
+    the same scan the pipeline already pays for fingerprinting, plus
+    O(distinct fingerprints) keyed state."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = d.select(
+        F.md5("text").alias("fp"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("h"),
+    )
+    fpmin = doc.groupBy("fp").agg(F.min("h").alias("mh"))
+    th = spark.createDataFrame([(25,), (50,), (75,), (100,)], "pct int")
+    d1 = (
+        doc.crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("pct"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    d2 = (
+        fpmin.crossJoin(F.broadcast(th))
+        .filter(F.col("mh") < F.col("pct"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+    return (
+        d1.join(d2, "pct")
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            "n_docs",
+            "n_distinct",
+            F.expr("((n_docs - n_distinct) * 1000000) div n_docs")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("pct")
+    )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             generate_subscripts(toks, 1) AS pos,
+             unnest(toks) AS t
+      FROM base),
+    flagged AS (
+      SELECT doc_id, pos, t,
+             CASE WHEN CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                       % 8 = 0
+                  THEN 1 ELSE 0 END AS f
+      FROM tok),
+    chunked AS (
+      SELECT doc_id, pos, t,
+             sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) - f AS cid
+      FROM flagged),
+    chunks AS (
+      SELECT doc_id, cid,
+             md5(string_agg(t, ' ' ORDER BY pos)) AS ch,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM chunked GROUP BY doc_id, cid),
+    bych AS (
+      SELECT ch,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n_tok) AS BIGINT) AS tok_c
+      FROM chunks GROUP BY ch)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(tok_c) AS BIGINT) AS n_tokens,
+           CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT)
+               AS dup_ppm,
+           CAST(max(cnt) AS BIGINT) AS max_chunk_copies
+    FROM bych
+    """,
+    tags=("llm", "dedup", "cdc", "chunking"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS idea, token
+    granularity): a chunk boundary falls AFTER any token whose hash
+    bucket ≡ 0 (mod 8) — a property of the CONTENT, not the position —
+    so a shared passage chunks identically in every document that
+    contains it, no matter what offset it starts at. That is the whole
+    point over fixed-size chunking, where a one-token insertion
+    misaligns every later chunk. Chunks are hashed and counted
+    corpus-wide; the output is the storage-style dedup report: chunk
+    count, distinct chunks, token mass, dup ppm, and the hottest
+    chunk's copy count.
+
+    Spark shape: posexplode → boundary flag (md5 bucket, all JVM) →
+    chunk id as a per-doc running sum minus the flag (the boundary
+    token CLOSES its chunk, cut-after semantics) → per-chunk md5 over
+    the pos-ordered token join. TWO real exchanges at any scale: the
+    doc_id window shuffle (which the (doc_id, cid) aggregate reuses —
+    doc_id partitioning already clusters it, no second shuffle), and
+    the 16-byte chunk-hash rollup. The oracle derives the same chunks
+    via generate_subscripts + the same running sum.
+
+    vs dedup_substring_spans: spans find EVERY duplicated 8-gram
+    (complete, quadratic-prone); CDC finds duplicated content at chunk
+    granularity in strictly linear work — the recall/cost trade a
+    100 TB pipeline tunes with the boundary modulus."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    tok = base.select("doc_id", F.posexplode("toks").alias("pos", "t"))
+    flagged = tok.select(
+        "doc_id",
+        "pos",
+        "t",
+        F.when(
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % 8
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("f"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = flagged.select(
+        "doc_id", "pos", "t", (F.sum("f").over(w) - F.col("f")).alias("cid")
+    )
+    chunks = chunked.groupBy("doc_id", "cid").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda x: x["t"],
+                ),
+                " ",
+            )
+        ).alias("ch"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    )
+    bych = chunks.groupBy("ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("n_tok").cast("long").alias("tok_c"),
+    )
+    return bych.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("tok_c").cast("long").alias("n_tokens"),
+        F.expr(
+            "((sum(cnt) - count(1)) * 1000000) div sum(cnt)"
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+        F.max("cnt").cast("long").alias("max_chunk_copies"),
+    )

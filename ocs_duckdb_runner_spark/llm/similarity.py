@@ -2352,3 +2352,110 @@ def embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BQ_TOPK)
         .select("vec_id", "label", "hamming", F.round(cos, 9).alias("cos_sim"))
     )
+
+
+_MAXSIM_Q = ("spark", "join", "window", "query")  # query token set
+_MAXSIM_DIM = 8  # per-token embedding dim
+_MAXSIM_DOCTOK = 16  # doc tokens scored (ColBERT's doc_maxlen)
+
+
+def _maxsim_vec_sql(tok_expr: str) -> str:
+    """Shared Spark-SQL fragment: deterministic per-token embedding —
+    component k of token t is an integer in [-999, 999] derived from
+    md5(t#k). Integer components make every dot product, max, and sum
+    EXACT, so MaxSim hash-matches across engines with no float
+    discipline needed at all."""
+    return f"""transform(sequence(0, {_MAXSIM_DIM - 1}), k ->
+        cast(conv(substring(md5(concat({tok_expr}, '#',
+                                       cast(k as string))), 1, 8),
+                  16, 10) as bigint) % 1999 - 999)"""
+
+
+@query(
+    "sim_maxsim_colbert",
+    oracle=f"""
+    WITH qv AS (
+      SELECT list_transform(
+               ['spark', 'join', 'window', 'query'],
+               t -> list_transform(range(0, {_MAXSIM_DIM}), k ->
+                 CAST(concat('0x', substr(md5(concat(t, '#',
+                                                     CAST(k AS VARCHAR))),
+                                          1, 8)) AS BIGINT)
+                 % 1999 - 999)) AS qv),
+    docs AS (
+      SELECT doc_id,
+             list_transform(
+               (list_filter(string_split(text, ' '),
+                            x -> x <> ''))[1:{_MAXSIM_DOCTOK}],
+               t -> list_transform(range(0, {_MAXSIM_DIM}), k ->
+                 CAST(concat('0x', substr(md5(concat(t, '#',
+                                                     CAST(k AS VARCHAR))),
+                                          1, 8)) AS BIGINT)
+                 % 1999 - 999)) AS dv
+      FROM documents
+      WHERE length(list_filter(string_split(text, ' '), x -> x <> ''))
+            > 0)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(qv, q ->
+                  list_max(list_transform(dv, d ->
+                    list_sum(list_transform(range(1, {_MAXSIM_DIM + 1}),
+                                            i -> q[i] * d[i]))))))
+                AS BIGINT) AS score
+    FROM docs, qv
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "colbert", "late-interaction"),
+)
+def sim_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    instead of one vector per document, every TOKEN gets an embedding,
+    and the query-document score is MaxSim — for each query token, the
+    maximum dot product over the document's token embeddings, summed
+    over query tokens. Late interaction is what single-vector retrieval
+    (sim_cosine_topk) loses: a document matching all four query terms in
+    different sentences scores on each term's own best match.
+
+    Token embeddings here are the deterministic md5-derived integer
+    vectors (_maxsim_vec_sql) — the Spark-side PLUMBING is exactly what
+    a real ColBERT deployment runs (per-token vector arrays in a column,
+    nested fold/max/fold scoring, TakeOrdered top-k); swapping in real
+    learned embeddings changes the column's producer, not the plan. All
+    arithmetic is integer, so both engines agree bit-for-bit.
+
+    Plan at 100 TB: scoring is ENTIRELY map-side — the 4x8 query matrix
+    rides in as a broadcast 1-row frame, each doc's 16x8 token matrix is
+    built and consumed inside the same stage (never shuffled, never
+    stored), and the only exchange is TakeOrderedAndProject's 10-row
+    partials. This is the documented scale shape for late interaction:
+    O(docs x q_tokens x d_tokens x dim) compute that parallelizes
+    embarrassingly, with a PLAID/IVF-style candidate gate (sim_ivf_topk's
+    cell pruning) as the production first stage when the corpus no
+    longer fits a full scan."""
+    d = load_table(spark, sf_dir, "documents")
+    qv = spark.range(1).select(
+        F.expr(
+            "transform(array('spark', 'join', 'window', 'query'), t -> "
+            + _maxsim_vec_sql("t")
+            + ")"
+        ).alias("qv")
+    )
+    docs = d.select(
+        "doc_id",
+        F.expr(
+            f"""transform(
+                  slice(filter(split(text, ' '), x -> x <> ''),
+                        1, {_MAXSIM_DOCTOK}),
+                  t -> {_maxsim_vec_sql('t')})"""
+        ).alias("dv"),
+    ).filter(F.size("dv") > 0)
+    scored = docs.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        F.expr(
+            f"""aggregate(qv, cast(0 as bigint), (acc, q) ->
+                  acc + array_max(transform(dv, d ->
+                    aggregate(zip_with(q, d, (a, b) -> a * b),
+                              cast(0 as bigint), (s, x) -> s + x))))"""
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

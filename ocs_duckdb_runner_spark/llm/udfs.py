@@ -321,3 +321,55 @@ def _ngrams_poly_udtf():
                 yield " ".join(toks[i : i + n]), i
 
     return udtf(NGramsPoly)
+
+
+@query(
+    "udtf_arrow_surface",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             (list_filter(string_split(text, ' '), x -> x <> ''))[1:9]
+                 AS toks
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id,
+           CAST(s.i AS BIGINT) AS pos,
+           concat(toks[s.i], ' ', toks[s.i + 1]) AS gram
+    FROM base, unnest(generate_series(1, length(toks) - 1)) AS s(i)
+    WHERE length(toks) >= 2
+    """,
+    tags=("llm", "udf", "udtf", "arrow", "spark4"),
+)
+def udtf_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED Python UDTF (@udtf(useArrow=True), Spark 4) — the
+    vectorized-transport variant of udtf_surface: same lateral
+    generator surface, but rows cross the Python boundary as Arrow
+    record batches instead of pickled rows, the same 10-100x serializer
+    win pandas UDFs have over row-at-a-time UDFs. The round-11
+    local-cluster finding motivates locking this path separately:
+    Arrow transport has its own worker protocol, and local[*] hides
+    worker-env failures that real executors surface.
+
+    The generator emits token bigrams with 1-based positions for every
+    10th document (first 9 tokens → ≤8 rows/doc, so output is bounded
+    and corpus-linear). Oracle: the same bigrams via list slicing +
+    generate_series. The eval-type is asserted to be the ARROW table
+    UDF in tests/test_round12_ops.py — without that, a silently
+    fallen-back pickle path would pass this oracle vacuously."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, gram: string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t][:9]
+            for i in range(len(toks) - 1):
+                yield i + 1, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("ocs_bigrams_arrow", Bigrams)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d.createOrReplaceTempView("udtf_arrow_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.gram
+        FROM udtf_arrow_docs d, LATERAL ocs_bigrams_arrow(d.text) s
+        """
+    )

@@ -1882,3 +1882,140 @@ def agg_bitmap_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finally-guarded (r11 ADVICE): a failed materialization must not
     # leak the persisted bitmap frame into the shared session
     return checkpoint_release(per.unionByName(merged), b)
+
+
+@query(
+    "agg_cuped_adjustment",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(epoch_us(min(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              + CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) AS BIGINT)) // 2
+                 AS mid
+      FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS variant,
+             CAST(COALESCE(sum(CASE WHEN CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                                             AS BIGINT) < b.mid
+                                    THEN CAST(round(value * 100) AS BIGINT)
+                               END), 0) AS BIGINT) AS pre_c,
+             CAST(COALESCE(sum(CASE WHEN CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                                             AS BIGINT) >= b.mid
+                                    THEN CAST(round(value * 100) AS BIGINT)
+                               END), 0) AS BIGINT) AS post_c
+      FROM events CROSS JOIN b
+      GROUP BY 1, 2),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_c) AS BIGINT) AS sp,
+             CAST(sum(post_c) AS BIGINT) AS sq,
+             CAST(sum(pre_c * pre_c) AS BIGINT) AS spp,
+             CAST(sum(pre_c * post_c) AS BIGINT) AS spq
+      FROM u),
+    v AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pre_c) AS BIGINT) AS spv,
+             CAST(sum(post_c) AS BIGINT) AS sqv
+      FROM u GROUP BY variant)
+    SELECT variant, n_users,
+           round(CAST(sqv AS DOUBLE) / n_users / 100, 9) AS mean_post,
+           round(CAST(sqv AS DOUBLE) / n_users / 100
+                 - ((CAST(spq AS DOUBLE)
+                     - (CAST(sp AS DOUBLE) / n) * CAST(sq AS DOUBLE))
+                    / (CAST(spp AS DOUBLE)
+                       - (CAST(sp AS DOUBLE) / n) * CAST(sp AS DOUBLE)))
+                   * (CAST(spv AS DOUBLE) / n_users / 100
+                      - CAST(sp AS DOUBLE) / n / 100), 9)
+               AS adjusted_mean,
+           round((CAST(spq AS DOUBLE)
+                  - (CAST(sp AS DOUBLE) / n) * CAST(sq AS DOUBLE))
+                 / (CAST(spp AS DOUBLE)
+                    - (CAST(sp AS DOUBLE) / n) * CAST(sp AS DOUBLE)), 9)
+               AS theta
+    FROM v CROSS JOIN g
+    """,
+    tags=("agg", "stats", "ab-test", "cuped"),
+)
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B means (Deng et al. 2013, "Improving the
+    Sensitivity of Online Controlled Experiments") — the industry-standard
+    experiment readout: each user's PRE-period metric (value cents before
+    the time midpoint) is used as a control covariate for their
+    POST-period metric; theta = cov(pre, post)/var(pre) pooled over all
+    users, and each variant's adjusted mean is
+    mean_post − theta·(mean_pre − grand_mean_pre). Variant assignment is
+    the deterministic md5 user-hash (the sample_ab_assignment recipe), so
+    both engines split users identically.
+
+    Exactness: the same integer-moments discipline as agg_ab_welch_t —
+    n, Σpre, Σpost, Σpre², Σpre·post are exact integer cent sums at any
+    partitioning; theta and the adjusted means are a FIXED IEEE op
+    sequence on doubles cast from those identical integers, rounded to
+    9 dp on both engines (same measured-margin class as the regr_*
+    family). The cross-moment products go through doubles, not int64
+    (n·Σpre·post overflows int64 at the 1000x probe's user count;
+    HUGEINT-vs-long would diverge).
+
+    Plan at 100 TB: one scan for the time bounds (min/max only), one
+    scan aggregating per-user pre/post (user-keyed shuffle), then two
+    single-digit-row aggregates of that 1-row-per-user frame, joined as
+    broadcasts. The per-user frame is the only real exchange and it's
+    exactly the experiment-analysis minimum."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    vc = F.round(F.col("value") * 100).cast("long")
+    # integer div on both sides (double /2 could round differently at
+    # µs-epoch magnitudes; both operands positive so floor == trunc)
+    bounds = e.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).select(
+        F.expr("(unix_micros(mn) + unix_micros(mx)) div 2")
+        .cast("long")
+        .alias("mid")
+    )
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    ).alias("variant")
+    u = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", variant)
+        .agg(
+            F.coalesce(F.sum(F.when(us < F.col("mid"), vc)), F.lit(0))
+            .cast("long")
+            .alias("pre_c"),
+            F.coalesce(F.sum(F.when(us >= F.col("mid"), vc)), F.lit(0))
+            .cast("long")
+            .alias("post_c"),
+        )
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre_c").cast("long").alias("sp"),
+        F.sum("post_c").cast("long").alias("sq"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).cast("long").alias("spp"),
+        F.sum(F.col("pre_c") * F.col("post_c")).cast("long").alias("spq"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre_c").cast("long").alias("spv"),
+        F.sum("post_c").cast("long").alias("sqv"),
+    )
+    sp_d, sq_d = F.col("sp").cast("double"), F.col("sq").cast("double")
+    spp_d, spq_d = F.col("spp").cast("double"), F.col("spq").cast("double")
+    mp = sp_d / F.col("n")
+    theta = (spq_d - mp * sq_d) / (spp_d - mp * sp_d)
+    mean_post = F.col("sqv").cast("double") / F.col("n_users") / F.lit(100)
+    mean_pre_v = F.col("spv").cast("double") / F.col("n_users") / F.lit(100)
+    grand_pre = sp_d / F.col("n") / F.lit(100)
+    return v.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_users",
+        F.round(mean_post, 9).alias("mean_post"),
+        F.round(mean_post - theta * (mean_pre_v - grand_pre), 9).alias(
+            "adjusted_mean"
+        ),
+        F.round(theta, 9).alias("theta"),
+    )
