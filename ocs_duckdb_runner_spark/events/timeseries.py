@@ -3014,6 +3014,14 @@ def monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a rounded float sum. Buckets come from the data (both engines
     derive the same set), so absent buckets can't diverge.
 
+    Log-ulp margin (r11 ADVICE, measured): java.lang.Math.log tolerates
+    1 ulp vs libm's ln, which propagates to the pre-round term at most
+    ~1e-9 of a nano-nat unit; the nearest any fixture bucket's term
+    lands to a .5-rounding boundary is 2.47e-3 units (sf0.01; 9.58e-3
+    at sf0.001, 4.21e-3 at sf0.1 — scripts in SCALING.md §Round-12), a
+    ~1e6x safety factor. Same margin class as the regr_* family's
+    documented 6dp headroom.
+
     Plan at 100 TB: ONE pruned scan -> map-side partial count into a
     <=10-row hash aggregate; totals, PSI terms, and the grand total are
     all unpartitioned-window passes over those 10 rows in one task (an
