@@ -1822,3 +1822,98 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.sum("score_fx").cast("long").alias("sum_score_fx"),
     )
+
+
+@query(
+    "text_contrastive_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hh
+      FROM documents),
+    halves AS (
+      SELECT doc_id, hh, hh % 16 AS bucket,
+             array_to_string(toks[1:length(toks) // 2], ' ') AS anchor,
+             array_to_string(toks[length(toks) // 2 + 1:length(toks)], ' ')
+                 AS positive
+      FROM base WHERE length(toks) >= 4),
+    ringed AS (
+      SELECT doc_id, bucket, anchor, positive,
+             coalesce(lead(doc_id) OVER w, first_value(doc_id) OVER w)
+                 AS neg_doc_id,
+             coalesce(lead(positive) OVER w, first_value(positive) OVER w)
+                 AS negative
+      FROM halves
+      WINDOW w AS (PARTITION BY bucket ORDER BY hh, doc_id))
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           anchor, positive, neg_doc_id, negative
+    FROM ringed WHERE neg_doc_id <> doc_id
+    """,
+    tags=("llm", "curation", "contrastive", "training-data"),
+)
+def text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (the E5/GTE embedding-training
+    data shape): each document's first token half is the ANCHOR, its
+    second half the POSITIVE (adjacent spans of one document are
+    near-paraphrase-level related — the standard unsupervised positive),
+    and the NEGATIVE is the positive of the NEXT document on a
+    deterministic hash ring — an in-batch-negative stand-in that both
+    engines derive identically. Ring structure: docs land in 16 md5
+    buckets, are ordered by (hash, doc_id) within each, and each doc
+    takes its successor's positive (the last wraps to the first);
+    single-doc buckets self-pair and are dropped on both sides.
+
+    Plan at 100 TB: the halving is map-side; the ring is ONE window
+    pass partitioned by bucket — with B buckets sized ~|docs|/B the
+    window never serializes (scale B with the corpus; the bucket count
+    only changes which negative you draw, not the validity of the
+    draw). No join: lead() IS the pairing. Contrast with a naive
+    'sample a random other doc' join, which shuffles the corpus
+    twice."""
+    d = load_table(spark, sf_dir, "documents")
+    halves = (
+        d.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hh"),
+        )
+        .filter(F.size("toks") >= 4)
+        .selectExpr(
+            "doc_id",
+            "hh",
+            "hh % 16 AS bucket",
+            "array_join(slice(toks, 1, size(toks) div 2), ' ') AS anchor",
+            """array_join(slice(toks, size(toks) div 2 + 1,
+                                size(toks) - size(toks) div 2), ' ')
+               AS positive""",
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("hh", "doc_id")
+    ringed = halves.select(
+        "doc_id",
+        "bucket",
+        "anchor",
+        "positive",
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("neg_doc_id"),
+        F.coalesce(
+            F.lead("positive").over(w), F.first("positive").over(w)
+        ).alias("negative"),
+    )
+    return ringed.filter(F.col("neg_doc_id") != F.col("doc_id")).select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "anchor",
+        "positive",
+        "neg_doc_id",
+        "negative",
+    )

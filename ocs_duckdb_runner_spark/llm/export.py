@@ -862,3 +862,85 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_tokens"
         ),
     ).orderBy("fold")
+
+
+@query(
+    "export_fim_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    sized AS (
+      SELECT doc_id, toks, length(toks) AS n,
+             1 + CAST(concat('0x', substr(md5(concat(CAST(doc_id AS
+                 VARCHAR), '#p')), 1, 8)) AS BIGINT)
+                 % (length(toks) // 3) AS c1,
+             length(toks) - 1
+               - CAST(concat('0x', substr(md5(concat(CAST(doc_id AS
+                   VARCHAR), '#s')), 1, 8)) AS BIGINT)
+                 % (length(toks) // 3) AS c2
+      FROM base WHERE length(toks) >= 6)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(c1 AS BIGINT) AS c1,
+           CAST(c2 AS BIGINT) AS c2,
+           concat('<PRE> ', array_to_string(toks[1:c1], ' '),
+                  ' <SUF> ', array_to_string(toks[c2+1:n], ' '),
+                  ' <MID> ', array_to_string(toks[c1+1:c2], ' '))
+               AS fim_text
+    FROM sized
+    """,
+    tags=("llm", "export", "fim", "training-data"),
+)
+def export_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    split each document at two deterministic content-keyed cut points
+    into (prefix, middle, suffix) and re-emit in PSM order —
+    `<PRE> prefix <SUF> suffix <MID> middle` — the span-corruption
+    format FIM-capable code/text models are trained on. Cut points are
+    doc_id-hash draws bounded to the first/last token third (so middle
+    is never empty and spans at least a third of the doc), which is the
+    per-doc random split a real pipeline does with an RNG — done here
+    with md5 so both engines derive byte-identical output.
+
+    Plan at 100 TB: pure map-side string surgery — tokenize, two hash
+    draws, three slices, one concat; no exchange at all, so FIM
+    transformation adds zero shuffle to an export pipeline (compose
+    with export_shards for the sharded write). Docs under 6 tokens are
+    dropped on both sides (cut arithmetic needs three nonempty
+    thirds)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+        )
+        .filter(F.size("toks") >= 6)
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n",
+            """1 + cast(conv(substring(md5(concat(cast(doc_id as string),
+               '#p')), 1, 8), 16, 10) as bigint)
+               % (size(toks) div 3) AS c1""",
+            """size(toks) - 1
+               - cast(conv(substring(md5(concat(cast(doc_id as string),
+                 '#s')), 1, 8), 16, 10) as bigint)
+               % (size(toks) div 3) AS c2""",
+            "toks",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(n as bigint) AS n_tokens",
+            "cast(c1 as bigint) AS c1",
+            "cast(c2 as bigint) AS c2",
+            """concat('<PRE> ',
+                      array_join(slice(toks, 1, c1), ' '),
+                      ' <SUF> ',
+                      array_join(slice(toks, c2 + 1, n - c2), ' '),
+                      ' <MID> ',
+                      array_join(slice(toks, c1 + 1, c2 - c1), ' '))
+               AS fim_text""",
+        )
+    )

@@ -2019,3 +2019,86 @@ def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(theta, 9).alias("theta"),
     )
+
+
+@query(
+    "agg_hdr_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+        AND CAST(round(value * 100) AS BIGINT) > 0),
+    bucketed AS (
+      SELECT CAST(floor(log2(vc)) AS BIGINT) AS e,
+             (vc * 4) // (1::BIGINT << CAST(floor(log2(vc)) AS BIGINT))
+               - 4 AS sub,
+             vc
+      FROM v),
+    hist AS (
+      SELECT e, CAST(sub AS BIGINT) AS sub,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(vc) AS BIGINT) AS lo_c,
+             CAST(max(vc) AS BIGINT) AS hi_c
+      FROM bucketed GROUP BY e, sub)
+    SELECT e, sub, n, lo_c, hi_c,
+           CAST(sum(n) OVER (ORDER BY e, sub
+                             ROWS UNBOUNDED PRECEDING) * 1000000
+                // sum(n) OVER () AS BIGINT) AS cum_ppm
+    FROM hist
+    """,
+    tags=("agg", "histogram", "hdr", "monitoring"),
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style log-linear latency histogram (Tene's
+    HdrHistogram, the p99-dashboard standard): each positive cent value
+    lands in (exponent, sub-bucket) where the exponent is
+    floor(log2(v)) and 2 sub-bucket bits split each power-of-two range
+    into 4 linear slots — constant relative precision (~12.5%) across
+    five orders of magnitude with at most 4·log2(max) buckets, the
+    structure that makes percentile merging across hosts exact. Output
+    is the full bucket table plus cumulative ppm, from which any
+    quantile reads off as the first bucket with cum_ppm >= q.
+
+    Exactness: bucket math is integer once past floor(log2(v)) — and
+    log2 of an int is only near an integer boundary at exact powers of
+    two, where IEEE log2 is exact in both engines (the nearest
+    non-power int is >=1e-6 away in log2 space vs ~1e-16 double error,
+    the monitor_psi_drift margin argument). Sub-bucket and cum_ppm use
+    shift/div on longs; positive-only, so Spark's trunc == DuckDB's
+    floor.
+
+    Plan at 100 TB: one scan, map-side combine into <=64 groups, a
+    64-row window. Merging per-host histograms is sum-by-bucket —
+    the same algebra the partial aggregate already uses."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("vc")
+    ).filter(F.col("vc") > 0)
+    bucketed = v.selectExpr(
+        "cast(floor(log2(vc)) as bigint) AS e",
+        """(vc * 4) div shiftleft(cast(1 as bigint),
+                                  cast(floor(log2(vc)) as int)) - 4
+           AS sub""",
+        "vc",
+    )
+    hist = bucketed.groupBy("e", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("vc").cast("long").alias("lo_c"),
+        F.max("vc").cast("long").alias("hi_c"),
+    )
+    wcum = Window.orderBy("e", "sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return hist.select(
+        "e",
+        F.col("sub").cast("long").alias("sub"),
+        "n",
+        "lo_c",
+        "hi_c",
+        F.sum("n").over(wcum).alias("_cum"),
+        F.sum("n").over(wall).alias("_tot"),
+    ).selectExpr(
+        "e", "sub", "n", "lo_c", "hi_c",
+        "cast((_cum * 1000000) div _tot as bigint) AS cum_ppm"
+    )
