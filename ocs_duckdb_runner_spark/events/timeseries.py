@@ -3075,3 +3075,102 @@ def monitor_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_term_nano",
         F.sum("psi_term_nano").over(w).cast("long").alias("psi_total_nano"),
     )
+
+
+@query(
+    "event_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN b.m > a.m THEN 1
+                  WHEN b.m < a.m THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.d < b.d),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY m)
+      WHERE t > 1),
+    s AS (
+      SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+             (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+             (SELECT tie_term FROM ties) AS tie_term
+      FROM pairs)
+    SELECT n, s_stat,
+           round((s_stat - CASE WHEN s_stat > 0 THEN 1
+                                WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                         - tie_term) / 18), 9) AS z
+    FROM s
+    """,
+    tags=("events", "timeseries", "trend", "nonparametric"),
+)
+def event_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the daily revenue series — the
+    nonparametric "is this metric drifting" monitor (no linearity or
+    normality assumption, robust to outliers; event_trend_regression is
+    the parametric sibling). S sums the signs of all C(n,2) pairwise
+    day comparisons of EXACT integer cent totals, the tie-corrected
+    variance and continuity-corrected z follow the standard formulas on
+    doubles cast from those integers (9 dp, the welch_t margin class).
+
+    The day-pair join is quadratic IN DAYS, which is the point: days
+    are bounded (30 here, ~36.5k for a century of daily data), so after
+    the one real pass — the daily integer rollup, map-side combined —
+    the pair stage is a broadcast self-join of a tiny frame. The
+    pattern to AVOID at 100 TB is pairing raw events; pairing bounded
+    period aggregates is how seasonal/trend stats stay one-scan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("m")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        F.when(F.col("b.m") > F.col("a.m"), 1)
+        .when(F.col("b.m") < F.col("a.m"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    ties = (
+        daily.groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n_df = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = (
+        pairs.agg(F.sum("sgn").cast("long").alias("s_stat"))
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(ties))
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    var = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18
+    return s.select(
+        "n",
+        "s_stat",
+        F.round((F.col("s_stat") - cc) / F.sqrt(var), 9).alias("z"),
+    )

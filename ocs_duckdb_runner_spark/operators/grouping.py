@@ -2102,3 +2102,117 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", "sub", "n", "lo_c", "hi_c",
         "cast((_cum * 1000000) div _tot as bigint) AS cum_ppm"
     )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+    WITH x AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    byval AS (
+      SELECT vc,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(g) AS BIGINT) AS c1
+      FROM x GROUP BY vc),
+    ranked AS (
+      SELECT vc, c, c1,
+             CAST(coalesce(sum(c) OVER (ORDER BY vc
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) + 1
+                  AS BIGINT) AS r
+      FROM byval),
+    sums AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c - c1) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * r + c - 1)) AS BIGINT) AS two_r1,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+      FROM ranked)
+    SELECT n1, n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           round((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                        * ((n1 + n2 + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1)))),
+                 9) AS z
+    FROM sums
+    """,
+    tags=("agg", "stats", "nonparametric", "ab-test"),
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (Wilcoxon rank-sum) between two cohorts — the
+    NONPARAMETRIC sibling of agg_ab_welch_t, the test you reach for when
+    metric distributions are heavy-tailed (revenue always is) and the
+    t-test's normality lean is suspect. The whole computation stays in
+    integers until the final z: group values by DISTINCT cent value
+    (ties are first-class), the starting rank r of each value is a
+    running count, and the doubled rank-sum of group 1 accumulates
+    c1·(2r + c − 1) — exactly twice the average-rank convention — so the
+    DOUBLED U (u1_x2) is integer-exact at any partitioning (U itself is
+    half-integral under odd tie mass, so the halving stays out of the
+    hashed output). The z-score applies the
+    standard tie-corrected variance on doubles cast from those
+    identical integers, rounded to 9 dp (the agg_ab_welch_t margin
+    class).
+
+    Plan at 100 TB: one filtered scan into a per-distinct-value
+    aggregate (map-side combine eats the duplicate mass), one tiny
+    ordered window over DISTINCT cent values (bounded by the value
+    domain, not the row count), one 1-row fold. Contrast a naive
+    per-row rank() — which shuffles every row into one ordering — with
+    this per-value formulation: ranks of tied blocks are arithmetic,
+    not positional."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    x = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    byval = x.groupBy("vc").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("g").cast("long").alias("c1"),
+    )
+    wrank = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = byval.select(
+        "vc",
+        "c",
+        "c1",
+        (F.coalesce(F.sum("c").over(wrank), F.lit(0)) + 1)
+        .cast("long")
+        .alias("r"),
+    )
+    sums = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("r") + F.col("c") - 1))
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u_minus_mu = (
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+        - n1d * F.col("n2") / 2
+    )
+    var = (n1d * F.col("n2") / 12) * (
+        (F.col("n1") + F.col("n2") + 1)
+        - F.col("tie3").cast("double")
+        / ((F.col("n1") + F.col("n2")) * (n1d + F.col("n2") - 1))
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.expr("two_r1 - n1 * (n1 + 1)").cast("long").alias("u1_x2"),
+        F.round(u_minus_mu / F.sqrt(var), 9).alias("z"),
+    )

@@ -19,7 +19,7 @@ a lexicographic compare against a hex literal selects an exact fraction
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocs_duckdb_runner_spark.registry import load_table, query
@@ -367,4 +367,123 @@ def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
         .orderBy("arm")
+    )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH x AS (
+      SELECT event_type AS stratum, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(vc) AS BIGINT) AS s,
+             CAST(sum(vc * vc) AS BIGINT) AS ss
+      FROM x GROUP BY stratum),
+    wgt AS (
+      SELECT stratum, n_h,
+             CAST(round(n_h * sqrt(CAST(n_h * ss - s * s AS DOUBLE)
+                                   / n_h / (n_h - 1)) * 1000000) AS BIGINT)
+                 AS w_fx
+      FROM m),
+    alloc AS (
+      SELECT stratum, n_h, w_fx,
+             CAST(1000 * w_fx // (SELECT sum(w_fx) FROM wgt) AS BIGINT)
+                 AS n_alloc
+      FROM wgt),
+    ranked AS (
+      SELECT x.stratum, x.vc,
+             row_number() OVER (PARTITION BY x.stratum
+                                ORDER BY md5(CAST(x.event_id AS VARCHAR)),
+                                         x.event_id) AS rn
+      FROM x),
+    taken AS (
+      SELECT r.stratum,
+             CAST(count(*) AS BIGINT) AS n_taken,
+             CAST(sum(r.vc) AS BIGINT) AS sampled_sum_c
+      FROM ranked r JOIN alloc a USING (stratum)
+      WHERE r.rn <= a.n_alloc
+      GROUP BY r.stratum)
+    SELECT a.stratum, a.n_h, a.w_fx, a.n_alloc, t.n_taken, t.sampled_sum_c
+    FROM alloc a JOIN taken t USING (stratum)
+    """,
+    tags=("sampling", "stratified", "neyman"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation (the survey-sampling
+    optimum, and the right way to subsample a corpus for eval): a fixed
+    budget of 1000 rows is split across strata proportional to
+    N_h·σ_h — high-variance strata get more of the budget, minimizing
+    the estimator's variance at fixed cost — then each stratum's
+    allocation is DRAWN deterministically (md5 order on event_id, the
+    sample_* family's convention) so both engines take the same rows.
+
+    Exactness discipline: σ_h comes from integer moments; the weight
+    N_h·σ_h is fixed-pointed to an integer (round ×1e6) BEFORE the
+    cross-strata sum, because a sum of raw doubles would be
+    order-dependent; the allocation is integer division of integers
+    (positive → trunc == floor).
+
+    Plan at 100 TB: one moments pass (map-side combine into |strata|
+    rows), one broadcast of the |strata|-row allocation, one per-stratum
+    top-n_h window. The window partitions by stratum — with few giant
+    strata the production variant switches to the hash-threshold draw
+    (sample_hash_bernoulli's trick, n_h/N_h as a bound then exact-trim),
+    documented here, exercised via row_number because the oracle needs
+    the exact draw."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = e.select(
+        F.col("event_type").alias("stratum"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    m = x.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("vc").cast("long").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("ss"),
+    )
+    wgt = m.select(
+        "stratum",
+        "n_h",
+        F.round(
+            F.col("n_h")
+            * F.sqrt(
+                (F.col("n_h") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / F.col("n_h")
+                / (F.col("n_h") - 1)
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("w_fx"),
+    )
+    tot = wgt.agg(F.sum("w_fx").cast("long").alias("tw"))
+    alloc = wgt.crossJoin(F.broadcast(tot)).selectExpr(
+        "stratum",
+        "n_h",
+        "w_fx",
+        "cast((1000 * w_fx) div tw as bigint) AS n_alloc",
+    )
+    wrn = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = x.select(
+        "stratum", "vc", F.row_number().over(wrn).alias("rn")
+    )
+    taken = (
+        ranked.join(F.broadcast(alloc.select("stratum", "n_alloc")), "stratum")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_taken"),
+            F.sum("vc").cast("long").alias("sampled_sum_c"),
+        )
+    )
+    return alloc.join(taken, "stratum").select(
+        "stratum", "n_h", "w_fx", "n_alloc", "n_taken", "sampled_sum_c"
     )
