@@ -385,14 +385,15 @@ def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x GROUP BY stratum),
     wgt AS (
       SELECT stratum, n_h,
-             CAST(round(n_h * sqrt(CAST(n_h * ss - s * s AS DOUBLE)
-                                   / n_h / (n_h - 1)) * 1000000) AS BIGINT)
+             CAST(round(n_h * sqrt((CAST(ss AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * s / n_h)
+                                   / (n_h - 1)) * 1000000) AS BIGINT)
                  AS w_fx
       FROM m),
     alloc AS (
       SELECT stratum, n_h, w_fx,
-             CAST(1000 * w_fx // (SELECT sum(w_fx) FROM wgt) AS BIGINT)
-                 AS n_alloc
+             CAST(round(1000.0 * w_fx / (SELECT sum(w_fx) FROM wgt))
+                  AS BIGINT) AS n_alloc
       FROM wgt),
     ranked AS (
       SELECT x.stratum, x.vc,
@@ -421,11 +422,15 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocation is DRAWN deterministically (md5 order on event_id, the
     sample_* family's convention) so both engines take the same rows.
 
-    Exactness discipline: σ_h comes from integer moments; the weight
+    Exactness discipline: σ_h comes from integer moments through the
+    DOUBLE-form variance (ss − s²/n)/(n−1) — the integer cross-term
+    n·ss − s² overflows int64 at the 100x strike where DuckDB widens to
+    HUGEINT and Spark ANSI-errors (caught live by the probe); the weight
     N_h·σ_h is fixed-pointed to an integer (round ×1e6) BEFORE the
     cross-strata sum, because a sum of raw doubles would be
-    order-dependent; the allocation is integer division of integers
-    (positive → trunc == floor).
+    order-dependent; the allocation rounds ONE double
+    product/quotient mirrored on both engines (an integer 1000·w_fx
+    overflows int64 at the 100x strike — also probe-caught).
 
     Plan at 100 TB: one moments pass (map-side combine into |strata|
     rows), one broadcast of the |strata|-row allocation, one per-stratum
@@ -448,13 +453,18 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wgt = m.select(
         "stratum",
         "n_h",
+        # variance in DOUBLE form (ss - s^2/n)/(n-1): the integer form
+        # n*ss - s*s overflows int64 at the 100x strike (~1e20) where
+        # DuckDB silently widens to HUGEINT and Spark ANSI-errors —
+        # found live by the 100x probe; both engines now run the same
+        # IEEE sequence on sums that are exact in double range
         F.round(
             F.col("n_h")
             * F.sqrt(
-                (F.col("n_h") * F.col("ss") - F.col("s") * F.col("s")).cast(
-                    "double"
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n_h")
                 )
-                / F.col("n_h")
                 / (F.col("n_h") - 1)
             )
             * 1000000
@@ -467,7 +477,11 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
         "n_h",
         "w_fx",
-        "cast((1000 * w_fx) div tw as bigint) AS n_alloc",
+        # double round, not integer div: 1000*w_fx overflows int64 at
+        # the 100x strike (10M events -> w_fx ~3e16); the double product
+        # and division are the same IEEE values in both engines because
+        # the inputs are identical integers
+        "cast(round(1000.0 * w_fx / tw) as bigint) AS n_alloc",
     )
     wrn = Window.partitionBy("stratum").orderBy(
         F.md5(F.col("event_id").cast("string")), "event_id"
