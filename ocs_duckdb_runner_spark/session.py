@@ -124,6 +124,24 @@ def build_spark(
         # (sources/python_datasource.py implements it). Default-off
         # upstream only for back-compat with pre-4.1 readers.
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # r12 OPTIMIZATION (guide §2.4/§7.2, measured): InferFiltersFromGenerate
+        # turns every explode(arr) into Filter(size(arr)>0 AND isnotnull(arr)).
+        # When arr is an ALIASED projection of an expensive map-side expression
+        # (the shingle/gram HOF kernels: transform+xxhash64 over token arrays),
+        # filter pushdown substitutes the WHOLE expression into the filter and
+        # pushes it below the spread() exchange — the kernel then runs twice
+        # per row, the below-exchange copy on the narrow (often 1-split) scan
+        # with split(text) re-inlined per element_at. Measured at sf0.1:
+        # corpus_ngram_novelty 5.4s -> 1.3s, corpus_redundancy_curve 5.4s ->
+        # 1.5s with the rule excluded; every other affected family neutral or
+        # faster (OPTIMIZATION_r12.md). Results are identical by construction:
+        # the inferred filter only removes rows whose generator output is
+        # empty, which explode drops anyway. Scale-independent: at 100 TB the
+        # duplicated kernel is proportionally the same waste.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Long-lived sessions serving many queries accumulate broadcast and
         # shuffle state that ContextCleaner only releases after a driver
         # GC; with the JVM default (30 min periodic GC) a multi-query

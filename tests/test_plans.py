@@ -994,3 +994,21 @@ def test_psi_drift_single_scan(spark):
     assert plan.count("Scan parquet  (") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_generate_inferred_filter_duplicates_shingle_kernel(spark):
+    """r12 optimization contract: InferFiltersFromGenerate is excluded in
+    build_spark sessions (session.py). With the rule active,
+    explode(<aliased shingle array>) acquires an inferred
+    size(arr)>0 filter whose pushdown substitutes the WHOLE
+    transform+xxhash64 kernel and pushes it below the spread()
+    exchange — the kernel then runs twice per row, once on the narrow
+    pre-exchange side (measured: corpus_ngram_novelty 5.4s -> 1.3s at
+    sf0.1 with the rule off, OPTIMIZATION_r12.md). Contract: no Filter
+    node in the plan may carry the shingle kernel."""
+    for name in ("corpus_ngram_novelty", "corpus_redundancy_curve"):
+        plan = plan_of(spark, name)
+        for section in plan.split("\n\n"):
+            first = section.split("\n", 1)[0]
+            if ") Filter" in first:
+                assert "xxhash64" not in section, f"{name}: {first}"
