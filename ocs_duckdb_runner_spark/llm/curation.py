@@ -1624,8 +1624,18 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the ORACLE is unchanged and stays exact. A/B at the 1000x strike
     in SCALING.md."""
     d = load_table(spark, sf_dir, "documents")
-    # per-doc sorted bucket array (empty-token filter inside the array)
-    bucketed = d.select(
+    # Empty-doc guard on the BASE column, not the kernel alias (r12
+    # optimization): `.filter(size(s) > 0)` references the aliased
+    # bucket-array kernel, and filter pushdown substitutes the WHOLE
+    # tokenize+md5+sort kernel into a Filter below the projection — the
+    # plan carried THREE full kernel copies inside Filter conditions on
+    # top of the two intrinsic train/score passes. `exists(split(..))`
+    # is the same predicate (s has exactly one element per non-empty
+    # token), costs one short-circuiting scan of the token array, and
+    # leaves the kernel to the projections only.
+    bucketed = d.filter(
+        F.expr("exists(split(text, ' '), x -> x <> '')")
+    ).select(
         "doc_id",
         "lang",
         F.expr(
@@ -1634,7 +1644,7 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                   t -> cast(conv(substring(md5(t), 1, 8), 16, 10)
                             as bigint) % {_DSIR_DIM}))"""
         ).alias("s"),
-    ).filter(F.size("s") > 0)
+    )
     # run starts -> (bucket, run length) pairs; one exploded row per
     # distinct bucket per doc instead of one per token
     tok = (

@@ -2447,7 +2447,13 @@ def sim_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ")"
         ).alias("qv")
     )
-    docs = d.select(
+    # empty-doc guard on the BASE column, not the dv alias: a filter on
+    # size(dv) re-inlines the whole per-token embedding kernel into a
+    # pushed Filter (the quality_dsir_weights r12 finding) — exists()
+    # is the same predicate at the cost of one short-circuit token scan
+    docs = d.filter(
+        F.expr("exists(split(text, ' '), x -> x <> '')")
+    ).select(
         "doc_id",
         F.expr(
             f"""transform(
@@ -2455,7 +2461,7 @@ def sim_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1, {_MAXSIM_DOCTOK}),
                   t -> {_maxsim_vec_sql('t')})"""
         ).alias("dv"),
-    ).filter(F.size("dv") > 0)
+    )
     scored = docs.crossJoin(F.broadcast(qv)).select(
         "doc_id",
         F.expr(

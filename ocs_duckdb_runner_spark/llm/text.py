@@ -14,11 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ocs_duckdb_runner_spark.registry import (
     checkpoint_release,
     load_table,
     query,
+    spread,
 )
 
 # Deterministic keyword sets for the n-gram/stopword language-ID heuristic.
@@ -1625,31 +1627,79 @@ def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic double expression — the nb_lang_confusion exactness
     policy applied to a quality score.
 
-    Plan: trigram explosion is a map-side Generate over substrings;
-    counts are ONE (doc, gram) hash aggregate with map-side combine
-    (the shuffle carries hashed gram keys, never text); the entropy
-    fold is a doc-keyed re-aggregate on the same partitioning."""
+    Plan (r12 optimization, guide §4.2): entropy is a PER-DOCUMENT
+    statistic, so the whole reduction runs map-side in one Arrow pass —
+    a `mapInArrow` batch function counts each doc's trigrams in a local
+    Counter and emits (doc_id, n, n_distinct, s_u), ZERO corpus-sized
+    shuffle. The previous shape (Generate of ~L trigram rows per doc →
+    (doc, gram) hash aggregate → doc re-aggregate) shuffled ~3x the
+    corpus bytes twice and spent ~1.3 µs/element in the interpreted
+    substr lambda; measured at sf0.1: 3.7 s → 0.75 s warm (5x), output
+    bit-identical. At 100 TB the win is the removed shuffles — text
+    crosses the JVM→Python boundary once (CPU-local, guide §4.1) instead
+    of the network twice.
+
+    Exactness: s_u folds each ln(c) to the integer micro-nat grid via a
+    count-indexed table computed ONCE per task with math.log +
+    floor(x+0.5) — half-up equals round-half-away for the non-negative
+    ln(c), i.e. the same grid F.round(F.log(c)*1e6) produced before;
+    Python/JVM/DuckDB all grid identically for integer c (locked for
+    c ≤ 200k by tests/test_round12_opt.py::test_entropy_log_grid_parity,
+    the nb_lang_confusion small-integer-argument policy). The final
+    entropy expression stays in Spark SQL, unchanged."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3
     )
-    tri = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 2),
-                lambda i: F.col("text").substr(i, F.lit(3)),
+    src = spread(d.select("doc_id", "text"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_trigrams", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("s_u", T.LongType()),
+        ]
+    )
+
+    def _per_doc_trigram_stats(batches):
+        import math
+        from collections import Counter
+
+        import pyarrow as pa
+
+        # round(ln(c)*1e6) per count c, built lazily once per task —
+        # ln(c) >= 0 so floor(x+0.5) IS the half-up grid of F.round
+        logfx = [0, 0]
+
+        def s_of(cnt):
+            s = 0
+            for c in cnt.values():
+                while c >= len(logfx):
+                    logfx.append(
+                        math.floor(math.log(len(logfx)) * 1e6 + 0.5)
+                    )
+                s += c * logfx[c]
+            return s
+
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            out_n, out_d, out_s = [], [], []
+            for t in texts:
+                cnt = Counter(t[i : i + 3] for i in range(len(t) - 2))
+                out_n.append(sum(cnt.values()))
+                out_d.append(len(cnt))
+                out_s.append(s_of(cnt))
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_d, pa.int64()),
+                    pa.array(out_s, pa.int64()),
+                ],
+                names=["doc_id", "n_trigrams", "n_distinct", "s_u"],
             )
-        ).alias("g"),
-    )
-    cnt = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    s_u = F.sum(
-        F.col("c") * F.round(F.log("c") * 1000000).cast("long")
-    ).cast("long")
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_trigrams"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        s_u.alias("s_u"),
-    )
+
+    agg = src.mapInArrow(_per_doc_trigram_stats, schema)
     return agg.select(
         "doc_id",
         "n_trigrams",
