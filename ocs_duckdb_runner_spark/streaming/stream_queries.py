@@ -134,7 +134,7 @@ def _stream_scratch(suffix: str = "", parent: str = "/tmp/ocs_stream_sink") -> s
     return f"{parent}/{uuid.uuid4().hex}{suffix}"
 
 
-_STREAM_TARGET_BYTES = 32 << 20  # one stateful partition per ~32 MB of source
+_STREAM_TARGET_BYTES = 4 << 20  # one stateful partition per ~4 MB of source
 
 
 def _stream_shuffle_width(spark: SparkSession, sf_dir: str) -> int:
@@ -145,11 +145,17 @@ def _stream_shuffle_width(spark: SparkSession, sf_dir: str) -> int:
     every stateful operator — measured at sf0.1: stream_tumbling_wm
     2.6s -> 1.1s and stream_stream_join 8.6s -> 2.5s going 32 -> small,
     almost all of it per-partition state-store commit + task overhead.
-    One partition per ~32 MB of source parquet, clamped to [1, session
-    parallelism]: fixtures get 1-2, a 100 TB source saturates the
-    cluster-width clamp. SPARK_GRAFT_STREAM_SHUFFLE overrides for
-    deployments that know their key cardinality. Partition count never
-    changes WHAT a drained stream emits — only where keys hash.
+    One partition per ~4 MB of source parquet, clamped to [1, session
+    parallelism]: the sf0.1 fixture (2 MB) gets 1, the 10x probe (20 MB)
+    gets 5, a 100 TB source saturates the cluster-width clamp. The 4 MB
+    target was swept at the 10x probe: key-heavy state (dropDuplicates
+    over 1M event ids, session windows) runs 12-14 s at width 1 but
+    4.3-6 s at widths 4-10, while key-light windows prefer narrow (2.0 s
+    at 32 vs 1.1-1.5 s at 1-4) — 4 MB/partition sits at the joint
+    optimum and keeps growing the width with the data.
+    SPARK_GRAFT_STREAM_SHUFFLE overrides for deployments that know
+    their key cardinality. Partition count never changes WHAT a drained
+    stream emits — only where keys hash.
 
     Scope: JVM-stateful operators only (window aggregates, dedup,
     stream-stream joins, the state reader). The PYTHON-stateful family
@@ -884,28 +890,29 @@ def stream_tws_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
     spark.conf.set(_CHANGELOG_CONF, "true")
     try:
-        # input-derived stateful width (one RocksDB instance per state
-        # partition — at the default cores-width that is 32 RocksDB
-        # open/commit/changelog cycles PER BATCH for kilobytes of state);
-        # both phases run under the SAME width, so the restart replays
-        # into the checkpoint's own partitioning.
-        with _scoped_stream_shuffle(spark, sf_dir):
-            for phase_dir in (lo_dir, hi_dir):
-                _link_parts(phase_dir, src)
-                events = (
-                    spark.readStream.schema(schema)
-                    .parquet(src)
-                    .withWatermark("ts", "10 minutes")
-                )
-                q = (
-                    _session_gap_stateful(events)
-                    .writeStream.outputMode("update")
-                    .foreachBatch(_land_updates)
-                    .option("checkpointLocation", ck)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
+        # NO width scoping here: this is the PYTHON-stateful family
+        # (_session_gap_stateful / applyInPandasWithState), whose per-row
+        # cost is the Python worker — narrowing to the state-store-
+        # optimal width serializes the Python work and LOSES (measured:
+        # 13.7s -> 140s at the 10x probe with width 1). RocksDB instance
+        # count follows the session compute width, like the other
+        # Python-stateful drains.
+        for phase_dir in (lo_dir, hi_dir):
+            _link_parts(phase_dir, src)
+            events = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .withWatermark("ts", "10 minutes")
+            )
+            q = (
+                _session_gap_stateful(events)
+                .writeStream.outputMode("update")
+                .foreachBatch(_land_updates)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prior_provider is None:
             spark.conf.unset(_PROVIDER_CONF)
