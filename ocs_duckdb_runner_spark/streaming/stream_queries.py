@@ -385,6 +385,12 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = StructType(
         [StructField("n", LongType()), StructField("cents", LongType())]
     )
+    # r12 optimization (guide §4.1): the stateful body reads only
+    # `value` — project before the state exchange, or every event ships
+    # all six columns (including the props JSON payload) through the
+    # shuffle AND the Arrow boundary. Catalyst cannot prune through the
+    # opaque Python function.
+    events = events.select("user_id", "value")
     totals = events.groupBy("user_id").applyInPandasWithState(
         _user_totals_state,
         outputStructType=out_schema,
@@ -513,7 +519,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py)."""
     events = read_events_stream(spark, sf_dir)
     out_schema = _totals_out_schema()
-    grouped = events.groupBy("user_id")
+    # guide §4.1: both stateful bodies read only `value` — project
+    # before the state exchange (see stream_custom_state)
+    grouped = events.select("user_id", "value").groupBy("user_id")
     if transform_with_state_available():
         totals = grouped.transformWithStateInPandas(
             _make_user_totals_processor(),
