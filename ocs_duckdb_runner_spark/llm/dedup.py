@@ -2106,6 +2106,67 @@ def corpus_redundancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N = 16  # tokens per window — Lee et al. use 50; fixture docs avg ~54
 
 
+def _substring_window_counts(src: DataFrame) -> DataFrame:
+    """(doc_id, text) → collapsed (doc_id, g, c) window-fingerprint
+    counts in one Arrow map pass (r13; see dedup_substring_spans).
+
+    Fingerprint parity with the JVM/DuckDB form
+    conv(substr(md5(concat_ws(' ', slice(split(text,' '), i, N))),1,15),16,10):
+    split on the single-space LITERAL keeps empty tokens, so joining any
+    contiguous token run with ' ' reproduces the exact original byte
+    span — the md5 input for window i is text_utf8[start(i) : end(i+N-1)]
+    taken in place. int(hexdigest[:15], 16) < 2^60 fits int64 and equals
+    conv's base-16 parse of the same 15 hex chars. Locked per-string by
+    tests/test_round13_opt.py::test_substring_window_fingerprint_parity."""
+    import pyarrow as pa
+
+    def _win_counts(batches):
+        import hashlib
+        from collections import Counter
+
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            out_id, out_g, out_c = [], [], []
+            for doc_id, t in zip(ids, texts):
+                if t is None:
+                    continue
+                tb = t.encode("utf-8")
+                parts = tb.split(b" ")
+                n = len(parts)
+                if n < _SPAN_N:
+                    continue
+                starts = []
+                pos = 0
+                for p in parts:
+                    starts.append(pos)
+                    pos += len(p) + 1
+                end_of = lambda j: starts[j + 1] - 1 if j + 1 < n else len(tb)  # noqa: E731
+                cnt = Counter(
+                    int(
+                        hashlib.md5(
+                            tb[starts[i] : end_of(i + _SPAN_N - 1)]
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(n - _SPAN_N + 1)
+                )
+                for g, c in cnt.items():
+                    out_id.append(doc_id)
+                    out_g.append(g)
+                    out_c.append(c)
+            yield pa.record_batch(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_g, pa.int64()),
+                    pa.array(out_c, pa.int64()),
+                ],
+                names=["doc_id", "g", "c"],
+            )
+
+    return src.mapInArrow(_win_counts, "doc_id long, g long, c long")
+
+
 @query(
     "dedup_substring_spans",
     oracle=f"""
@@ -2153,53 +2214,48 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the standard distributed reformulation (windows shuffle as
     60-bit integers, never text). Cross-engine exactness: the
     fingerprint is the SAME md5-prefix hash on both sides, so even a
-    collision (~2^-60 per pair) produces identical counts. The
-    md5-of-the-concatenated-gram IS the measured-fast shape: a
-    hash-each-token-once + position-weighted-integer-sum variant that
-    avoids re-hashing each byte {_SPAN_N}x lost the interleaved A/B
-    5x (15.3 s vs 78.6 s warm window-build at the 100x probe) because
-    nested higher-order lambdas (transform->aggregate->zip_with) run
-    interpreted per element while md5-of-concat stays one codegen'd
-    call into the JVM digest.
+    collision (~2^-60 per pair) produces identical counts.
 
-    Plan at 100 TB: window fingerprints are computed MAP-SIDE inside one
-    whole-stage-codegen'd transform over the token array (no posexplode
-    then window — per-token rows never materialize); the stream
-    collapses FIRST to distinct (doc_id, g) with within-doc repeat
-    counts (map-side combine eats boilerplate-heavy docs), so the
-    gram-frequency aggregate and the annotate join both run on the
-    collapsed pairs — one full-stream shuffle + two collapsed ones, the
-    intrinsic cost of cross-document matching. The left join back to
-    documents keeps zero-window short docs in the report."""
+    r13 optimization (guide §4.2, the entropy pattern): the window
+    fingerprints are computed in ONE mapInArrow pass that emits the
+    collapsed (doc_id, g, c) pairs directly — each document is a single
+    row, so the within-doc window Counter needs no shuffle at all. The
+    Python pass exploits that ' '.join(toks[i:i+{_SPAN_N}]) over
+    single-space-split tokens IS a contiguous byte slice of the original
+    UTF-8 text: it md5s window byte-ranges in place (no per-window
+    string building; hashlib is C-speed). This replaces the r11 JVM
+    kernel (transform → md5(concat_ws(slice)) per window → explode →
+    (doc_id, g) aggregate), whose HOF machinery ran interpreted per
+    element and whose explode shuffled the FULL window stream; measured
+    at sf0.1: 2.9 s → 0.7 s, 10x probe 21 s → 3.4 s, hash-identical.
+    (The r11 A/B against a hash-each-token-once JVM variant predates
+    this — both its arms are JVM HOF shapes this pass replaces.)
+
+    Gram frequency nd is a COUNT window over partitionBy(g) instead of
+    the groupBy(g)+self-join of r11 — same value (wd is distinct per
+    (doc_id, g)), but one exchange of the collapsed pairs and no
+    double-execution of the fingerprint pass (the old join's two
+    branches only shared work through exchange reuse; the Arrow map
+    output is not an exchange, so a self-join here would run the Python
+    pass twice).
+
+    Plan at 100 TB: text crosses the JVM→Python boundary once
+    (CPU-local), fingerprints collapse to distinct (doc_id, g) map-side,
+    and the only corpus-sized shuffles carry 8-byte collapsed pairs:
+    Exchange(g) for the frequency window + Exchange(doc_id) for the
+    per-doc rollup — the intrinsic cost of cross-document matching. The
+    left join back to documents keeps zero-window short docs in the
+    report."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= _SPAN_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_SPAN_N - 1)),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_N))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    win = d.select("doc_id", F.explode(grams).alias("g"))
-    wd = win.groupBy("doc_id", "g").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    wd = _substring_window_counts(spread(d.select("doc_id", "text")))
+    wd_nd = wd.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
-    df_counts = wd.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
-    per = (
-        wd.join(df_counts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
-            .cast("long")
-            .alias("n_dup_windows"),
-        )
+    per = wd_nd.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
     )
     return d.select("doc_id").join(per, "doc_id", "left").select(
         "doc_id",

@@ -28,6 +28,7 @@ from ocs_duckdb_runner_spark.registry import (
     checkpoint_release,
     load_table,
     query,
+    release_local_checkpoint,
 )
 
 DIM = 64
@@ -1638,6 +1639,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lam * F.col("rel")).alias("mmr_score"),
         )
     )
+    prev_ckpt = None
     for k in range(2, _MMR_K + 1):
         # r12 optimization: truncate the plan each greedy step. `picked`
         # is referenced twice per step (maxsim probe + anti-join), so the
@@ -1645,7 +1647,18 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~2x per level — measured 3.4s -> 2.0s at sf0.1 with the per-step
         # eager localCheckpoint, output bit-identical (constant 5-row
         # frame, so the checkpoint cost is a no-op at any corpus scale).
+        # Storage is released each step like _propagate_min_label: once
+        # this step's checkpoint materializes, every reference to the
+        # previous one flows through it, so its pinned blocks are dead —
+        # explicit release instead of waiting on driver GC (ADVICE r12).
+        # Trade-off, same as dedup.py's loop: localCheckpoint is NOT
+        # replayable, so an executor loss mid-loop fails the query and
+        # it restarts; a cluster deployment wanting mid-loop recovery
+        # would swap in reliable checkpoint() against the cluster FS.
         picked = picked.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = picked
         sel = picked.select("vec_id").toDF("sid")
         maxsim = (
             pair.join(F.broadcast(sel), pair.bi == F.col("sid"))

@@ -1643,9 +1643,15 @@ def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-indexed table computed ONCE per task with math.log +
     floor(x+0.5) — half-up equals round-half-away for the non-negative
     ln(c), i.e. the same grid F.round(F.log(c)*1e6) produced before;
-    Python/JVM/DuckDB all grid identically for integer c (locked for
-    c ≤ 200k by tests/test_round12_opt.py::test_entropy_log_grid_parity,
-    the nb_lang_confusion small-integer-argument policy). The final
+    Python/JVM/DuckDB all grid identically for integer c.
+
+    CONTRACT (ADVICE r12): the cross-libm grid parity is VERIFIED for
+    c ≤ 2,000,000 (tests/test_round12_opt.py::test_entropy_log_grid_parity
+    sweeps the full range against the JVM grid). A larger count means one
+    document repeating a single trigram >2M times (a 6 MB+ degenerate
+    doc); on a platform with a different libm such a count could in
+    principle land one micro-nat off at a rounding tie. Extend the test's
+    sweep if the corpus contract ever admits such documents. The final
     entropy expression stays in Spark SQL, unchanged."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3

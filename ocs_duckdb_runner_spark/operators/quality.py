@@ -248,9 +248,16 @@ def table_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"nn_{name}")
         )
+        # coalesce to 0: hll_sketch_agg returns NULL (not an empty
+        # sketch) when every input is null, where approx_count_distinct
+        # returned 0 — preserve the 0-for-empty contract (ADVICE r12;
+        # unreachable on the orders fixture, a semantics guard for other
+        # inputs)
         aggs.append(
-            F.hll_sketch_estimate(F.hll_sketch_agg(v, F.lit(14)))
-            .alias(f"nd_{name}")
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_sketch_agg(v, F.lit(14))),
+                F.lit(0).cast("long"),
+            ).alias(f"nd_{name}")
         )
         aggs.append(F.min(v).alias(f"mn_{name}"))
         aggs.append(F.max(v).alias(f"mx_{name}"))

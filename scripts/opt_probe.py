@@ -1,13 +1,14 @@
-"""Round-12 optimization probe: idle per-query timing + plan capture.
+"""Optimization probe: idle per-query timing + plan capture.
 
 For each named query: warm at sf0.001 (codegen), then time N reps at the
 probe sf_dir via the noop sink (guide §1.4), System.gc() outside the timed
 region (bench.py methodology), and optionally write .explain("formatted")
-to plans/r12/<query>_<label>.txt.
+to plans/<round>/<query>_<label>.txt.
 
 Usage:
     python scripts/opt_probe.py [--sf DIR] [--reps N] [--plans LABEL]
-                                [--conf k=v ...] query [query ...]
+                                [--plandir rNN] [--conf k=v ...]
+                                query [query ...]
     python scripts/opt_probe.py --json OUT.json ... query ...
 
 Prints one JSON line: {"sf": ..., "reps": N, "times": {q: [..]},
@@ -20,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -35,7 +37,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="write plans/r12/<q>_<LABEL>.txt")
+    ap.add_argument("--plans", default=None, help="write plans/<DIR>/<q>_<LABEL>.txt")
+    ap.add_argument("--plandir", default="r13", help="plans/ subdirectory")
     ap.add_argument("--json", default=None)
     ap.add_argument("--conf", action="append", default=[])
     ap.add_argument("queries", nargs="+")
@@ -48,7 +51,10 @@ def main() -> int:
     spark = build_spark(app_name="opt-probe", extra_conf=extra or None)
     qs = all_queries()
     warm_dir = "/root/testdata/sf0.001"
-    spark.read.parquet(f"{args.sf}/lineitem.parquet").count()
+    # prime the parquet reader path; not every sf dir carries lineitem
+    # (ADVICE r12: an unconditional read crashed on table-less dirs)
+    if os.path.exists(f"{args.sf}/lineitem.parquet"):
+        spark.read.parquet(f"{args.sf}/lineitem.parquet").count()
 
     times: dict[str, list[float]] = {}
     for name in args.queries:
@@ -58,7 +64,7 @@ def main() -> int:
         if os.path.isdir(warm_dir):
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         if args.plans:
-            plan_dir = REPO / "plans" / "r12"
+            plan_dir = REPO / "plans" / args.plandir
             plan_dir.mkdir(parents=True, exist_ok=True)
             df = qs[name](spark, args.sf)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
@@ -78,7 +84,9 @@ def main() -> int:
         "reps": args.reps,
         "conf": extra,
         "times": times,
-        "median": {q: sorted(t)[len(t) // 2] for q, t in times.items()},
+        # statistics.median: true median for even rep counts too (ADVICE
+        # r12 — sorted(t)[len//2] was the upper-middle element)
+        "median": {q: round(statistics.median(t), 3) for q, t in times.items()},
     }
     line = json.dumps(out)
     print(line)

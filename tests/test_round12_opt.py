@@ -21,8 +21,12 @@ from tests.test_plans import plan_of
 
 
 def test_entropy_log_grid_parity(spark):
-    n = 200_000
-    got = (
+    # 2M: the verified envelope stated as a contract in
+    # text_char_ngram_entropy's docstring — a count above it means ONE
+    # document repeating a single trigram >2M times (a 6 MB+ degenerate
+    # doc). Keep this constant and the docstring's bound in sync.
+    n = 2_000_000
+    pdf = (
         spark.range(1, n + 1)
         .select(
             F.col("id"),
@@ -30,11 +34,15 @@ def test_entropy_log_grid_parity(spark):
             .cast("long")
             .alias("fx"),
         )
-        .collect()
+        .toPandas()
     )
-    for r in got:
-        want = math.floor(math.log(r["id"]) * 1e6 + 0.5)
-        assert r["fx"] == want, (r["id"], r["fx"], want)
+    ids = pdf["id"].to_numpy()
+    fx = pdf["fx"].to_numpy()
+    # the UDF's grid is Python math.log (libm), NOT numpy's SIMD log —
+    # the comparison must go through the same call the UDF makes
+    for i in range(len(ids)):
+        want = math.floor(math.log(int(ids[i])) * 1e6 + 0.5)
+        assert fx[i] == want, (ids[i], fx[i], want)
 
 
 def test_entropy_plan_is_shuffle_free_arrow_map(spark):
