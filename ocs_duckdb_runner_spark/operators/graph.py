@@ -307,23 +307,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # persist + count + collect, NOT limit(MAX+1).collect() as a single
+    # action: measured r13, CollectLimit's incremental partition
+    # execution interacts badly with the AQE-staged aggregate (5.1 s vs
+    # 1.7 s at sf0.1) — the two cheap jobs over the pinned 625-row cache
+    # are the faster gate. Driver memory stays bounded either way: only
+    # the collapsed nations² aggregate ever collects, never fact rows.
     edges = flows.filter(F.col("src") != F.col("dst")).persist()
     if edges.count() <= DRIVER_GRAPH_MAX_EDGES:
-        out = _pagerank_driver(spark, edges)
+        rows = edges.collect()
         edges.unpersist()
-        return out
+        return _pagerank_driver(spark, rows)
     edges.unpersist()
     out, persisted = _pagerank_build(spark, sf_dir)
     return checkpoint_release(out, *persisted)
 
 
-def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def _pagerank_driver(spark: SparkSession, edge_rows) -> DataFrame:
     """Driver-side weighted PageRank over a collected (src, dst, w) edge
     list: two unrolled damped rounds in exact Python-int arithmetic —
     contrib[dst] += pr[src] * w // out_w[src] per edge then
     _PR_BASE + 85 * contrib // 100, the same integer grid as the
-    distributed path and the DuckDB oracle, so hashes match bit-for-bit."""
-    ew = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    distributed path and the DuckDB oracle, so hashes match bit-for-bit.
+
+    The result is sorted HERE (same exact-integer key the distributed
+    orderBy used) and shipped pre-ordered as a ONE-SLICE parallelize: a
+    25-row local frame needs neither the rangepartitioning sample +
+    exchange + sort jobs of a distributed orderBy (0.5-1.4 s of pure
+    small-job overhead) nor — worse — a coalesce(1) over the default
+    32-slice parallelize, whose single task re-evaluates all 32 Python
+    RDD partitions SEQUENTIALLY at ~100 ms each (measured 3.4-6.0 s for
+    25 rows, r13). One slice, one task, 0.13 s."""
+    ew = [(r["src"], r["dst"], r["w"]) for r in edge_rows]
     node_list = sorted({x for e in ew for x in (e[0], e[1])})
     out_w: dict[int, int] = {}
     for src, _dst, w in ew:
@@ -334,12 +349,12 @@ def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
         for src, dst, w in ew:
             contrib[dst] = contrib.get(dst, 0) + (pr[src] * w) // out_w[src]
         pr = {n: _PR_BASE + (85 * contrib.get(n, 0)) // 100 for n in node_list}
-    return (
-        spark.createDataFrame(
-            [(n, pr[n]) for n in node_list], "nationkey long, pr_micro long"
-        )
-        .orderBy(F.col("pr_micro").desc(), "nationkey")
-        .coalesce(1)
+    ordered = sorted(
+        ((n, pr[n]) for n in node_list), key=lambda t: (-t[1], t[0])
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(ordered, 1),
+        "nationkey long, pr_micro long",
     )
 
 
@@ -919,13 +934,15 @@ _SQL_TRADE_EDGES = """
 DRIVER_GRAPH_MAX_EDGES = 100_000
 
 
-def _hits_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def _hits_driver(spark: SparkSession, edge_rows) -> DataFrame:
     """Driver-side HITS over a collected (src, dst, w) edge list: two
     unrolled (a <- A^T h, h <- A a) iterations in exact Python-int
     arithmetic — (raw * MICRO) // max(raw) is the same integer grid as
     the oracle's HUGEINT product with // division, so hashes match the
-    distributed path bit-for-bit at any weight magnitude."""
-    ew = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    distributed path bit-for-bit at any weight magnitude. Sorted here
+    and shipped pre-ordered like _pagerank_driver (r13): no distributed
+    orderBy jobs for a 25-row local frame."""
+    ew = [(r["src"], r["dst"], r["w"]) for r in edge_rows]
     node_list = sorted({x for e in ew for x in (e[0], e[1])})
 
     def half(score: dict, from_i: int, to_i: int) -> dict:
@@ -939,13 +956,13 @@ def _hits_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
     for _ in range(2):
         a = half(h, 0, 1)
         h = half(a, 1, 0)
-    rows = [(n, a[n], h[n]) for n in node_list]
-    return (
-        spark.createDataFrame(
-            rows, "nationkey long, auth_micro long, hub_micro long"
-        )
-        .orderBy(F.col("auth_micro").desc(), F.col("hub_micro").desc(), "nationkey")
-        .coalesce(1)
+    ordered = sorted(
+        ((n, a[n], h[n]) for n in node_list),
+        key=lambda t: (-t[1], -t[2], t[0]),
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(ordered, 1),
+        "nationkey long, auth_micro long, hub_micro long",
     )
 
 
@@ -1030,9 +1047,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = flows.filter(F.col("src") != F.col("dst")).persist()
     n_edges = edges.count()  # pin the cache once; also the gate decision
     if n_edges <= DRIVER_GRAPH_MAX_EDGES:
-        out = _hits_driver(spark, edges)
+        rows = edges.collect()
         edges.unpersist()
-        return out
+        return _hits_driver(spark, rows)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))

@@ -923,7 +923,12 @@ def catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
             if dt == "timestamp_ntz":
                 dt = "timestamp"
             rows.append((t, f.name, i, dt))
+    # sorted here, shipped as a one-slice parallelize: a distributed
+    # orderBy on a driver-built 50-row frame schedules sample + exchange
+    # + sort jobs for nothing (r13, the _pagerank_driver finding)
+    rows.sort(key=lambda r: (r[0], r[2]))
     return spark.createDataFrame(
-        rows, "table_name string, column_name string, ordinal long,"
-        " data_type string"
-    ).orderBy("table_name", "ordinal")
+        spark.sparkContext.parallelize(rows, 1),
+        "table_name string, column_name string, ordinal long,"
+        " data_type string",
+    )
