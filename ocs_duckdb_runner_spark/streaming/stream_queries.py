@@ -57,14 +57,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale probe — a glob filter for the file name matches nothing in the
     directory layout and the source silently streams ZERO rows (the r8
     10x-sweep finding: every stream query 'passed' rows-only on empty
-    input), so point the source at whichever layout exists."""
+    input), so point the source at whichever layout exists. The
+    file-vs-directory probe goes through the Hadoop FileSystem API
+    (r13, same class of bug as _stream_shuffle_width's sizing): a
+    driver-local os.path.isdir is False for ANY object-store path, so an
+    s3a:// sf_dir with the directory layout silently hit the
+    glob-filter branch and streamed zero rows — reproduced, then fixed,
+    against the live loopback s3a endpoint (S3AWIDTH_r13.json)."""
     import os
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     events_path = f"{sf_dir}/events.parquet"
 
+    def _is_dir(path: str) -> bool:
+        try:
+            jvm = spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            return fs.getFileStatus(hpath).isDirectory()
+        except Exception:
+            return os.path.isdir(path)
+
     def _source(schema: T.StructType) -> DataFrame:
-        if os.path.isdir(events_path):
+        if _is_dir(events_path):
             # directory-parquet: stream the part files directly
             return spark.readStream.schema(schema).parquet(events_path)
         # single file: the file source requires a directory; glob-filter

@@ -872,11 +872,13 @@ def test_theta_setops_single_pass_single_exchange(spark):
 
 
 def test_substring_spans_windows_are_array_transform_not_posexplode(spark):
-    """dedup_substring_spans: window fingerprints are built inside ONE
-    map-side transform over the token array — a per-token posexplode
-    followed by a window self-join would shuffle raw tokens. The
-    exchanges carry only the 60-bit gram hash / doc_id keys, so `text`
-    must never appear in an exchange's output attributes."""
+    """dedup_substring_spans: window fingerprints are built map-side in
+    ONE pass over each document (r11: a codegen'd array transform; r13:
+    the mapInArrow byte-slice pass — see test_round13_opt's pin for the
+    Arrow-specific shape) — a per-token posexplode followed by a window
+    self-join would shuffle raw tokens. The hash exchanges carry only
+    the 60-bit gram hash / doc_id keys, so `text` must never appear in
+    a hash exchange's output attributes."""
     plan = plan_of(spark, "dedup_substring_spans")
     shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
     assert shuffles <= 4
